@@ -20,8 +20,15 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0.
+
+    documents → deterministic image+caption rows (synthetic fetcher) →
+    sidecar extraction (mime+puid, charset, language, soft-404, phash/w/h/fmt)
+    as one vectorized map_batches over zero-copy Arrow.
+    """
+    from sidecar.flagship import flagship
+
+    return flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -1,0 +1,95 @@
+"""URL canonicalization (SURT), stable hashing, host extraction, timestamps.
+
+Re-implements (from public SURT semantics, not by copying) what the reference
+delegates to ``surt.surt`` at sidecar2cdxj.py:35 and ``iso_date_to_timestamp``
+at sidecar2cdxj.py:36.  The same canonical form keys the URL-seen set and the
+frontier partitioning (SURVEY.md §2.2 F13), so it lives in one module.
+
+Everything here is pure and deterministic: no wall clock, no randomness.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from urllib.parse import urlsplit
+
+_WWW = re.compile(r"^www\d*\.")
+_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*:")
+_DNS = re.compile(r"^dns:")  # reference: warc_metadata_sidecar.py:37
+
+
+def is_dns_url(url: str) -> bool:
+    """Reference DNS-record filter (warc_metadata_sidecar.py:210-211)."""
+    return bool(_DNS.match(url))
+
+
+def split_url(url: str) -> tuple[str, str, str, str]:
+    """Return (host, path, query, fragmentless-url). Scheme-less urls get http."""
+    if not _SCHEME.match(url):
+        url = "http://" + url
+    parts = urlsplit(url)
+    host = (parts.hostname or "").lower()
+    path = parts.path or "/"
+    return host, path, parts.query, url
+
+
+def host_of(url: str) -> str:
+    """Registered host of a URL, lowercased, www-stripped (politeness key)."""
+    host, _, _, _ = split_url(url)
+    return _WWW.sub("", host)
+
+
+def surt(url: str) -> str:
+    """SURT-canonicalize a URL: ``https://www.Ex.COM/a/B?b=2&a=1`` →
+    ``com,ex)/a/b?a=1&b=2``.
+
+    Matches the publicly documented SURT transform the reference gets from
+    ``surt.surt`` (sidecar2cdxj.py:35): lowercase, scheme dropped, leading
+    ``www`` dropped, host reversed comma-separated, query keys sorted,
+    trailing slash normalized, default ports dropped.
+    """
+    host, path, query, _ = split_url(url)
+    host = _WWW.sub("", host)
+    rev = ",".join(reversed(host.split("."))) if host else ""
+    path = path.lower() or "/"
+    out = rev + ")" + path
+    if query:
+        q = "&".join(sorted(query.lower().split("&")))
+        out += "?" + q
+    return out
+
+
+def canonical_url(url: str) -> str:
+    """Canonical absolute URL used for dedup/seen-set keying: lowercase
+    scheme+host, www-stripped, sorted query, no fragment, '/' path default."""
+    host, path, query, _ = split_url(url)
+    host = _WWW.sub("", host)
+    out = "http://" + host + (path or "/")
+    if query:
+        out += "?" + "&".join(sorted(query.split("&")))
+    return out
+
+
+def url_hash(canon: str) -> int:
+    """Stable unsigned-64-bit hash of a canonical URL (seen-set / frontier
+    shuffle key).  blake2b is keyed-off, deterministic across processes —
+    unlike Python's builtin ``hash`` which is salted per process."""
+    return int.from_bytes(hashlib.blake2b(canon.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def url_hash_batch(canons: list[str]) -> list[int]:
+    b2 = hashlib.blake2b
+    return [int.from_bytes(b2(c.encode("utf-8"), digest_size=8).digest(), "big") for c in canons]
+
+
+def iso_to_ts14(iso_date: str) -> str:
+    """ISO-8601 ``2021-03-01T12:34:56Z`` → 14-digit ``20210301123456``
+    (reference: warcio.timeutils.iso_date_to_timestamp via sidecar2cdxj.py:36)."""
+    digits = re.sub(r"[^0-9]", "", iso_date)
+    return (digits + "00000000000000")[:14]
+
+
+def cdxj_key(surt_url: str, ts14: str) -> str:
+    """The merge-join key ``"<surt> <ts>"`` (merge_cdxj.py:69,90)."""
+    return surt_url + " " + ts14

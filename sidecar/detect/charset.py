@@ -1,0 +1,92 @@
+"""Deterministic charset detection shaped like chardet's output
+(reference: warc_metadata_sidecar.py:91-102 ``find_character_set`` →
+``{'encoding': ..., 'confidence': ...}``).
+
+Rules (applied in order, all deterministic):
+  1. BOM           → utf-8-sig / utf-16 (confidence 1.0)
+  2. all bytes<128 → ascii   (1.0)
+  3. valid UTF-8   → utf-8   (0.99)
+  4. otherwise     → ISO-8859-1 (0.73, chardet's usual latin-1 fallback score)
+
+Vectorization: the ASCII test runs as one ``np.maximum.reduceat`` over the
+Arrow binary buffer; only the (rare) non-ASCII rows hit the per-row UTF-8
+validity check.
+"""
+
+from __future__ import annotations
+
+import codecs
+
+import numpy as np
+import pyarrow as pa
+
+_BOMS: list[tuple[bytes, str]] = [
+    (codecs.BOM_UTF8, "UTF-8-SIG"),
+    (codecs.BOM_UTF16_LE, "UTF-16"),
+    (codecs.BOM_UTF16_BE, "UTF-16"),
+]
+
+
+def find_character_set(payload: bytes) -> dict:
+    """Scalar detector with the reference's return shape."""
+    if not payload:
+        return {"encoding": None, "confidence": 0.0}
+    for bom, name in _BOMS:
+        if payload.startswith(bom):
+            return {"encoding": name, "confidence": 1.0}
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if (arr < 128).all():
+        return {"encoding": "ascii", "confidence": 1.0}
+    try:
+        payload.decode("utf-8")
+        return {"encoding": "utf-8", "confidence": 0.99}
+    except UnicodeDecodeError:
+        return {"encoding": "ISO-8859-1", "confidence": 0.73}
+
+
+def find_character_set_batch(
+    binary: pa.Array, mask: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized over an Arrow binary array → (encoding[obj], confidence[f8]).
+
+    ``mask`` limits work to text-gated rows (reference gate at
+    warc_metadata_sidecar.py:255); unmasked rows get (None, nan).
+    """
+    arr = binary.combine_chunks() if isinstance(binary, pa.ChunkedArray) else binary
+    if arr.null_count:
+        arr = arr.fill_null(b"")
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype, count=len(arr) + 1).astype(np.int64)
+    if arr.offset:
+        offsets = offsets + arr.offset
+    databuf = arr.buffers()[2]
+    data = (
+        np.frombuffer(databuf, dtype=np.uint8)
+        if databuf is not None and len(databuf)
+        else np.zeros(0, dtype=np.uint8)
+    )
+    n = len(arr)
+    lengths = offsets[1:] - offsets[:-1]
+    enc = np.full(n, None, dtype=object)
+    conf = np.full(n, np.nan, dtype=np.float64)
+    todo = lengths > 0
+    if mask is not None:
+        todo &= mask
+    if not todo.any():
+        return enc, conf
+    # vectorized per-row max byte: reduceat segments follow the (monotonic)
+    # offsets; empty rows yield a garbage single-element segment, masked below
+    if len(data):
+        starts = np.minimum(offsets[:-1], len(data) - 1)
+        maxima = np.maximum.reduceat(data, starts)
+    else:
+        maxima = np.zeros(n, dtype=np.uint8)
+    is_ascii = todo & (maxima < 128)
+    enc[is_ascii] = "ascii"
+    conf[is_ascii] = 1.0
+    rest = np.flatnonzero(todo & ~is_ascii)
+    for i in rest:  # rare path: non-ASCII rows only
+        r = find_character_set(data[offsets[i] : offsets[i + 1]].tobytes())
+        enc[i] = r["encoding"]
+        conf[i] = r["confidence"]
+    return enc, conf

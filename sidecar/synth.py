@@ -1,0 +1,185 @@
+"""Deterministic synthetic corpus: image+caption rows (the ``input_hint``
+table shape), a crawl link graph, and robots rules.  Everything is a pure
+function of (seed, key) via blake2b — order-independent and process-stable,
+which is what makes the bit-for-bit crawl-reproducibility contract testable
+(FIXTURES.md §1-2).
+
+No external data, no wall clock, no ``random`` module state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from sidecar import codecs
+from sidecar.detect.phash import phash64
+
+IMAGES_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bytes", pa.binary()),
+        ("w", pa.int32()),
+        ("h", pa.int32()),
+        ("fmt", pa.string()),
+        ("caption", pa.string()),
+        ("phash", pa.int64()),
+    ]
+)
+
+_SIZES = (16, 32, 64, 128)
+_IMG_FMTS = ("png", "ppm", "b16")
+
+_CAPTION_WORDS = {
+    "en": "the quick brown fox jumps over a lazy dog and they run from this page with what will be there when we said that".split(),
+    "es": "el perro la casa de que y en un ser se no por con su para como este pero más hacer si me ya los las del".split(),
+    "de": "der die und in den von zu das mit sich des auf für ist im dem nicht ein eine als auch es an werden aus".split(),
+    "fr": "le chat de un être et à il avoir ne je son que se qui ce dans en du elle au pour pas vous par sur les des".split(),
+}
+_LANG_KEYS = sorted(_CAPTION_WORDS)
+_SOFT404_PHRASES = (
+    "page not found sorry this page does not exist",
+    "error 404 the page you requested cannot be found",
+    "sorry nothing here the content is no longer available",
+)
+
+
+def _h(*parts: object) -> int:
+    """Stable 64-bit hash of the argument tuple."""
+    b = hashlib.blake2b("\x1f".join(str(p) for p in parts).encode(), digest_size=8)
+    return int.from_bytes(b.digest(), "big")
+
+
+def make_pixels(key: str, w: int, h: int, seed: int = 42) -> np.ndarray:
+    """Seeded gradient + noise pattern, HxWx3 uint8 (FIXTURES.md §1)."""
+    rng = np.random.Generator(np.random.PCG64(_h(seed, "pixels", key) & 0x7FFFFFFFFFFFFFFF))
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack(
+        [
+            (xx * 255) // max(1, w - 1),
+            (yy * 255) // max(1, h - 1),
+            ((xx + yy) * 255) // max(1, w + h - 2),
+        ],
+        axis=-1,
+    ).astype(np.int64)
+    noise = rng.integers(-24, 25, size=(h, w, 3))
+    return (base + noise).clip(0, 255).astype(np.uint8)
+
+
+def make_caption(key: str, seed: int = 42) -> tuple[str, str]:
+    """Deterministic caption → (caption, lang).  ~5% empty, ~3% soft-404
+    phrases, one control-char-polluted variant class (FIXTURES.md §1)."""
+    r = _h(seed, "caption", key)
+    if r % 100 < 5:
+        return "", ""
+    if r % 100 < 8:
+        return _SOFT404_PHRASES[r % len(_SOFT404_PHRASES)], "en"
+    lang = _LANG_KEYS[(r >> 8) % len(_LANG_KEYS)]
+    words = _CAPTION_WORDS[lang]
+    n = 6 + (r >> 16) % 18
+    cap = " ".join(words[_h(seed, "w", key, i) % len(words)] for i in range(n))
+    if r % 100 < 12:  # control-char-polluted variant
+        cap = cap[: len(cap) // 2] + "\x02" + cap[len(cap) // 2 :]
+    return cap, lang
+
+
+def make_row(key: str, seed: int = 42, caption: str | None = None) -> dict:
+    """One IMAGES row as a dict; pure function of (seed, key[, caption])."""
+    r = _h(seed, "row", key)
+    if caption is None:
+        caption, _ = make_caption(key, seed)
+    kind = r % 10
+    if kind == 0:  # html payload row (text path incl. soft-404 gate)
+        body = "<!DOCTYPE html>\n<html><body><p>%s</p></body></html>" % caption
+        return {
+            "image_id": key, "bytes": body.encode(), "w": 0, "h": 0,
+            "fmt": "html", "caption": caption, "phash": 0,
+        }
+    if kind == 1:  # plain-text payload row
+        return {
+            "image_id": key, "bytes": ("caption: %s\n" % caption).encode(), "w": 0,
+            "h": 0, "fmt": "text", "caption": caption, "phash": 0,
+        }
+    w = _SIZES[(r >> 4) % len(_SIZES)]
+    h = _SIZES[(r >> 6) % len(_SIZES)]
+    fmt = _IMG_FMTS[(r >> 2) % len(_IMG_FMTS)]
+    pixels = make_pixels(key, w, h, seed)
+    data = codecs.encode(pixels, fmt)
+    # phash is computed over the *decoded* pixels so lossy fmts round-trip
+    ph = phash64(codecs.decode(data, fmt))
+    return {
+        "image_id": key, "bytes": data, "w": w, "h": h,
+        "fmt": fmt, "caption": caption, "phash": np.int64(np.uint64(ph)).item(),
+    }
+
+
+def make_images_table(n: int, seed: int = 42, prefix: str = "img") -> pa.Table:
+    rows = [make_row(f"{prefix}-{i:08d}", seed) for i in range(n)]
+    return pa.Table.from_pylist(rows, schema=IMAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Crawl graph (FIXTURES.md §2): hosts, seeds, deterministic out-links, robots.
+# ---------------------------------------------------------------------------
+
+HOT_HOST = "hot.example.com"
+
+
+def hosts(n_hosts: int = 20) -> list[str]:
+    return [HOT_HOST] + [f"host{i:02d}.example.com" for i in range(1, n_hosts)]
+
+
+def make_seeds(n_seeds: int = 100, n_hosts: int = 20, seed: int = 42) -> list[dict]:
+    """Seed list: ~100 rows over ~n_hosts hosts with priorities."""
+    hs = hosts(n_hosts)
+    out = []
+    for i in range(n_seeds):
+        r = _h(seed, "seed", i)
+        host = hs[r % len(hs)]
+        url = f"https://{host}/seed/{i}"
+        out.append({
+            "seed_id": i, "url": url,
+            "priority": float((r >> 8) % 1000) / 1000.0,
+        })
+    return out
+
+
+def out_links(url_canon: str, n_hosts: int = 20, seed: int = 42) -> list[tuple[str, float]]:
+    """Deterministic link discovery: fan-out 0–8 links per page, ~30%
+    duplicate targets, the hot host receives ~40% of all links (skew)."""
+    r = _h(seed, "links", url_canon)
+    fan = r % 9
+    hs = hosts(n_hosts)
+    links = []
+    for j in range(fan):
+        rj = _h(seed, "link", url_canon, j)
+        if rj % 10 < 4:
+            host = HOT_HOST
+        else:
+            host = hs[rj % (len(hs) - 1) + 1]
+        # ~30% of links point at a small shared id space (duplicates)
+        page_id = rj % 40 if rj % 10 < 3 else rj % 100000
+        url = f"https://{host}/page/{page_id}"
+        links.append((url, float((rj >> 16) % 1000) / 1000.0))
+    return links
+
+
+def robots_rules(n_hosts: int = 20, seed: int = 42) -> dict[str, list[str]]:
+    """~25% of hosts disallow a path prefix (FIXTURES.md §2)."""
+    rules: dict[str, list[str]] = {}
+    for host in hosts(n_hosts):
+        r = _h(seed, "robots", host)
+        if r % 4 == 0:
+            rules[host] = [f"/page/{r % 10}"]  # disallow one decade of page ids
+        else:
+            rules[host] = []
+    return rules
+
+
+def fetch_url(url_canon: str, seed: int = 42) -> dict:
+    """The deterministic 'fetcher' (ST7): resolve a canonical URL to an
+    IMAGES-shaped row. Stands in for network fetch + decode (no network in
+    the sandbox; at scale this is the only stage that touches bytes)."""
+    return make_row(url_canon, seed)

@@ -1,0 +1,121 @@
+"""Unit contracts ported from the reference's detector tests
+(tests/test_warc_metadata_sidecar.py:55-106) — table-level asserts on our
+deterministic detectors, same shapes as fido/chardet/pycld2/soft404 output."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from sidecar import codecs, synth
+from sidecar.detect import (
+    find_character_set,
+    find_character_set_batch,
+    find_language,
+    find_language_batch,
+    phash64,
+    sniff,
+    sniff_batch,
+    soft404_probability,
+)
+from sidecar.detect.soft404 import soft404_batch
+
+
+def test_mime_and_puid_shapes():
+    # reference contract (:55-58): (mime_dict, puid) with fido + python-magic keys
+    mime_dict, puid = sniff(b"<!DOCTYPE html><html><body>x</body></html>")
+    assert mime_dict == {"fido": "text/html", "python-magic": "text/html"}
+    assert puid == "fmt/96"
+    mime_dict, puid = sniff(codecs.encode_png(np.zeros((4, 4, 3), np.uint8)))
+    assert mime_dict["fido"] == "image/png" and puid == "fmt/11"
+
+
+def test_mime_batch_matches_scalar():
+    payloads = [
+        b"GIF89a....",
+        b"\xff\xd8\xff\xe0jpeg",
+        b"P6\n2 2\n255\n" + b"\x00" * 12,
+        b"%PDF-1.4",
+        b"plain words here",
+        b"",
+        b"\x00\x01\x02\x03",
+        b"{\"a\": 1}",
+    ]
+    fido, magic, puid = sniff_batch(pa.array(payloads, type=pa.binary()))
+    for i, p in enumerate(payloads):
+        md, pu = sniff(p)
+        assert md.get("fido") == fido[i]
+        assert md.get("python-magic") == magic[i]
+        assert pu == puid[i]
+
+
+def test_charset_shapes_and_batch_parity():
+    # reference contract (:61-64): {'encoding', 'confidence'}
+    assert find_character_set(b"pure ascii") == {"encoding": "ascii", "confidence": 1.0}
+    assert find_character_set("héllo".encode())["encoding"] == "utf-8"
+    assert find_character_set(b"\xff\x00bad\xff")["encoding"] == "ISO-8859-1"
+    payloads = [b"ascii", "héllo".encode(), b"\xff\x00x\xff", b""]
+    enc, conf = find_character_set_batch(pa.array(payloads, type=pa.binary()))
+    for i, p in enumerate(payloads):
+        ref = find_character_set(p)
+        if p:
+            assert enc[i] == ref["encoding"] and conf[i] == ref["confidence"]
+        else:
+            assert enc[i] is None
+
+
+def test_language_shape_and_unknown_none():
+    # reference contracts (:67-77): cld2 dict shape; all-Unknown → None
+    r = find_language(b"the cat and the dog went to the page and said this was that")
+    assert r["reliable"] is True
+    assert set(r.keys()) == {"reliable", "text-bytes", "languages"}
+    assert r["languages"][0]["code"] == "en"
+    assert set(r["languages"][0]) == {"name", "code", "text-covered", "score"}
+    assert find_language(b"zzz qqq kkk 123") is None  # Unknown-only → None (:112-126)
+    assert find_language(b"") is None
+
+
+def test_language_batch_bit_identical_to_scalar():
+    texts = [
+        "the cat and the dog on the page",
+        "el perro y la casa de que no se",
+        "der hund und die katze in dem haus",
+        "le chat et le chien dans la maison du parc",
+        "你好世界 中文 测试 文本 这是 一个 好 的",
+        "mixed the dog el perro und die le chat",
+        "\x02control\x02 the and of to a in is it",
+        "",
+        "zzz",
+    ]
+    batch = find_language_batch(pa.array(texts))
+    for i, t in enumerate(texts):
+        assert find_language(t) == batch[i], t
+
+
+def test_soft404_gate_values_and_parity():
+    hit = soft404_probability("sorry, page not found — error 404")
+    miss = soft404_probability("welcome to our homepage full of content")
+    assert hit > 0.9 > 0.1 > miss
+    b = soft404_batch(pa.array(["sorry, page not found — error 404", "welcome"]))
+    assert b[0] == hit  # bit-identical scalar/batch
+
+
+def test_phash_properties():
+    px = synth.make_pixels("p", 64, 48)
+    h1 = phash64(px)
+    assert h1 == phash64(px.copy())
+    noisy = px.astype(np.int16)
+    noisy[::7, ::5] += 2
+    near = phash64(noisy.clip(0, 255).astype(np.uint8))
+    assert bin(h1 ^ near).count("1") <= 8  # near-dup stays near
+    other = phash64(synth.make_pixels("different", 64, 48))
+    assert bin(h1 ^ other).count("1") >= 10  # distinct images far apart
+
+
+@pytest.mark.parametrize("fmt", ["png", "ppm", "b16"])
+def test_codec_roundtrip(fmt):
+    px = synth.make_pixels("rt", 31, 19)
+    back = codecs.decode(codecs.encode(px, fmt), fmt)
+    if fmt in codecs.LOSSLESS:
+        assert np.array_equal(px, back)
+    else:
+        assert codecs.psnr(px, back) >= 40.0  # input_hint PSNR bound

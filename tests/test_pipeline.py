@@ -1,0 +1,123 @@
+"""End-to-end sidecar pipeline contracts, ported from the reference's e2e
+fixtures (tests/test_warc_metadata_sidecar.py:109-233) to table form
+(FIXTURES.md §3)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from sidecar import pipeline, schemas, synth
+
+
+def _run(table: pa.Table) -> pa.Table:
+    ds = pipeline.sidecar_dataset(rd.from_arrow(table))
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    out = pa.concat_tables(
+        [b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in batches]
+    )
+    return out.combine_chunks()
+
+
+def test_e2e_text_row():
+    # ≈ text.warc (:118-142): html response → mime, charset, language, soft404
+    cap = "the cat and the dog went to the page and said this was that"
+    t = pa.Table.from_pylist(
+        [{
+            "image_id": "t1",
+            "bytes": f"<!DOCTYPE html><html><body>{cap}</body></html>".encode(),
+            "w": 0, "h": 0, "fmt": "html", "caption": cap, "phash": 0,
+        }],
+        schema=synth.IMAGES_SCHEMA,
+    )
+    row = _run(t).to_pylist()[0]
+    assert row["mime_magic"] == "text/html" and row["puid"] == "fmt/96"
+    assert row["charset"]["encoding"] == "ascii"
+    assert row["languages"]["languages"][0]["code"] == "en"
+    assert row["soft404"] is not None and row["is_text"]
+
+
+def test_e2e_image_row_never_runs_text_detectors():
+    # ≈ gif.warc (:155-175): image → charset/languages/soft404 must be null
+    t = synth.make_images_table(40, seed=7)
+    out = _run(t)
+    for row in out.to_pylist():
+        if row["fmt"] in ("png", "ppm", "b16"):
+            assert row["charset"] is None
+            assert row["languages"] is None
+            assert row["soft404"] is None
+
+
+def test_e2e_empty_payload_skipped():
+    # ≈ the reference's empty-payload skip (:213-215)
+    t = pa.Table.from_pylist(
+        [
+            {"image_id": "e", "bytes": b"", "w": 0, "h": 0, "fmt": "text",
+             "caption": "", "phash": 0},
+            {"image_id": "ok", "bytes": b"some text", "w": 0, "h": 0,
+             "fmt": "text", "caption": "", "phash": 0},
+        ],
+        schema=synth.IMAGES_SCHEMA,
+    )
+    out = _run(t)
+    assert out.num_rows == 1 and out.to_pylist()[0]["image_id"] == "ok"
+
+
+def test_digest_dedup_same_metadata():
+    # ≈ digest_multiples.warc (:199-233): identical payloads → identical
+    # metadata rows (compute-once semantics; deterministic detectors make
+    # recompute == cache hit)
+    body = b"<!DOCTYPE html><html>the page was not found sorry</html>"
+    rows = [
+        {"image_id": f"d{i}", "bytes": body, "w": 0, "h": 0, "fmt": "html",
+         "caption": "", "phash": 0}
+        for i in range(5)
+    ]
+    out = _run(pa.Table.from_pylist(rows, schema=synth.IMAGES_SCHEMA)).to_pylist()
+    assert len(out) == 5
+    assert len({r["payload_digest"] for r in out}) == 1
+    first = {k: v for k, v in out[0].items() if k != "image_id"}
+    for r in out[1:]:
+        assert {k: v for k, v in r.items() if k != "image_id"} == first
+
+
+def test_golden_payload_serialization():
+    # ≈ warc.warc.meta.gz golden (F10, :151-164) — exact text form with the
+    # skip rules (no charset line when encoding falsy, soft404 only when set)
+    cap = "the cat and the dog"
+    t = pa.Table.from_pylist(
+        [{"image_id": "g", "bytes": f"<html><body>{cap} page not found</body></html>".encode(),
+          "w": 0, "h": 0, "fmt": "html", "caption": cap, "phash": 0}],
+        schema=synth.IMAGES_SCHEMA,
+    )
+    row = _run(t).to_pylist()[0]
+    payload = pipeline.sidecar_row_to_payload(row)
+    lines = payload.split("\n")
+    assert lines[0].startswith("Identified-Payload-Type: {\"fido\": \"text/html\"")
+    assert lines[1] == "Preservation-Identifier: fmt/96"
+    assert lines[2].startswith("Charset-Detected: {\"encoding\": \"ascii\"")
+    assert lines[3].startswith("Languages-cld2: {\"reliable\":")
+    assert lines[4].startswith("Soft-404-Detected: 0.8")
+    # image rows: mime lines only
+    img = synth.make_row("imgx", seed=1)
+    while img["fmt"] not in ("png", "ppm"):
+        img = synth.make_row(img["image_id"] + "x", seed=1)
+    out = _run(pa.Table.from_pylist([img], schema=synth.IMAGES_SCHEMA)).to_pylist()[0]
+    p2 = pipeline.sidecar_row_to_payload(out)
+    assert "Charset-Detected" not in p2 and "Soft-404" not in p2
+    assert "Identified-Payload-Type" in p2
+
+
+def test_sidecar_schema_stable():
+    out = _run(synth.make_images_table(10, seed=3))
+    assert out.schema.names == schemas.SIDECAR.names
+
+
+def test_determinism_across_parallelism(images_table):
+    # same table through 1 block vs 8 blocks → identical sorted output
+    a = _run(images_table).sort_by("image_id")
+    b_ds = pipeline.sidecar_dataset(rd.from_arrow(images_table).repartition(8))
+    batches = list(b_ds.iter_batches(batch_format="pyarrow"))
+    b = pa.concat_tables(
+        [x if isinstance(x, pa.Table) else pa.Table.from_batches([x]) for x in batches]
+    ).combine_chunks().sort_by("image_id")
+    assert a.equals(b)
