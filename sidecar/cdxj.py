@@ -1,0 +1,219 @@
+"""CDXJ projection + left-outer enrichment merge.
+
+Ray-Data-native restatement of sidecar2cdxj.py and merge_cdxj.py:
+
+- :func:`cdxj_from_sidecar` — SIDECAR Dataset → CDXJ Dataset
+  (sidecar2cdxj.py:32-61: SURT url + 14-digit timestamp + JSON payload).
+- :func:`merge_cdxj` — left-outer hash join, probe = original CDXJ
+  (order-preserving via a line-number sort key), build = meta CDXJ
+  (merge_cdxj.py:59-93).  The build side is broadcast once via ``ray.put``
+  and probed inside ``map_batches`` — no shuffle (SURVEY.md §2.4 J1).
+  For large build sides use ``broadcast=False`` → hash-partitioned
+  groupby join on the key.
+
+Reference quirks reproduced exactly (SURVEY.md §7 watch-list #5):
+- python-magic mime preferred over fido (merge_cdxj.py:36-40)
+- soft-404 dropped at merge when falsy — 0.0 included (merge_cdxj.py:53-55)
+- languages only added when alpha-3 conversion yields non-empty CSV (:50-52)
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from sidecar import schemas
+from sidecar.canon import surt
+from sidecar.pipeline import _lang_struct_to_ref
+
+# Embedded ISO-639-1 → alpha-3 map for the languages our detector can emit
+# (reference uses langcodes.Language.get(code).to_alpha3(), merge_cdxj.py:18;
+# codes with no 3-letter form are skipped, :22-24).
+ALPHA3 = {"en": "eng", "es": "spa", "de": "deu", "fr": "fra", "zh": "zho"}
+
+
+def get_alpha3_language_codes(lang_list: list[dict]) -> str:
+    """Comma-joined alpha-3 codes (merge_cdxj.py:12-27 semantics)."""
+    codes = []
+    for lang_dict in lang_list:
+        new_code = ALPHA3.get(lang_dict.get("code", ""), "")
+        if len(new_code) == 3:
+            codes.append(new_code)
+    return ",".join(codes)
+
+
+def sidecar_row_to_cdxj_json(row: dict) -> str:
+    """SIDECAR row → the CDXJ JSON payload (the columnar equivalent of
+    convert_payload_to_json over the serialized Title lines,
+    sidecar2cdxj.py:18-29 — keys present-if-found)."""
+    d: dict = {}
+    mime_dict = {}
+    if row.get("mime_fido"):
+        mime_dict["fido"] = row["mime_fido"]
+    if row.get("mime_magic"):
+        mime_dict["python-magic"] = row["mime_magic"]
+    if mime_dict:
+        d["Identified-Payload-Type"] = mime_dict
+    if row.get("puid"):
+        d["Preservation-Identifier"] = row["puid"]
+    cs = row.get("charset")
+    if cs and cs.get("encoding"):
+        d["Charset-Detected"] = {"encoding": cs["encoding"], "confidence": cs["confidence"]}
+    lang = _lang_struct_to_ref(row.get("languages"))
+    if lang:
+        d["Languages-cld2"] = lang
+    if row.get("soft404") is not None:
+        d["Soft-404-Detected"] = row["soft404"]
+    return json.dumps(d)
+
+
+def _sidecar_batch_to_cdxj(batch: pa.Table) -> pa.Table:
+    rows = batch.to_pylist()
+    return pa.table(
+        {
+            "surt": pa.array([surt(r["url"] or "") for r in rows], pa.string()),
+            "ts": pa.array([r["ts"] or "" for r in rows], pa.string()),
+            "json": pa.array([sidecar_row_to_cdxj_json(r) for r in rows], pa.string()),
+        }
+    )
+
+
+def cdxj_from_sidecar(sidecar_ds) -> "rd.Dataset":
+    """SIDECAR Dataset → CDXJ Dataset (S5/S6 + F13)."""
+    return sidecar_ds.map_batches(
+        _sidecar_batch_to_cdxj, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def cdxj_line(surt_url: str, ts: str, json_str: str) -> str:
+    """One CDXJ text line (sidecar2cdxj.py:37)."""
+    return surt_url + " " + ts + " " + json_str + "\n"
+
+
+def get_sidecar_fields(original_obj: dict, meta_obj: dict) -> dict:
+    """Field enrichment (merge_cdxj.py:30-56) with the quirks intact."""
+    if meta_obj.get("Identified-Payload-Type"):
+        ipt = meta_obj["Identified-Payload-Type"]
+        # python-magic preferred over fido (merge_cdxj.py:36-40)
+        original_obj["mime-detected"] = ipt.get("python-magic") or ipt["fido"]
+    if meta_obj.get("Preservation-Identifier"):
+        original_obj["puid"] = meta_obj["Preservation-Identifier"]
+    if meta_obj.get("Charset-Detected"):
+        original_obj["charset"] = meta_obj["Charset-Detected"]["encoding"]
+    if meta_obj.get("Languages-cld2"):
+        new_codes = get_alpha3_language_codes(meta_obj["Languages-cld2"]["languages"])
+        if new_codes:
+            original_obj["languages"] = new_codes
+    if meta_obj.get("Soft-404-Detected"):  # truthiness: 0.0 dropped (merge_cdxj.py:53)
+        original_obj["soft-404-detected"] = meta_obj["Soft-404-Detected"]
+    return original_obj
+
+
+def parse_cdxj_lines(lines_ds) -> "rd.Dataset":
+    """read_text lines → CDXJ table with a lineno order column (F14)."""
+
+    def parse(batch: pa.Table) -> pa.Table:
+        surts, tss, js = [], [], []
+        for line in batch.column(batch.column_names[0]).to_pylist():
+            urlkey, timestamp, obj = line.split(" ", 2)
+            surts.append(urlkey)
+            tss.append(timestamp)
+            js.append(obj)
+        return pa.table({"surt": surts, "ts": tss, "json": js})
+
+    return lines_ds.map_batches(parse, batch_format="pyarrow")
+
+
+def merge_cdxj(meta_ds, original_ds, *, broadcast: bool = True) -> "rd.Dataset":
+    """Left-outer enrich join of ``original_ds`` (CDXJ columns surt/ts/json,
+    plus optional ``lineno``) against ``meta_ds`` (J1).
+
+    Broadcast plan (default): the meta side — one sidecar's index, small
+    relative to the probe — is collected once to a dict, put in the object
+    store once, and read by every map task (not re-shipped per batch).
+    Output adds a ``matched`` flag (edited/non-edited counters = a Sum over
+    it, merge_cdxj.py:61-62).
+    """
+    if not broadcast:
+        return _merge_cdxj_partitioned(meta_ds, original_ds)
+
+    meta_dict: dict[str, dict] = {}
+    for b in meta_ds.iter_batches(batch_format="pyarrow"):
+        tbl = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for s, t, j in zip(
+            tbl.column("surt").to_pylist(),
+            tbl.column("ts").to_pylist(),
+            tbl.column("json").to_pylist(),
+        ):
+            meta_dict[s + " " + t] = json.loads(j)
+    meta_ref = ray.put(meta_dict)
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        meta = ray.get(meta_ref)
+        out_json, matched = [], []
+        surts = batch.column("surt").to_pylist()
+        tss = batch.column("ts").to_pylist()
+        js = batch.column("json").to_pylist()
+        for s, t, j in zip(surts, tss, js):
+            m = meta.get(s + " " + t)
+            if m is not None:
+                out_json.append(json.dumps(get_sidecar_fields(json.loads(j), m)))
+                matched.append(True)
+            else:
+                out_json.append(j)  # pass-through unchanged (merge_cdxj.py:79-81)
+                matched.append(False)
+        cols = {
+            "surt": batch.column("surt"),
+            "ts": batch.column("ts"),
+            "json": pa.array(out_json, pa.string()),
+            "matched": pa.array(matched),
+        }
+        if "lineno" in batch.column_names:
+            cols["lineno"] = batch.column("lineno")
+        return pa.table(cols)
+
+    return original_ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _merge_cdxj_partitioned(meta_ds, original_ds) -> "rd.Dataset":
+    """Large-build-side plan: hash-partition both sides on the join key and
+    merge per group (SURVEY.md §2.4 J1 'large build side')."""
+    import pandas as pd
+
+    def tag(side: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column("side", pa.array([side] * batch.num_rows))
+        return f
+
+    both = meta_ds.map_batches(tag("meta"), batch_format="pyarrow").union(
+        original_ds.map_batches(tag("orig"), batch_format="pyarrow")
+    )
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = [s + " " + t for s, t in zip(batch.column("surt").to_pylist(),
+                                           batch.column("ts").to_pylist())]
+        return batch.append_column("key", pa.array(key, pa.string()))
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        metas = g[g["side"] == "meta"]
+        origs = g[g["side"] == "orig"].copy()
+        if len(origs) == 0:
+            return origs.drop(columns=["side", "key"])
+        if len(metas):
+            m = json.loads(metas.iloc[0]["json"])
+            origs["json"] = [json.dumps(get_sidecar_fields(json.loads(j), m))
+                             for j in origs["json"]]
+            origs["matched"] = True
+        else:
+            origs["matched"] = False
+        return origs.drop(columns=["side", "key"])
+
+    return (
+        both.map_batches(add_key, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(merge_group, batch_format="pandas")
+    )

@@ -1,0 +1,118 @@
+"""CDXJ projection + merge-join contracts, ported from the reference's
+tests/test_sidecar2cdxj.py:35-79 and tests/test_merge_cdxj.py:48-190."""
+
+import json
+
+import pyarrow as pa
+import ray.data as rd
+
+from sidecar import cdxj, pipeline, synth
+from sidecar.canon import iso_to_ts14, surt
+
+
+def test_surt_and_timestamp():
+    # F13 (sidecar2cdxj.py:32-37)
+    assert surt("https://www.Example.COM/A/B?b=2&a=1") == "com,example)/a/b?a=1&b=2"
+    assert surt("http://example.com") == "com,example)/"
+    assert iso_to_ts14("2021-03-01T12:34:56Z") == "20210301123456"
+
+
+def test_cdxj_line_exact():
+    # ≈ tests/test_sidecar2cdxj.py:57-79 — exact line form
+    cap = "the cat and the dog went to the page and said this was that"
+    t = pa.Table.from_pylist(
+        [{
+            "image_id": "t1",
+            "bytes": f"<html><body>{cap}</body></html>".encode(),
+            "w": 0, "h": 0, "fmt": "html", "caption": cap, "phash": 0,
+        }],
+        schema=synth.IMAGES_SCHEMA,
+    )
+    t = t.append_column("url", pa.array(["https://www.unt.edu/page?x=1"]))
+    t = t.append_column("ts", pa.array(["20211011123456"]))
+    out = pipeline.sidecar_dataset(rd.from_arrow(t))
+    rows = cdxj.cdxj_from_sidecar(out).take_all()
+    assert len(rows) == 1
+    line = cdxj.cdxj_line(rows[0]["surt"], rows[0]["ts"], rows[0]["json"])
+    assert line.startswith("edu,unt)/page?x=1 20211011123456 {\"Identified-Payload-Type\":")
+    obj = json.loads(line.split(" ", 2)[2])
+    assert obj["Identified-Payload-Type"]["python-magic"] == "text/html"
+    assert "Charset-Detected" in obj and "Languages-cld2" in obj
+    assert line.endswith("\n")
+
+
+def test_alpha3_conversion():
+    # ≈ tests/test_merge_cdxj.py:48-59
+    langs = [{"name": "ENGLISH", "code": "en"}, {"name": "SPANISH", "code": "es"}]
+    assert cdxj.get_alpha3_language_codes(langs) == "eng,spa"
+    assert cdxj.get_alpha3_language_codes([{"name": "X", "code": "xx"}]) == ""
+
+
+def test_get_sidecar_fields_quirks():
+    # ≈ tests/test_merge_cdxj.py:62-92 — python-magic preference (:78),
+    # soft-404 truthiness (0.0 dropped, :53-55)
+    meta = {
+        "Identified-Payload-Type": {"fido": "text/html", "python-magic": "text/xml"},
+        "Preservation-Identifier": "fmt/96",
+        "Charset-Detected": {"encoding": "ascii", "confidence": 1.0},
+        "Languages-cld2": {"reliable": True, "text-bytes": 10,
+                           "languages": [{"name": "ENGLISH", "code": "en",
+                                          "text-covered": 99, "score": 1000.0}]},
+        "Soft-404-Detected": 0.0,
+    }
+    out = cdxj.get_sidecar_fields({"url": "u"}, meta)
+    assert out["mime-detected"] == "text/xml"  # magic preferred
+    assert out["puid"] == "fmt/96"
+    assert out["charset"] == "ascii"
+    assert out["languages"] == "eng"
+    assert "soft-404-detected" not in out  # 0.0 dropped at merge
+    meta["Soft-404-Detected"] = 0.5
+    out2 = cdxj.get_sidecar_fields({}, meta)
+    assert out2["soft-404-detected"] == 0.5
+    # fido fallback when no python-magic
+    out3 = cdxj.get_sidecar_fields({}, {"Identified-Payload-Type": {"fido": "text/html"}})
+    assert out3["mime-detected"] == "text/html"
+
+
+def _mk_cdxj_ds(rows):
+    return rd.from_arrow(
+        pa.table({
+            "surt": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "json": [r[2] for r in rows],
+            "lineno": list(range(len(rows))),
+        })
+    )
+
+
+def _merge_case(broadcast):
+    # ≈ tests/test_merge_cdxj.py:96-153: matched, pass-through, duplicate keys
+    meta = rd.from_arrow(pa.table({
+        "surt": ["com,example)/", "com,other)/x"],
+        "ts": ["20210101000000", "20210101000000"],
+        "json": [
+            json.dumps({"Identified-Payload-Type": {"python-magic": "text/html"},
+                        "Soft-404-Detected": 0.9}),
+            json.dumps({"Identified-Payload-Type": {"fido": "image/png"}}),
+        ],
+    }))
+    orig = _mk_cdxj_ds([
+        ("com,example)/", "20210101000000", json.dumps({"url": "a"})),  # match
+        ("com,example)/", "20210101000000", json.dumps({"url": "a2"})),  # dup key match
+        ("com,nomatch)/", "20210101000000", json.dumps({"url": "b"})),  # pass-through
+    ])
+    out = cdxj.merge_cdxj(meta, orig, broadcast=broadcast)
+    rows = sorted(out.take_all(), key=lambda r: r["lineno"])
+    o0, o1, o2 = (json.loads(r["json"]) for r in rows)
+    assert o0["mime-detected"] == "text/html" and o0["soft-404-detected"] == 0.9
+    assert o1["mime-detected"] == "text/html" and o1["url"] == "a2"  # 1:N probe side
+    assert o2 == {"url": "b"} and rows[2]["matched"] is False
+    assert sum(r["matched"] for r in rows) == 2  # edited_count (merge_cdxj.py:61)
+
+
+def test_merge_broadcast():
+    _merge_case(broadcast=True)
+
+
+def test_merge_partitioned():
+    _merge_case(broadcast=False)
