@@ -1,0 +1,289 @@
+"""The Ray-Data-native crawl driver: epoch loop + checkpointing + metrics
+(SURVEY.md §3.4 lifecycle; BASELINE.json:north_rule).
+
+Per epoch (one Ray Data pipeline run; stages pipelined by the streaming
+executor):
+
+  frontier parquet → groupby(url_hash) exact dedup → bloom+shard anti-join
+  → robots filter (HostPolicy actor pool) → groupby(host,salt)/groupby(host)
+  budget top-k with hot-host splitting → [selected] Fetcher actor pool
+  (mark-seen → synthetic fetch → sidecar extraction) → partitioned parquet
+  → link discovery → next-epoch frontier parquet (= the checkpoint).
+
+State crosses node boundaries only via actor RPCs; everything else is
+Dataset blocks.  The frontier tables carry metadata only — image bytes are
+born inside the fetch stage and die in the sidecar parquet (never shuffled).
+
+Checkpoint/resume (north_rule "resumable from per-partition checkpoints
+carrying lineage"): ``out_dir/_ckpt/epoch=N/manifest.json`` records the
+epoch's lineage (config hash → epoch → output files), metrics, and the
+seen-set delta; the next frontier is written as parquet.  ``resume=True``
+restores the seen shards from the deltas and continues after the last
+complete epoch — finished epochs are never re-fetched.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from sidecar import frontier as fr
+from sidecar import pipeline, synth
+from sidecar.actors import host_shard, make_host_policies, make_seen_shards
+from sidecar.state import BloomFilter
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    n_seeds: int = 100
+    n_hosts: int = 20
+    budget_per_host: int = 5
+    max_epochs: int = 3
+    max_depth: int = 3
+    seed: int = 42
+    num_seen_shards: int = 8
+    num_policy_actors: int = 4
+    out_dir: str = "/tmp/crawl_out"
+
+    def lineage_id(self) -> str:
+        """Hash of the semantic config (seed list + politeness budget + graph);
+        run-length/placement knobs (max_epochs, out_dir, shard counts) are
+        excluded so a resumed run may extend or re-place the same crawl."""
+        sem = {k: v for k, v in asdict(self).items()
+               if k in ("n_seeds", "n_hosts", "budget_per_host", "max_depth", "seed")}
+        return hashlib.blake2b(
+            json.dumps(sem, sort_keys=True).encode(), digest_size=8
+        ).hexdigest()
+
+
+class Fetcher:
+    """ST7+ST8 actor-pool stage: mark-seen → deterministic fetch → IMAGES row.
+
+    Stateful setup (shard handles, config) happens once per actor in
+    ``__init__``; per-batch work is ``__call__``.  ``add_many`` is
+    idempotent, so a retried task re-marks the same hashes harmlessly.
+    """
+
+    def __init__(self, seen_shards: list, num_shards: int, seed: int, epoch: int):
+        self.shards = seen_shards
+        self.num_shards = num_shards
+        self.seed = seed
+        self.ts14 = str(20210101000000 + epoch)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = batch.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        shard_of = (hashes % np.uint64(self.num_shards)).astype(np.int64)
+        futures = []
+        for s in range(self.num_shards):
+            part = hashes[shard_of == s]
+            if len(part):
+                futures.append(self.shards[s].add_many.remote(part))
+        ray.get(futures)  # seen-set mutation is part of the fetch transaction
+        rows = []
+        for canon, url in zip(
+            batch.column("url_canon").to_pylist(), batch.column("url").to_pylist()
+        ):
+            row = synth.fetch_url(canon, self.seed)
+            row["image_id"] = canon
+            row["url"] = url
+            row["ts"] = self.ts14
+            rows.append(row)
+        schema = synth.IMAGES_SCHEMA.append(pa.field("url", pa.string())).append(
+            pa.field("ts", pa.string())
+        )
+        return pa.Table.from_pylist(rows, schema=schema)
+
+
+def _write_ckpt(path: str, obj: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic
+
+
+def _epoch_dir(cfg: CrawlConfig, epoch: int) -> str:
+    return os.path.join(cfg.out_dir, "_ckpt", f"epoch={epoch}")
+
+
+def _find_resume_epoch(cfg: CrawlConfig) -> int:
+    """Last epoch with a complete manifest, or -1."""
+    e = -1
+    while os.path.exists(os.path.join(_epoch_dir(cfg, e + 1), "manifest.json")):
+        e += 1
+    return e
+
+
+def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = True) -> dict:
+    """Run the crawl; returns {crawl_order, seen, metrics, epochs_run}."""
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    shards = make_seen_shards(cfg.num_seen_shards)
+    policies = make_host_policies(
+        cfg.num_policy_actors, cfg.budget_per_host, n_hosts=cfg.n_hosts, seed=cfg.seed
+    )
+
+    start_epoch = 0
+    crawl_order: list[list[str]] = []
+    metrics: list[dict] = []
+    frontier_tbl: pa.Table | None = fr.candidates_from_urls(
+        [dict(s, depth=0) for s in synth.make_seeds(cfg.n_seeds, cfg.n_hosts, cfg.seed)],
+        epoch=0,
+    )
+
+    if resume:
+        last = _find_resume_epoch(cfg)
+        if last >= 0:
+            for e in range(last + 1):
+                man = json.load(open(os.path.join(_epoch_dir(cfg, e), "manifest.json")))
+                assert man["lineage_id"] == cfg.lineage_id(), "config/lineage mismatch"
+                delta = np.load(os.path.join(_epoch_dir(cfg, e), "seen_delta.npy"))
+                if len(delta):
+                    shard_of = delta % np.uint64(cfg.num_seen_shards)
+                    ray.get([
+                        shards[s].restore.remote(delta[shard_of == s])
+                        for s in range(cfg.num_seen_shards)
+                    ])
+                crawl_order.append(man["crawl_order"])
+                metrics.append(man["metrics"])
+            start_epoch = last + 1
+            fpath = os.path.join(_epoch_dir(cfg, last), "next_frontier.parquet")
+            frontier_tbl = pq.read_table(fpath) if os.path.exists(fpath) else None
+
+    for epoch in range(start_epoch, cfg.max_epochs):
+        if frontier_tbl is None or frontier_tbl.num_rows == 0:
+            break
+        m: dict = {"epoch": epoch, "candidates": frontier_tbl.num_rows}
+
+        # bloom summary of the current seen set, replicated once per epoch
+        blobs = ray.get([s.bloom_summary.remote() for s in shards])
+        bloom = BloomFilter.deserialize(blobs[0])
+        for b in blobs[1:]:
+            bloom.merge(BloomFilter.deserialize(b))
+        any_seen = sum(ray.get([s.size.remote() for s in shards])) > 0
+
+        ds = rd.from_arrow(frontier_tbl)
+        ds = fr.dedup_by_url_hash(ds)
+        ds = fr.filter_unseen(
+            ds, shards, bloom.serialize() if any_seen else None, cfg.num_seen_shards
+        )
+        ds = fr.filter_robots(ds, policies, cfg.num_policy_actors)
+        flagged = fr.select_budget(ds, cfg.budget_per_host).materialize()
+        m["after_budget_pool"] = flagged.count()
+
+        import pyarrow.compute as pc
+
+        selected = flagged.map_batches(
+            lambda t: t.filter(pc.equal(t["selected"], True)).drop_columns(["selected"]),
+            batch_format="pyarrow",
+        ).materialize()
+        leftover = flagged.map_batches(
+            lambda t: t.filter(pc.equal(t["selected"], False)).drop_columns(["selected"]),
+            batch_format="pyarrow",
+        )
+        m["selected"] = selected.count()
+
+        # politeness accounting at the HostPolicy actors (token buckets)
+        sel_hosts = selected.groupby("host").count().take_all()
+        grant_futures = [
+            policies[host_shard(r["host"], cfg.num_policy_actors)].grant.remote(
+                r["host"], epoch, r["count()"]
+            )
+            for r in sel_hosts
+        ]
+        granted = sum(ray.get(grant_futures)) if grant_futures else 0
+        assert granted == m["selected"], "budget invariant violated"
+
+        # fetch (marks seen) → sidecar extraction → partitioned parquet
+        images = selected.map_batches(
+            Fetcher,
+            fn_constructor_kwargs={
+                "seen_shards": shards,
+                "num_shards": cfg.num_seen_shards,
+                "seed": cfg.seed,
+                "epoch": epoch,
+            },
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=(1, 8),
+            zero_copy_batch=True,
+        )
+        sidecar_ds = pipeline.sidecar_dataset(images, batch_size=256)
+        sidecar_path = os.path.join(cfg.out_dir, "sidecar", f"epoch={epoch}")
+        sidecar_ds.write_parquet(sidecar_path)
+        m["sidecar_rows"] = rd.read_parquet(sidecar_path).count()
+
+        # deterministic crawl order for the epoch (total order, §2.6)
+        order_rows = selected.sort(
+            ["priority", "depth", "url_hash", "seed_id", "url"],
+            descending=[True, False, False, False, False],
+        ).select_columns(["url_canon"])
+        epoch_order = [r["url_canon"] for r in order_rows.take_all()] if collect_order else []
+        crawl_order.append(epoch_order)
+
+        # link discovery → next frontier (+ leftover, epoch bumped)
+        links = fr.discover_links(
+            selected.map_batches(
+                lambda t: t.filter(pc.less(t["depth"], cfg.max_depth)),
+                batch_format="pyarrow",
+            ),
+            epoch, cfg.n_hosts, cfg.seed,
+        )
+
+        def bump(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.column_names.index("epoch"), "epoch",
+                pa.array([epoch + 1] * t.num_rows, pa.int32()),
+            )
+
+        next_frontier = leftover.map_batches(bump, batch_format="pyarrow").union(links)
+        edir = _epoch_dir(cfg, epoch)
+        os.makedirs(edir, exist_ok=True)
+        nf_batches = list(next_frontier.iter_batches(batch_format="pyarrow"))
+        nf_tbl = (
+            pa.concat_tables(
+                [b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in nf_batches]
+            )
+            if nf_batches
+            else None
+        )
+        if nf_tbl is not None and nf_tbl.num_rows:
+            pq.write_table(nf_tbl, os.path.join(edir, "next_frontier.parquet"))
+        m["leftover"] = leftover.count()
+        m["links"] = (nf_tbl.num_rows if nf_tbl is not None else 0) - m["leftover"]
+
+        # seen-set delta + manifest (lineage: config → epoch → partitions)
+        deltas = ray.get([s.drain_delta.remote() for s in shards])
+        delta = np.sort(np.concatenate([d for d in deltas])) if deltas else np.array([], np.uint64)
+        np.save(os.path.join(edir, "seen_delta.npy"), delta)
+        pol_metrics = ray.get([p.metrics.remote() for p in policies])
+        m["robots_denied_total"] = sum(p["denied_robots"] for p in pol_metrics)
+        _write_ckpt(
+            os.path.join(edir, "manifest.json"),
+            {
+                "lineage_id": cfg.lineage_id(),
+                "epoch": epoch,
+                "metrics": m,
+                "crawl_order": epoch_order,
+                "sidecar_partition": sidecar_path,
+                "sidecar_files": sorted(os.listdir(sidecar_path)),
+            },
+        )
+        metrics.append(m)
+        frontier_tbl = nf_tbl
+
+    seen = np.sort(np.concatenate(ray.get([s.snapshot.remote() for s in shards])))
+    return {
+        "crawl_order": crawl_order,
+        "seen": [int(x) for x in seen],
+        "metrics": metrics,
+        "epochs_run": len(metrics),
+    }

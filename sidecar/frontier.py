@@ -1,0 +1,207 @@
+"""Frontier epoch planning: the priority-queue-as-shuffles core of the crawl
+(BASELINE.json:north_rule — "priority-queue frontier realized as
+groupby(host)-aggregate-sort shuffles ... with explicit hash partitioning and
+hot-host skew splitting").
+
+All frontier tables carry METADATA ONLY (url/host/priority/...) — image bytes
+never enter these shuffles (SURVEY.md §4.2, watch-list #3).
+
+Total ordering (crawl-order determinism, SURVEY.md §2.6): every selection
+sorts by the same key ``(-priority, depth, url_hash, seed_id)`` — never by
+partition arrival order.  The single-threaded oracle (sidecar/oracle.py) uses
+the identical functions, which is what makes bit-for-bit equality testable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from sidecar import synth
+from sidecar.canon import canonical_url, host_of, url_hash
+
+SORT_COLS = ["priority", "depth", "url_hash", "seed_id", "url"]
+SORT_ASC = [False, True, True, True, True]
+
+
+def _sort_group(g: pd.DataFrame) -> pd.DataFrame:
+    return g.sort_values(SORT_COLS, ascending=SORT_ASC, kind="mergesort")
+
+
+def order_key(row: dict) -> tuple:
+    """The one total order used everywhere (negated priority first)."""
+    return (-row["priority"], row["depth"], row["url_hash"], row["seed_id"], row["url"])
+
+
+def candidates_from_urls(rows: list[dict], epoch: int) -> pa.Table:
+    """urls+priority+depth+seed_id dicts → FRONTIER-shaped Arrow table."""
+    out = {
+        "url": [], "url_canon": [], "url_hash": [], "host": [],
+        "priority": [], "depth": [], "seed_id": [], "epoch": [],
+    }
+    for r in rows:
+        canon = canonical_url(r["url"])
+        out["url"].append(r["url"])
+        out["url_canon"].append(canon)
+        out["url_hash"].append(url_hash(canon))
+        out["host"].append(host_of(r["url"]))
+        out["priority"].append(float(r["priority"]))
+        out["depth"].append(int(r.get("depth", 0)))
+        out["seed_id"].append(int(r.get("seed_id", -1)))
+        out["epoch"].append(epoch)
+    return pa.table(
+        {
+            "url": pa.array(out["url"], pa.string()),
+            "url_canon": pa.array(out["url_canon"], pa.string()),
+            "url_hash": pa.array(out["url_hash"], pa.uint64()),
+            "host": pa.array(out["host"], pa.string()),
+            "priority": pa.array(out["priority"], pa.float64()),
+            "depth": pa.array(out["depth"], pa.int32()),
+            "seed_id": pa.array(out["seed_id"], pa.int64()),
+            "epoch": pa.array(out["epoch"], pa.int32()),
+        }
+    )
+
+
+def dedup_by_url_hash(frontier: "rd.Dataset") -> "rd.Dataset":
+    """Exact per-epoch dedup (A4 / J3 exactness layer): one row per url_hash,
+    keeping the best by the total order."""
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        return _sort_group(g).head(1)
+
+    return frontier.groupby("url_hash").map_groups(best, batch_format="pandas")
+
+
+def filter_unseen(frontier: "rd.Dataset", seen_shards: list, bloom_blob: bytes | None,
+                  num_shards: int) -> "rd.Dataset":
+    """Anti-join against the seen-set shards (J3).
+
+    Worker-side bloom pre-filter (replicated via ``ray.put`` once, not
+    re-shipped per batch) answers "definitely unseen" locally; only bloom
+    positives RPC the shards, batched per shard.
+    """
+    bloom_ref = ray.put(bloom_blob)
+    shard_handles = list(seen_shards)
+
+    def f(batch: pa.Table) -> pa.Table:
+        from sidecar.state import BloomFilter
+
+        hashes = batch.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(hashes)
+        if n == 0:
+            return batch
+        blob = ray.get(bloom_ref)
+        if blob is None:
+            maybe_seen = np.ones(n, dtype=bool)  # no summary yet → ask shards
+        else:
+            maybe_seen = BloomFilter.deserialize(blob).maybe_contains(hashes)
+        seen = np.zeros(n, dtype=bool)
+        idx = np.flatnonzero(maybe_seen)
+        if len(idx):
+            shard_of = (hashes[idx] % np.uint64(num_shards)).astype(np.int64)
+            futures, slots = [], []
+            for s in range(num_shards):
+                rows = idx[shard_of == s]
+                if len(rows):
+                    futures.append(shard_handles[s].contains_many.remote(hashes[rows]))
+                    slots.append(rows)
+            for rows, res in zip(slots, ray.get(futures)):
+                seen[rows] = res
+        return batch.filter(pa.array(~seen))
+
+    return frontier.map_batches(f, batch_format="pyarrow", batch_size=8192,
+                                zero_copy_batch=True)
+
+
+def filter_robots(frontier: "rd.Dataset", host_policies: list, num_actors: int) -> "rd.Dataset":
+    """Drop rows disallowed by the (actor-cached) robots rules; batched one
+    RPC per policy shard per batch."""
+    handles = list(host_policies)
+
+    def f(batch: pa.Table) -> pa.Table:
+        from sidecar.actors import host_shard
+        from urllib.parse import urlsplit
+
+        hosts = batch.column("host").to_pylist()
+        paths = [urlsplit(u).path or "/" for u in batch.column("url_canon").to_pylist()]
+        n = len(hosts)
+        denied = np.zeros(n, dtype=bool)
+        by_actor: dict[int, list[int]] = {}
+        for i, h in enumerate(hosts):
+            by_actor.setdefault(host_shard(h, num_actors), []).append(i)
+        futures, slots = [], []
+        for a, rows in by_actor.items():
+            futures.append(
+                handles[a].robots_disallowed.remote(
+                    [hosts[i] for i in rows], [paths[i] for i in rows]
+                )
+            )
+            slots.append(rows)
+        for rows, res in zip(slots, ray.get(futures)):
+            for i, bad in zip(rows, res):
+                denied[i] = bad
+        return batch.filter(pa.array(~denied))
+
+    return frontier.map_batches(f, batch_format="pyarrow", batch_size=8192,
+                                zero_copy_batch=True)
+
+
+def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int = 2048,
+                  n_salts: int = 16) -> "rd.Dataset":
+    """Politeness top-k per host with hot-host skew splitting (A4, §2.6).
+
+    Stage 1 groups by ``(host, salt)`` (salt = url_hash % n_salts) and marks
+    each group's local top-``budget`` as finalists — so a hot host's million
+    candidates are ranked in parallel sub-groups, none bigger than
+    group/n_salts.  Stage 2 ranks only the ≤ budget×n_salts finalists per
+    host.  Rows keep a ``selected`` flag; non-selected rows are the leftover
+    frontier (the persistent priority queue).  Top-k(host) ≡ top-k of the
+    union of per-salt top-k, so salting never changes the selection.
+    """
+
+    def with_salt(batch: pa.Table) -> pa.Table:
+        h = batch.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column("salt", pa.array((h % np.uint64(n_salts)).astype(np.int32)))
+
+    def stage1(g: pd.DataFrame) -> pd.DataFrame:
+        g = _sort_group(g)
+        g["finalist"] = np.arange(len(g)) < budget
+        return g
+
+    def stage2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        fin = g[g["finalist"]]
+        fin = _sort_group(fin)
+        chosen = set(fin.head(budget)["url_hash"])
+        g["selected"] = g["url_hash"].isin(chosen) & g["finalist"]
+        return g.drop(columns=["salt", "finalist"])
+
+    salted = frontier.map_batches(with_salt, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = salted.groupby(["host", "salt"]).map_groups(stage1, batch_format="pandas")
+    return ranked.groupby("host").map_groups(stage2, batch_format="pandas")
+
+
+def discover_links(selected: "rd.Dataset", epoch: int, n_hosts: int, seed: int) -> "rd.Dataset":
+    """Deterministic link discovery from the fetched set (ST7's discovery
+    half): one flat_map-shaped map_batches emitting next-epoch candidates."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for canon, depth, seed_id in zip(
+            batch.column("url_canon").to_pylist(),
+            batch.column("depth").to_pylist(),
+            batch.column("seed_id").to_pylist(),
+        ):
+            for link_url, prio in synth.out_links(canon, n_hosts=n_hosts, seed=seed):
+                rows.append(
+                    {"url": link_url, "priority": prio, "depth": depth + 1,
+                     "seed_id": seed_id}
+                )
+        return candidates_from_urls(rows, epoch + 1)
+
+    return selected.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,114 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language-ID, and document fingerprinting.
+
+Each operator is a single vectorized ``map_batches`` over zero-copy Arrow;
+token semantics are defined as *split on a single space* so the DuckDB oracle
+(``string_split(text, ' ')``) is bit-equivalent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from sidecar.detect.language import find_language_batch
+
+
+def read_documents(sf_dir: str, columns=("doc_id", "text")):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def token_count(sf_dir: str) -> "rd.Dataset":
+    """doc_id, n_tokens — whitespace(single-space) token count."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text").fill_null(""), " ")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_score(sf_dir: str) -> "rd.Dataset":
+    """doc_id, n_chars, n_tokens, avg_token_len — cheap quality features
+    (length + mean token length; the punctuation/stopword family follows the
+    same vectorized pattern)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").fill_null("")
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tokens = pc.cast(pc.list_value_length(pc.split_pattern(text, " ")), pa.int64())
+        # chars excluding the (n_tokens-1) separators, per token, as float64
+        avg = pc.divide(
+            pc.cast(pc.add(pc.subtract(n_chars, n_tokens), 1), pa.float64()),
+            pc.cast(n_tokens, pa.float64()),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "avg_token_len": avg,
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_detect(sf_dir: str) -> "rd.Dataset":
+    """doc_id, detected_code, reliable — deterministic n-gram/stopword
+    language-ID (the engine's cld2 analog; no SQL oracle — model output)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        res = find_language_batch(batch.column("text").fill_null(""))
+        codes = [r["languages"][0]["code"] if r else None for r in res]
+        reliable = [bool(r["reliable"]) if r else None for r in res]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "detected_code": pa.array(codes, pa.string()),
+                "reliable": pa.array(reliable, pa.bool_()),
+            }
+        )
+
+    return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fingerprint(sf_dir: str) -> "rd.Dataset":
+    """doc_id, fp — md5 content fingerprint (matches DuckDB ``md5(text)``)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        fps = [md5((t or "").encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"), "fp": pa.array(fps, pa.string())})
+
+    return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_counts(sf_dir: str) -> "rd.Dataset":
+    """lang, n — grouped counts with per-batch partial pre-aggregation before
+    the (tiny) global groupby — the scale pattern for counters (A1)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = pd.Series(batch.column("lang").to_pylist()).value_counts()
+        return pa.table({"lang": s.index.astype(str), "partial_n": s.values.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        read_documents(sf_dir, columns=("doc_id", "lang"))
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
