@@ -4,19 +4,36 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the sidecar package) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Hash-stability rules used throughout (see sidecar/ops/*):
+- float aggregates emitted as integer cents (round(x*100)::BIGINT) in both
+  engines — float round() differs at the last ulp between engines;
+- hash-valued columns are md5 hex strings / bitstrings (never uint64);
+- timestamps compared as epoch-microsecond int64;
+- ANN / near-dup results return int id columns only.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
+
+# Shared CTE prefix for the shingle-based dedup oracles: word-3-gram
+# shingles from single-space tokenization (identical to sidecar.ops.dedup).
+_SHINGLES_CTE = """
+toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i))
+"""
+
+_MINHASH_CTE = _SHINGLES_CTE + """,
+mh AS (SELECT doc_id, p, min(md5(p::VARCHAR || '|' || s)) AS mh
+       FROM sh, unnest(generate_series(0, 7)) AS t(p) GROUP BY doc_id, p)
+"""
 
 
 def entry() -> Any:
@@ -32,20 +49,191 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
+    """One entry per implemented operator/pipeline from SURVEY.md §2 plus the
+    training-data operator families (dedup / similarity / text / multimodal).
+    Each callable takes ``sf_dir`` and returns a Dataset / DataFrame / Table.
     """
-    return {}
+    from sidecar.flagship import flagship, images_dataset
+    from sidecar.ops import dedup, multimodal, relational, similarity, text
+
+    def sidecar_extract(sf_dir: str):
+        # drop the binary payload column for the rows-only check
+        return flagship(sf_dir).drop_columns(["charset", "languages",
+                                              "caption_languages"])
+
+    def cdxj_project(sf_dir: str):
+        from sidecar.cdxj import cdxj_from_sidecar
+
+        return cdxj_from_sidecar(flagship(sf_dir))
+
+    def mm_image_stats(sf_dir: str):
+        return multimodal.image_decode_stats(
+            images_dataset(sf_dir).filter(
+                lambda r: r["fmt"] in ("png", "ppm", "b16")))
+
+    return {
+        # --- text analysis (documents) -----------------------------------
+        "text_token_count": text.token_count,
+        "text_quality_score": text.quality_score,
+        "text_fingerprint": text.fingerprint,
+        "text_lang_counts": text.lang_counts,
+        "text_lang_detect": text.lang_detect,                 # rows-only (model)
+        # --- dedup family ------------------------------------------------
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_minhash_sig": dedup.minhash_signatures,
+        "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        "dedup_simhash": dedup.simhash,
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
+        "dedup_embedding_cosine": dedup.embedding_near_dup,
+        "dedup_embedding_lsh": dedup.embedding_near_dup_lsh,  # rows-only (approx)
+        # --- similarity search (embeddings) ------------------------------
+        "sim_ann_topk": similarity.ann_topk,
+        "sim_ann_ivf": similarity.ann_topk_ivf,               # rows-only (approx)
+        # --- relational core (groupby/join/sort/window) ------------------
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_top_revenue_orders": relational.top_revenue_orders,
+        "rel_events_windowed": relational.events_windowed,
+        "rel_customer_order_stats": relational.customer_order_stats,
+        "rel_supplier_part_join": relational.supplier_part_join,
+        # --- crawl/sidecar engine (rows-only: synthesized payload path) --
+        "sidecar_extract": sidecar_extract,
+        "cdxj_project": cdxj_project,
+        "multimodal_image_stats": mm_image_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalents (views pre-registered).  Keys
+    absent here (lang_detect, the approximate variants, the synthetic-payload
+    pipelines) get the driver's weaker rows-only check."""
+    return {
+        "text_token_count": """
+            SELECT doc_id, len(string_split(coalesce(text, ''), ' '))::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "text_quality_score": """
+            SELECT doc_id,
+                   length(coalesce(text, ''))::BIGINT AS n_chars,
+                   len(string_split(coalesce(text, ''), ' '))::BIGINT AS n_tokens,
+                   (length(coalesce(text, '')) - len(string_split(coalesce(text, ''), ' ')) + 1)::DOUBLE
+                       / len(string_split(coalesce(text, ''), ' ')) AS avg_token_len
+            FROM documents
+        """,
+        "text_fingerprint": """
+            SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents
+        """,
+        "text_lang_counts": """
+            SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+        """,
+        "dedup_exact": """
+            SELECT md5(coalesce(text, '')) AS fp,
+                   min(doc_id) AS keep_doc_id,
+                   count(*)::BIGINT AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "dedup_minhash_sig": f"""
+            WITH {_MINHASH_CTE}
+            SELECT doc_id,
+                   min(CASE WHEN p = 0 THEN mh END) AS mh0,
+                   min(CASE WHEN p = 1 THEN mh END) AS mh1,
+                   min(CASE WHEN p = 2 THEN mh END) AS mh2,
+                   min(CASE WHEN p = 3 THEN mh END) AS mh3,
+                   min(CASE WHEN p = 4 THEN mh END) AS mh4,
+                   min(CASE WHEN p = 5 THEN mh END) AS mh5,
+                   min(CASE WHEN p = 6 THEN mh END) AS mh6,
+                   min(CASE WHEN p = 7 THEN mh END) AS mh7
+            FROM mh GROUP BY doc_id
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {_MINHASH_CTE},
+            bands AS (SELECT doc_id, b, md5(string_agg(mh, '|' ORDER BY p)) AS bucket
+                      FROM mh, unnest(generate_series(0, 3)) AS t(b)
+                      WHERE p // 2 = b GROUP BY doc_id, b)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": f"""
+            WITH {_SHINGLES_CTE},
+            hx AS (SELECT doc_id, substr(md5(s), 1, 16) AS hex FROM sh),
+            bits AS (SELECT doc_id, j,
+                            ((strpos('0123456789abcdef', substr(hex, 1 + j // 4, 1)) - 1)
+                              >> (3 - (j % 4))) & 1 AS bit
+                     FROM hx, unnest(generate_series(0, 63)) AS t(j)),
+            votes AS (SELECT doc_id, j, sum(2 * bit - 1) AS v FROM bits GROUP BY doc_id, j)
+            SELECT doc_id,
+                   string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {_SHINGLES_CTE},
+            cnt AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b, jaccard
+            FROM (SELECT doc_a, doc_b,
+                         i::DOUBLE / (ca.c + cb.c - i) AS jaccard
+                  FROM inter
+                  JOIN cnt ca ON ca.doc_id = inter.doc_a
+                  JOIN cnt cb ON cb.doc_id = inter.doc_b)
+            WHERE jaccard >= 0.5
+        """,
+        "dedup_embedding_cosine": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        """,
+        "sim_ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(qe, e.embedding::DOUBLE[]) AS score
+                  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+            SELECT query_id, vec_id FROM s
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, vec_id) <= 10
+        """,
+        "rel_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity) * 100)::BIGINT AS sum_qty_cents,
+                   round(sum(l_extendedprice) * 100)::BIGINT AS sum_base_price_cents,
+                   round(sum(l_extendedprice * (1 - l_discount)) * 100)::BIGINT AS sum_disc_price_cents,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "rel_top_revenue_orders": """
+            WITH rev AS (SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS r
+                         FROM lineitem GROUP BY 1)
+            SELECT rev.l_orderkey AS o_orderkey,
+                   round(r * 100)::BIGINT AS revenue_cents, c.c_mktsegment
+            FROM rev
+            JOIN orders o ON o.o_orderkey = rev.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            ORDER BY round(r * 100)::BIGINT DESC, rev.l_orderkey
+            LIMIT 20
+        """,
+        "rel_events_windowed": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600 AS win,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value) * 100)::BIGINT AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "rel_customer_order_stats": """
+            SELECT o_custkey, count(*)::BIGINT AS n_orders,
+                   min(epoch_us(o_orderdate)) AS first_date_us,
+                   max(epoch_us(o_orderdate)) AS last_date_us,
+                   round(sum(o_totalprice) * 100)::BIGINT AS total_price_cents
+            FROM orders GROUP BY 1
+        """,
+        "rel_supplier_part_join": """
+            SELECT l.l_suppkey, l.l_partkey,
+                   round(sum(l.l_quantity) * 100)::BIGINT AS sum_qty_cents,
+                   s.s_nationkey, p.p_brand
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY 1, 2, 4, 5
+        """,
+    }

@@ -1,0 +1,160 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1), printing ONE JSON line.
+
+    python bench.py             # timed run at $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling   # same job at 8 vs 32 CPUs in fresh processes
+                                # → throughput at both + scaling efficiency
+
+The headline metric mirrors BASELINE.json: sustained fetch+sidecar
+throughput (URLs/sec == sidecar records/sec here: one sidecar record per
+fetched URL) through the flagship documents→fetch/encode→sidecar pipeline,
+plus per-query wall times for representative operators of each family.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _consume(ds) -> int:
+    """Stream the dataset to completion, returning row count (no driver
+    materialization of the data itself)."""
+    import ray.data as rd
+
+    if not isinstance(ds, rd.Dataset):
+        return len(ds)
+    n = 0
+    for batch in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        n += batch.num_rows
+    return n
+
+
+BENCH_QUERIES = (
+    "sidecar_extract",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "sim_ann_topk",
+    "rel_pricing_summary",
+    "rel_top_revenue_orders",
+    "rel_events_windowed",
+    "text_token_count",
+    "multimodal_image_stats",
+)
+
+
+def run_once(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        rows[name] = _consume(qs[name](sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    # headline = flagship fetch+sidecar throughput (timed fresh, post-warmup)
+    from sidecar.flagship import flagship
+
+    t0 = time.perf_counter()
+    n_urls = _consume(flagship(sf_dir))
+    headline_s = time.perf_counter() - t0
+
+    total = round(sum(times.values()) + headline_s, 3)
+    return {
+        "metric": "fetch+sidecar wall time (headline) + per-query times",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "headline_sidecar_sec": round(headline_s, 3),
+        "headline_urls": n_urls,
+        "headline_urls_per_sec": round(n_urls / headline_s, 2),
+        "query_rows": rows,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_scaling(sf_dir: str, cpus_lo: int = 8, cpus_hi: int = 32) -> dict:
+    """Same headline job at two parallelism levels in FRESH processes —
+    the sandbox evidence for the N→4N cluster scaling criterion."""
+    results = {}
+    for n in (cpus_lo, cpus_hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+    thr_lo = results[cpus_lo]["headline_urls_per_sec"]
+    thr_hi = results[cpus_hi]["headline_urls_per_sec"]
+    eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)
+    return {
+        "metric": "scaling efficiency (headline fetch+sidecar, "
+                  f"{cpus_lo} vs {cpus_hi} CPUs, fresh processes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "throughput_urls_per_sec": {str(cpus_lo): thr_lo, str(cpus_hi): thr_hi},
+        "times_sec": {str(cpus_lo): results[cpus_lo]["headline_sidecar_sec"],
+                      str(cpus_hi): results[cpus_hi]["headline_sidecar_sec"]},
+        "sf": sf_dir,
+    }
+
+
+def run_headline_only(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from sidecar.flagship import flagship
+
+    _consume(flagship(sf_dir))  # warmup (worker start, code import)
+    t0 = time.perf_counter()
+    n_urls = _consume(flagship(sf_dir))
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {
+        "headline_sidecar_sec": round(dt, 3),
+        "headline_urls": n_urls,
+        "headline_urls_per_sec": round(n_urls / dt, 2),
+        "num_cpus": num_cpus,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        res = run_scaling(sf_dir)
+    elif "--headline-only" in sys.argv:
+        res = run_headline_only(sf_dir, num_cpus)
+    else:
+        res = run_once(sf_dir, num_cpus)
+    print(json.dumps(res))
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,368 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables:
+exact (hash-partition + per-group first), MinHash+LSH, SimHash, n-gram
+Jaccard, and embedding-cosine near-dup.
+
+These generalize the reference's only dedup mechanism — the per-run
+DIGEST_CACHE exact work-dedup keyed by WARC-Payload-Digest
+(warc_metadata_sidecar.py:39,231-246) — into the family of dedup operators a
+training-data pipeline needs.  Hash formulas are md5-based so the DuckDB
+oracle computes the *identical* signature (``md5('{p}|{shingle}')``); in a
+production deployment the hash is pluggable (xxhash64 is ~20x faster) but the
+shuffle plans below are unchanged.
+
+Scale notes (100 TB):
+- Every operator here shuffles only (key, doc_id)-sized rows — never the
+  document text or image bytes (SURVEY.md §7 watch-list #3 applies to dedup
+  keys exactly as to frontier rows).
+- MinHash/LSH is the scale path for near-dup: the all-pairs stages
+  (``ngram_jaccard_pairs``, ``embedding_near_dup``) are exact oracles whose
+  candidate generation is an inverted-index shuffle; hot keys (a shingle in d
+  docs emits O(d^2) pairs) are bounded via ``max_df`` in production — left
+  None here for oracle parity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from sidecar.ops.text import read_documents
+
+NUM_PERMS = 8     # minhash permutations (p = 0..7)
+NUM_BANDS = 4     # LSH bands of ROWS_PER_BAND signature rows each
+ROWS_PER_BAND = NUM_PERMS // NUM_BANDS
+SHINGLE_K = 3     # word 3-grams
+
+
+def _shingles(text: str) -> list[str]:
+    """Distinct word-k-gram shingles; '' for docs shorter than k tokens.
+
+    Token semantics = split on a single space, matching the DuckDB oracle's
+    ``string_split(text, ' ')`` bit-for-bit.
+    """
+    w = (text or "").split(" ")
+    return sorted({" ".join(w[i : i + SHINGLE_K]) for i in range(len(w) - SHINGLE_K + 1)})
+
+
+def _minhash_sig(shingles: list[str]) -> list[str] | None:
+    if not shingles:
+        return None
+    md5 = hashlib.md5
+    return [
+        min(md5(f"{p}|{s}".encode()).hexdigest() for s in shingles)
+        for p in range(NUM_PERMS)
+    ]
+
+
+# ---------------------------------------------------------------- exact dedup
+
+def exact_dedup(sf_dir: str) -> "rd.Dataset":
+    """fp, keep_doc_id, n_dups — hash-partition by content fingerprint, keep
+    the min doc_id per group (the distributed DIGEST_CACHE: groupby moves only
+    (fp, doc_id) rows, one representative survives per distinct payload)."""
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        fps = [md5((t or "").encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.table({"fp": pa.array(fps, pa.string()), "doc_id": batch.column("doc_id")})
+
+    from ray.data.aggregate import Count, Min
+
+    return (
+        read_documents(sf_dir)
+        .map_batches(fp_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
+    )
+
+
+# ------------------------------------------------------------- minhash + LSH
+
+def minhash_signatures(sf_dir: str) -> "rd.Dataset":
+    """doc_id, mh0..mh{P-1} — md5-minhash signature per doc (docs with <k
+    tokens are dropped, matching the oracle's empty generate_series)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids, sigs = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            sig = _minhash_sig(_shingles(text))
+            if sig is not None:
+                ids.append(doc_id)
+                sigs.append(sig)
+        cols = {"doc_id": pa.array(ids, pa.int64())}
+        for p in range(NUM_PERMS):
+            cols[f"mh{p}"] = pa.array([s[p] for s in sigs], pa.string())
+        return pa.table(cols)
+
+    return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_lsh_pairs(sf_dir: str) -> "rd.Dataset":
+    """doc_a, doc_b — distinct candidate near-dup pairs from LSH banding:
+    shingle → minhash → band-bucket → groupby(band,bucket) → pairs.
+
+    The banding shuffle carries only (band, bucket, doc_id); pair explosion
+    inside one bucket is the skew to watch — buckets are md5-uniform unless
+    the corpus has true duplicate clusters, which are exactly the rows we
+    want co-located.
+    """
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        bands, buckets, ids = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            sig = _minhash_sig(_shingles(text))
+            if sig is None:
+                continue
+            for b in range(NUM_BANDS):
+                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                bands.append(b)
+                buckets.append(md5("|".join(chunk).encode()).hexdigest())
+                ids.append(doc_id)
+        return pa.table({
+            "band": pa.array(bands, pa.int64()),
+            "bucket": pa.array(buckets, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+        })
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
+                             "doc_b": pd.Series(b, dtype="int64")})
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1][["doc_a", "doc_b"]]
+
+    return (
+        read_documents(sf_dir)
+        .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "bucket"])
+        .map_groups(pairs_of_group, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(first_row, batch_format="pandas")
+    )
+
+
+# -------------------------------------------------------------------- simhash
+
+def simhash(sf_dir: str) -> "rd.Dataset":
+    """doc_id, simhash — 64-bit simhash as an MSB-first '0'/'1' bitstring.
+
+    Per shingle: v = first 16 hex chars of md5(shingle) read as a big-endian
+    uint64; bit j (j=0 is the MSB) votes +1 if set else -1; simhash bit j is
+    '1' iff the vote sum is > 0.  The bitstring (not an int) keeps the value
+    in a type both Arrow and DuckDB hash identically (no uint64/int64 clash).
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        ids, hashes = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            sh = _shingles(text)
+            if not sh:
+                continue
+            vs = np.array(
+                [int(md5(s.encode()).hexdigest()[:16], 16) for s in sh], dtype=np.uint64
+            )
+            shifts = np.arange(63, -1, -1, dtype=np.uint64)        # j=0 → MSB
+            bits = (vs[:, None] >> shifts[None, :]) & np.uint64(1)  # |sh| x 64
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            ids.append(doc_id)
+            hashes.append("".join("1" if v > 0 else "0" for v in votes))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "simhash": pa.array(hashes, pa.string())})
+
+    return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ n-gram jaccard
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
+                        max_df: int | None = None) -> "rd.Dataset":
+    """doc_a, doc_b, jaccard — exact word-3-gram Jaccard over an
+    inverted-index shuffle: (shingle, doc_id) rows → groupby(shingle) → pair
+    rows → groupby(pair) count = |A∩B|; |A|,|B| from a tiny per-doc count
+    table broadcast via ray.put.  jaccard = i / (|A|+|B|-i), kept as an exact
+    int-ratio double so the oracle matches bit-for-bit.
+
+    ``max_df`` drops shingles appearing in more than max_df docs (the hot-key
+    bound for web-scale corpora; None = exact, for the oracle).
+    """
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids, ss = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            for s in _shingles(text):
+                ids.append(doc_id)
+                ss.append(s)
+        return pa.table({"s": pa.array(ss, pa.string()), "doc_id": pa.array(ids, pa.int64())})
+
+    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].tolist())
+        if max_df is not None and len(ids) > max_df:
+            ids = []
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
+                             "doc_b": pd.Series(b, dtype="int64")})
+
+    docs = read_documents(sf_dir)
+    shingle_ds = docs.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    # small side: per-doc shingle counts (one int per doc) — broadcast once
+    counts = {}
+    for batch in shingle_ds.groupby("doc_id").count().iter_batches(batch_format="pyarrow"):
+        for doc_id, c in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("count()").to_pylist()):
+            counts[doc_id] = c
+    counts_ref = ray.put(counts)
+
+    from ray.data.aggregate import Count
+
+    inter = (
+        shingle_ds.groupby("s")
+        .map_groups(pairs_of_group, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="i"))
+    )
+
+    def jaccard_batch(batch: pa.Table) -> pa.Table:
+        cnt = ray.get(counts_ref)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        i = batch.column("i").to_numpy(zero_copy_only=False).astype(np.float64)
+        union = np.array([cnt[x] for x in a]) + np.array([cnt[x] for x in b]) - i
+        jac = i / union
+        keep = jac >= threshold
+        return pa.table({
+            "doc_a": pa.array(a[keep], pa.int64()),
+            "doc_b": pa.array(b[keep], pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        })
+
+    return inter.map_batches(jaccard_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- embedding-cosine near-dup
+
+def _normalized_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, row-normalized float64 matrix) for the small broadcast side."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(E, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, E / norms
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.4) -> "rd.Dataset":
+    """vec_a, vec_b — pairs with cosine similarity >= threshold.
+
+    Exact block×matrix plan: the full normalized matrix is broadcast once
+    (``ray.put``; 100M×64-f32 ≈ 25 GB is past broadcast range — at that scale
+    swap in the random-hyperplane LSH variant below), each map_batches task
+    matmuls its block against it and emits only (id, id) pairs.
+    """
+    ids, N = _normalized_embeddings(sf_dir)
+    mat_ref = ray.put((ids, N))
+
+    def f(batch: pa.Table) -> pa.Table:
+        all_ids, Nn = ray.get(mat_ref)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        B = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        nrm = np.linalg.norm(B, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        S = (B / nrm) @ Nn.T
+        r, c = np.nonzero(S >= threshold)
+        a, b = bids[r], all_ids[c]
+        keep = a < b  # each unordered pair once; drops self-pairs
+        return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
+                         "vec_b": pa.array(b[keep], pa.int64())})
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
+                           k_planes: int = 4, n_tables: int = 8,
+                           seed: int = 42) -> "rd.Dataset":
+    """Scale variant: multi-table random-hyperplane LSH → within-bucket exact
+    cosine → pair dedup.  L tables of k planes each (recall ≈
+    1-(1-p^k)^L, p = 1 - angle/π): a vector lands in L buckets; pairs are
+    found if they collide in ANY table.  Approximate — recall vs the exact
+    ``embedding_near_dup`` is asserted in tests; rows-only driver check.
+
+    The shuffle carries (table, bucket, vec_id, embedding); all-pairs work
+    happens only inside buckets, so cost scales with bucket occupancy, not
+    corpus size squared.
+    """
+    rng = np.random.Generator(np.random.PCG64(seed))
+    dim = _normalized_embeddings(sf_dir)[1].shape[1]
+    planes = rng.standard_normal((n_tables, k_planes, dim))
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        P = ray.get(planes_ref)
+        E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        emb = batch.column("embedding")
+        tables, buckets, out_ids, out_emb = [], [], [], []
+        weights = (1 << np.arange(k_planes)).astype(np.int64)
+        for t in range(n_tables):
+            bits = (E @ P[t].T) > 0
+            bkt = bits @ weights
+            tables.extend([t] * len(ids))
+            buckets.extend(bkt.tolist())
+            out_ids.extend(ids.tolist())
+            out_emb.extend(range(len(ids)))
+        return pa.table({
+            "table": pa.array(tables, pa.int64()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "vec_id": pa.array(out_ids, pa.int64()),
+            "embedding": emb.take(pa.array(out_emb, pa.int64())),
+        })
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        E = np.array(g["embedding"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(E, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        S = (E / nrm) @ (E / nrm).T
+        r, c = np.nonzero(S >= threshold)
+        keep = ids[r] < ids[c]
+        return pd.DataFrame({"vec_a": pd.Series(ids[r][keep], dtype="int64"),
+                             "vec_b": pd.Series(ids[c][keep], dtype="int64")})
+
+    def first_row(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1][["vec_a", "vec_b"]]
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["table", "bucket"])
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby(["vec_a", "vec_b"])
+        .map_groups(first_row, batch_format="pandas")
+    )

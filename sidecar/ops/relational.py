@@ -1,0 +1,241 @@
+"""General relational operators over the TPC-H-ish tables — the engine's
+groupby / join / sort / top-k / windowed-aggregate surface, exercised on
+`lineitem` / `orders` / `customer` / `events`.
+
+These are the same Ray Data primitives the crawl engine uses (SURVEY.md §2:
+A1/A4 aggregation, J1 broadcast join, §2.6 sort/top-k) demonstrated on
+standard relational shapes, each with an exact DuckDB oracle.
+
+Scale rules applied throughout:
+- column-pruned `read_parquet` (never read what the query doesn't touch);
+- per-batch partial aggregation before every global groupby, so the shuffle
+  moves one row per (block × key), not per input row;
+- broadcast (ray.put) for small build sides instead of a shuffle join;
+- float aggregates emitted as integer cents (round(x*100)::BIGINT) in BOTH
+  engines: float round() differs at the last ulp across engines and sum
+  orders, which would break exact value-hash comparison.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _cents(col: "pa.ChunkedArray | pa.Array") -> "pa.Array":
+    """Float aggregate → integer cents: round(x*100) as int64.
+
+    Float columns round-tripped through two engines differ in the last ulp
+    (sum order, round() implementations), which breaks the driver's exact
+    value-hash; integer cents are hash-stable.  Matches DuckDB's
+    ``round(x * 100)::BIGINT`` except exactly at .5 ties, which FP-noise
+    makes unreachable for real aggregates.
+    """
+    return pc.cast(pc.round(pc.multiply(col, 100)), pa.int64())
+
+
+def pricing_summary(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q1 shape: per (l_returnflag, l_linestatus) sums/avg/count.
+
+    Partial per-batch aggregation (pandas groupby inside map_batches) then a
+    tiny global groupby over ~(flags x statuses x blocks) rows.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("l_quantity", "sum"),
+            p_base=("l_extendedprice", "sum"),
+            p_disc=("disc_price", "sum"),
+            p_cnt=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty_cents": _cents(batch.column("sum_qty")),
+            "sum_base_price_cents": _cents(batch.column("sum_base_price")),
+            "sum_disc_price_cents": _cents(batch.column("sum_disc_price")),
+            "count_order": batch.column("count_order"),
+        })
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("p_qty", alias_name="sum_qty"),
+            Sum("p_base", alias_name="sum_base_price"),
+            Sum("p_disc", alias_name="sum_disc_price"),
+            Sum("p_cnt", alias_name="count_order"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def top_revenue_orders(sf_dir: str, k: int = 20) -> "rd.Dataset":
+    """Broadcast-join top-k: lineitem revenue per order, joined to orders and
+    customer (both small sides broadcast via ray.put), top-k by revenue.
+
+    The only shuffle is groupby(l_orderkey); customer/orders lookups ride
+    inside map_batches against the broadcast dicts (SURVEY.md J1 pattern).
+    """
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    o2c = dict(zip(orders.column("o_orderkey").to_pylist(),
+                   orders.column("o_custkey").to_pylist()))
+    c2seg = dict(zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_mktsegment").to_pylist()))
+    side_ref = ray.put((o2c, c2seg))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("l_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        o2c_, c2seg_ = ray.get(side_ref)
+        keys = batch.column("l_orderkey").to_pylist()
+        segs = [c2seg_.get(o2c_.get(kk)) for kk in keys]
+        return pa.table({
+            "o_orderkey": pa.array(keys, pa.int64()),
+            "revenue_cents": _cents(batch.column("revenue")),
+            "c_mktsegment": pa.array(segs, pa.string()),
+        })
+
+    ds = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+    return ds
+
+
+def events_windowed(sf_dir: str, window_s: int = 3600) -> "rd.Dataset":
+    """Tumbling-window aggregate over the events stream: per (event_type,
+    hour-bucket) count + rounded value sum.  The window key is computed
+    vectorized per batch; the groupby shuffles only (type, window, partials).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        us = df["ts"].values.astype("datetime64[us]").astype("int64")
+        df["win"] = (us // (window_s * 1_000_000)) * window_s  # epoch-s window start
+        g = df.groupby(["event_type", "win"], as_index=False).agg(
+            p_n=("value", "size"), p_sum=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "win": batch.column("win"),
+            "n_events": batch.column("n_events"),
+            "sum_value_cents": _cents(batch.column("sum_value")),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "win"])
+        .aggregate(Sum("p_n", alias_name="n_events"),
+                   Sum("p_sum", alias_name="sum_value"))
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def customer_order_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-customer order stats (count, min/max date as epoch-µs ints,
+    rounded total) — a plain distributed groupby with mixed aggregate kinds;
+    dates go through int64 so both engines hash identical scalars."""
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("o_orderdate"), pa.int64())
+        return pa.table({"o_custkey": batch.column("o_custkey"),
+                         "date_us": us,
+                         "o_totalprice": batch.column("o_totalprice")})
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "n_orders": batch.column("n_orders"),
+            "first_date_us": batch.column("first_date_us"),
+            "last_date_us": batch.column("last_date_us"),
+            "total_price_cents": _cents(batch.column("total_price")),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Min("date_us", alias_name="first_date_us"),
+            Max("date_us", alias_name="last_date_us"),
+            Sum("o_totalprice", alias_name="total_price"),
+        )
+        .map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def supplier_part_join(sf_dir: str) -> "rd.Dataset":
+    """Shuffle-free two-small-side enrichment of a lineitem aggregate:
+    per (l_suppkey, l_partkey) quantity sum, enriched with supplier nation
+    and part brand from broadcast lookups."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    s2n = dict(zip(sup.column("s_suppkey").to_pylist(), sup.column("s_nationkey").to_pylist()))
+    p2b = dict(zip(part.column("p_partkey").to_pylist(), part.column("p_brand").to_pylist()))
+    side = ray.put((s2n, p2b))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_suppkey", "l_partkey"], as_index=False)["l_quantity"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        s2n_, p2b_ = ray.get(side)
+        sk = batch.column("l_suppkey").to_pylist()
+        pk = batch.column("l_partkey").to_pylist()
+        return pa.table({
+            "l_suppkey": pa.array(sk, pa.int64()),
+            "l_partkey": pa.array(pk, pa.int64()),
+            "sum_qty_cents": _cents(batch.column("sum_qty")),
+            "s_nationkey": pa.array([s2n_.get(x) for x in sk], pa.int64()),
+            "p_brand": pa.array([p2b_.get(x) for x in pk], pa.string()),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_suppkey", "l_partkey", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_suppkey", "l_partkey"])
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+        .map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -1,0 +1,240 @@
+"""Tests for the training-data operator families (dedup / similarity /
+relational / multimodal) against single-process numpy/pandas oracles on the
+driver's sf0.001 tables."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs() -> list[tuple[int, str]]:
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+
+
+def _shingles(text: str, k: int = 3) -> set[str]:
+    w = (text or "").split(" ")
+    return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+
+class TestDedup:
+    def test_exact_dedup_keeps_min_doc_id(self):
+        from sidecar.ops.dedup import exact_dedup
+
+        got = exact_dedup(SF).to_pandas().set_index("fp")
+        by_fp: dict[str, list[int]] = {}
+        for doc_id, text in _docs():
+            by_fp.setdefault(hashlib.md5((text or "").encode()).hexdigest(), []).append(doc_id)
+        assert len(got) == len(by_fp)
+        for fp, ids in by_fp.items():
+            assert got.loc[fp, "keep_doc_id"] == min(ids)
+            assert got.loc[fp, "n_dups"] == len(ids)
+
+    def test_minhash_lsh_pairs_match_oracle(self):
+        from sidecar.ops.dedup import NUM_BANDS, ROWS_PER_BAND, _minhash_sig, minhash_lsh_pairs
+
+        got = {(a, b) for a, b in
+               minhash_lsh_pairs(SF).to_pandas()[["doc_a", "doc_b"]].itertuples(index=False)}
+        buckets: dict[tuple[int, str], list[int]] = {}
+        for doc_id, text in _docs():
+            sig = _minhash_sig(sorted(_shingles(text)))
+            if sig is None:
+                continue
+            for b in range(NUM_BANDS):
+                key = hashlib.md5(
+                    "|".join(sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]).encode()
+                ).hexdigest()
+                buckets.setdefault((b, key), []).append(doc_id)
+        want = set()
+        for ids in buckets.values():
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    want.add((ids[i], ids[j]))
+        assert got == want
+        assert got, "LSH should find candidate pairs in this corpus"
+
+    def test_simhash_hamming_close_for_near_dups(self):
+        from sidecar.ops.dedup import minhash_lsh_pairs, simhash
+
+        sh = simhash(SF).to_pandas().set_index("doc_id")["simhash"]
+        pairs = minhash_lsh_pairs(SF).to_pandas()
+        assert (sh.str.len() == 64).all()
+        # near-dup pairs must be much closer in hamming space than random ones
+        def ham(a, b):
+            return sum(x != y for x, y in zip(sh[a], sh[b]))
+
+        near = np.mean([ham(a, b) for a, b in pairs.itertuples(index=False)])
+        rng = np.random.Generator(np.random.PCG64(0))
+        ids = sh.index.to_numpy()
+        rand = np.mean([ham(*rng.choice(ids, 2, replace=False)) for _ in range(50)])
+        assert near < rand / 2
+
+    def test_ngram_jaccard_exact(self):
+        from sidecar.ops.dedup import ngram_jaccard_pairs
+
+        got = ngram_jaccard_pairs(SF, threshold=0.5).to_pandas()
+        docs = dict(_docs())
+        for row in got.itertuples(index=False):
+            a, b = _shingles(docs[row.doc_a]), _shingles(docs[row.doc_b])
+            expect = len(a & b) / len(a | b)
+            assert row.jaccard == pytest.approx(expect, abs=0)
+            assert row.jaccard >= 0.5
+
+    def test_embedding_near_dup_matches_bruteforce(self):
+        from sidecar.ops.dedup import embedding_near_dup
+
+        got = {(a, b) for a, b in
+               embedding_near_dup(SF, threshold=0.4).to_pandas().itertuples(index=False)}
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        N = E / np.linalg.norm(E, axis=1, keepdims=True)
+        S = N @ N.T
+        r, c = np.nonzero(S >= 0.4)
+        want = {(int(ids[i]), int(ids[j])) for i, j in zip(r, c) if ids[i] < ids[j]}
+        assert got == want and got
+
+    def test_embedding_lsh_recall(self):
+        from sidecar.ops.dedup import embedding_near_dup, embedding_near_dup_lsh
+
+        exact = {(a, b) for a, b in
+                 embedding_near_dup(SF, threshold=0.4).to_pandas().itertuples(index=False)}
+        approx = {(a, b) for a, b in
+                  embedding_near_dup_lsh(SF, threshold=0.4).to_pandas().itertuples(index=False)}
+        assert approx <= exact           # no false positives (exact verify in-bucket)
+        assert len(approx) / len(exact) >= 0.3  # multi-table recall
+
+
+class TestSimilarity:
+    def _brute_topk(self, k=10, qids=(0, 1, 2, 3)):
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        N = E / np.linalg.norm(E, axis=1, keepdims=True)
+        out = {}
+        for q in qids:
+            s = N @ N[list(ids).index(q)]
+            order = sorted(zip(-s, ids), key=lambda x: (x[0], x[1]))
+            out[q] = [int(v) for d, v in order if v != q][:k]
+        return out
+
+    def test_ann_topk_exact(self):
+        from sidecar.ops.similarity import ann_topk
+
+        df = ann_topk(SF).to_pandas()
+        want = self._brute_topk()
+        for q, vs in want.items():
+            got = set(df[df.query_id == q]["vec_id"])
+            assert got == set(vs)
+
+    def test_ann_ivf_has_recall(self):
+        from sidecar.ops.similarity import ann_topk_ivf
+
+        df = ann_topk_ivf(SF).to_pandas()
+        want = self._brute_topk()
+        recalls = []
+        for q, vs in want.items():
+            got = set(df[df.query_id == q]["vec_id"])
+            assert len(got) <= 10
+            recalls.append(len(got & set(vs)) / 10)
+        assert np.mean(recalls) >= 0.3  # n_probe=4/16 cells → partial recall
+
+
+class TestRelational:
+    def test_pricing_summary_matches_pandas(self):
+        from sidecar.ops.relational import pricing_summary
+
+        got = pricing_summary(SF).to_pandas().set_index(["l_returnflag", "l_linestatus"])
+        df = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        df["disc"] = df.l_extendedprice * (1 - df.l_discount)
+        want = df.groupby(["l_returnflag", "l_linestatus"]).agg(
+            qty=("l_quantity", "sum"), cnt=("l_quantity", "size"), disc=("disc", "sum"))
+        assert len(got) == len(want)
+        for key, row in want.iterrows():
+            assert got.loc[key, "sum_qty_cents"] == round(row.qty * 100)
+            assert got.loc[key, "count_order"] == row.cnt
+            assert abs(got.loc[key, "sum_disc_price_cents"] - round(row.disc * 100)) <= 1
+
+    def test_top_revenue_orders(self):
+        from sidecar.ops.relational import top_revenue_orders
+
+        got = top_revenue_orders(SF, k=5).to_pandas()
+        df = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+        df["rev"] = df.l_extendedprice * (1 - df.l_discount)
+        want = df.groupby("l_orderkey")["rev"].sum().nlargest(5)
+        assert list(got["o_orderkey"]) == list(want.index)
+        assert got["c_mktsegment"].notna().all()
+
+    def test_events_windowed_totals(self):
+        from sidecar.ops.relational import events_windowed
+
+        got = events_windowed(SF).to_pandas()
+        df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        assert got["n_events"].sum() == len(df)
+        # every window key is hour-aligned epoch seconds
+        assert (got["win"] % 3600 == 0).all()
+
+
+class TestMultimodal:
+    def test_image_decode_stats_roundtrip(self, images_table):
+        import ray.data as rd
+
+        from sidecar import codecs
+        from sidecar.ops.multimodal import image_decode_stats
+
+        import pyarrow.compute as pc
+
+        img_only = images_table.filter(
+            pc.is_in(images_table.column("fmt"),
+                     value_set=__import__("pyarrow").array(["png", "ppm", "b16"])))
+        ds = rd.from_arrow(img_only)
+        got = image_decode_stats(ds, concurrency=2).to_pandas().set_index("image_id")
+        src = img_only.to_pylist()
+        assert len(got) == len(src)
+        for row in src[:20]:
+            r = got.loc[row["image_id"]]
+            assert (r["w"], r["h"]) == (row["w"], row["h"])
+            px = codecs.decode(row["bytes"], row["fmt"])
+            s = px.reshape(-1, 3).sum(axis=0)
+            assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(int(x) for x in s)
+            assert r["phash"] == row["phash"]
+
+    def test_image_resize_recomposes(self, images_table):
+        import ray.data as rd
+
+        from sidecar import codecs
+        from sidecar.ops.multimodal import image_resize
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        img_only = images_table.filter(
+            pc.is_in(images_table.column("fmt"),
+                     value_set=pa.array(["png", "ppm", "b16"]))).slice(0, 32)
+        ds = rd.from_arrow(img_only)
+        out = image_resize(ds, out_w=16, out_h=16, concurrency=2).to_pandas()
+        assert (out["w"] == 16).all() and (out["h"] == 16).all()
+        px = codecs.decode(out.iloc[0]["bytes"], out.iloc[0]["fmt"])
+        assert px.shape == (16, 16, 3)
+
+    def test_audio_video_stubs(self, images_table):
+        import pyarrow as pa
+
+        from sidecar.ops.multimodal import AudioFeatureStage, VideoFrameSample
+
+        batch = images_table.slice(0, 8)
+        feats = AudioFeatureStage(fake=True)(batch)
+        assert feats.num_rows == 8 and len(feats.column("mfcc")[0].as_py()) == 8
+        frames = VideoFrameSample(fake=True)(batch)
+        assert frames.num_rows == 8
+        with pytest.raises(NotImplementedError):
+            AudioFeatureStage(fake=False)(batch)
+        with pytest.raises(NotImplementedError):
+            VideoFrameSample(fake=False)(batch)
