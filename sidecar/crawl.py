@@ -39,6 +39,7 @@ import ray.data as rd
 from sidecar import frontier as fr
 from sidecar import pipeline, synth
 from sidecar.actors import host_shard, make_host_policies, make_seen_shards
+from sidecar import storage
 from sidecar.state import BloomFilter
 
 
@@ -218,8 +219,9 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
         )
         sidecar_ds = pipeline.sidecar_dataset(images, batch_size=256)
         sidecar_path = os.path.join(cfg.out_dir, "sidecar", f"epoch={epoch}")
-        sidecar_ds.write_parquet(sidecar_path)
-        m["sidecar_rows"] = rd.read_parquet(sidecar_path).count()
+        storage.write_table(sidecar_ds, sidecar_path)  # Lance when available
+        m["sidecar_rows"] = rd.read_parquet(sidecar_path).count() \
+            if not storage.HAVE_LANCE else rd.read_lance(sidecar_path).count()
 
         # deterministic crawl order for the epoch (total order, §2.6)
         order_rows = selected.sort(
@@ -287,3 +289,53 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
         "metrics": metrics,
         "epochs_run": len(metrics),
     }
+
+
+def main(argv: list[str] | None = None) -> dict:
+    """CLI entry for ``ray job submit -- python -m sidecar.crawl [...]``.
+
+    On a real cluster the same command runs unchanged — ray.init() with no
+    address inside a job context attaches to the cluster that submitted it.
+    Only this CLI owns a Ray session (guarded: never re-inits when the
+    driver/jobs runtime already initialised Ray).
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="Ray-Data-native crawl driver")
+    p.add_argument("--n-seeds", type=int, default=100)
+    p.add_argument("--n-hosts", type=int, default=20)
+    p.add_argument("--budget-per-host", type=int, default=5)
+    p.add_argument("--max-epochs", type=int, default=3)
+    p.add_argument("--max-depth", type=int, default=3)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num-seen-shards", type=int, default=8)
+    p.add_argument("--num-policy-actors", type=int, default=4)
+    p.add_argument("--out-dir", default="/tmp/crawl_out")
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False)
+
+    cfg = CrawlConfig(
+        n_seeds=args.n_seeds, n_hosts=args.n_hosts,
+        budget_per_host=args.budget_per_host, max_epochs=args.max_epochs,
+        max_depth=args.max_depth, seed=args.seed,
+        num_seen_shards=args.num_seen_shards,
+        num_policy_actors=args.num_policy_actors, out_dir=args.out_dir,
+    )
+    result = run_crawl(cfg, resume=args.resume, collect_order=False)
+    summary = {
+        "epochs_run": result["epochs_run"],
+        "urls_seen": len(result["seen"]),
+        "metrics": result["metrics"],
+        "out_dir": cfg.out_dir,
+        "lineage_id": cfg.lineage_id(),
+    }
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -39,3 +39,23 @@ def flagship(sf_dir: str, *, batch_size: int = 256):
     """The end-to-end flagship: read → synth-fetch/encode → sidecar extract."""
     return pipeline.sidecar_dataset(images_dataset(sf_dir, batch_size=batch_size),
                                     batch_size=batch_size)
+
+
+def synthetic_frontier_sidecar(n_urls: int, *, seed: int = 42,
+                               num_blocks: int = 128, batch_size: int = 256):
+    """Scaled headline: an n_urls synthetic frontier pushed through the full
+    fetch/encode → sidecar path — the sandbox stand-in for the 10^10-URL
+    frontier metric (BASELINE.json).  Pure function of (seed, index): no
+    input table needed, so the work scales to any n_urls and the measurement
+    is dominated by fetch+extract compute, not fixed pipeline latency.
+    """
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        rows = [synth.make_row(f"url-{i}", seed=seed)
+                for i in batch.column("id").to_pylist()]
+        return pa.Table.from_pylist(rows, schema=synth.IMAGES_SCHEMA)
+
+    urls = rd.range(n_urls, override_num_blocks=num_blocks)
+    images = urls.map_batches(fetch, batch_format="pyarrow",
+                              batch_size=batch_size, zero_copy_batch=True)
+    return pipeline.sidecar_dataset(images, batch_size=batch_size)

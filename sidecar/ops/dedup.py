@@ -104,19 +104,64 @@ def minhash_signatures(sf_dir: str) -> "rd.Dataset":
     return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+NUM_SHUFFLE_PARTS = 64  # coarse partition count for the salted-group pattern
+
+
+def _pairs_within(g: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    """All within-group (doc_a < doc_b) pairs, fine-grouped by ``keys``
+    INSIDE one task — the groupby that reaches Ray uses only a coarse
+    partition key, because per-group Python dispatch over thousands of tiny
+    groups dominates wall time otherwise (measured 21s → ~3s at sf0.1)."""
+    a, b = [], []
+    for _, sub in g.groupby(keys, sort=False):
+        ids = np.sort(sub["doc_id"].to_numpy())
+        if len(ids) < 2:
+            continue
+        r, c = np.triu_indices(len(ids), k=1)
+        a.append(ids[r])
+        b.append(ids[c])
+    if not a:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"doc_a": np.concatenate(a), "doc_b": np.concatenate(b)})
+
+
+def _dedup_pairs(pairs_ds: "rd.Dataset", a: str = "doc_a", b: str = "doc_b") -> "rd.Dataset":
+    """Distinct (a,b) pairs via coarse-partition drop_duplicates: partition
+    key = pair hash mod NUM_SHUFFLE_PARTS, so the shuffle has 64 groups
+    regardless of pair count and dedup runs vectorized per partition."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        aa = batch.column(a).to_numpy(zero_copy_only=False)
+        bb = batch.column(b).to_numpy(zero_copy_only=False)
+        part = ((aa * 1000003 + bb) % NUM_SHUFFLE_PARTS).astype(np.int64)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates([a, b])[[a, b]]
+
+    return (
+        pairs_ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(drop_dups, batch_format="pandas")
+    )
+
+
 def minhash_lsh_pairs(sf_dir: str) -> "rd.Dataset":
     """doc_a, doc_b — distinct candidate near-dup pairs from LSH banding:
-    shingle → minhash → band-bucket → groupby(band,bucket) → pairs.
+    shingle → minhash → band-bucket → coarse-partition groupby → pairs.
 
-    The banding shuffle carries only (band, bucket, doc_id); pair explosion
-    inside one bucket is the skew to watch — buckets are md5-uniform unless
-    the corpus has true duplicate clusters, which are exactly the rows we
-    want co-located.
+    The banding shuffle carries only (part, band, bucket, doc_id); the Ray
+    groupby key is a coarse bucket-hash partition (64 groups) and the exact
+    (band, bucket) grouping happens vectorized inside each task.  Pair
+    explosion inside one bucket is the skew to watch — buckets are
+    md5-uniform unless the corpus has true duplicate clusters, which are
+    exactly the rows we want co-located.
     """
 
     def bucketize(batch: pa.Table) -> pa.Table:
         md5 = hashlib.md5
-        bands, buckets, ids = [], [], []
+        bands, buckets, ids, parts = [], [], [], []
         for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("text").to_pylist()):
             sig = _minhash_sig(_shingles(text))
@@ -124,36 +169,26 @@ def minhash_lsh_pairs(sf_dir: str) -> "rd.Dataset":
                 continue
             for b in range(NUM_BANDS):
                 chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                digest = md5("|".join(chunk).encode()).hexdigest()
                 bands.append(b)
-                buckets.append(md5("|".join(chunk).encode()).hexdigest())
+                buckets.append(digest)
                 ids.append(doc_id)
+                parts.append(int(digest[:8], 16) % NUM_SHUFFLE_PARTS)
         return pa.table({
+            "part": pa.array(parts, pa.int64()),
             "band": pa.array(bands, pa.int64()),
             "bucket": pa.array(buckets, pa.string()),
             "doc_id": pa.array(ids, pa.int64()),
         })
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
-                             "doc_b": pd.Series(b, dtype="int64")})
-
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1][["doc_a", "doc_b"]]
-
-    return (
+    candidates = (
         read_documents(sf_dir)
         .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "bucket"])
-        .map_groups(pairs_of_group, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(first_row, batch_format="pandas")
+        .groupby("part")
+        .map_groups(lambda g: _pairs_within(g, ["band", "bucket"]),
+                    batch_format="pandas")
     )
+    return _dedup_pairs(candidates)
 
 
 # -------------------------------------------------------------------- simhash
@@ -203,43 +238,51 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     bound for web-scale corpora; None = exact, for the oracle).
     """
 
+    from zlib import crc32  # deterministic across processes (hash() is not)
+
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        ids, ss = [], []
+        ids, ss, parts = [], [], []
         for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("text").to_pylist()):
             for s in _shingles(text):
                 ids.append(doc_id)
                 ss.append(s)
-        return pa.table({"s": pa.array(ss, pa.string()), "doc_id": pa.array(ids, pa.int64())})
+                parts.append(crc32(s.encode()) % NUM_SHUFFLE_PARTS)
+        return pa.table({"part": pa.array(parts, pa.int64()),
+                         "s": pa.array(ss, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
 
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        if max_df is not None and len(ids) > max_df:
-            ids = []
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": pd.Series(a, dtype="int64"),
-                             "doc_b": pd.Series(b, dtype="int64")})
+    def pairs_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        if max_df is not None:
+            df_counts = g.groupby("s")["doc_id"].transform("size")
+            g = g[df_counts <= max_df]
+        return _pairs_within(g, ["s"])
 
     docs = read_documents(sf_dir)
     shingle_ds = docs.map_batches(shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    # small side: per-doc shingle counts (one int per doc) — broadcast once
+    # small side: per-doc shingle counts (one int per doc) — computed in a
+    # shuffle-free map over documents and broadcast once
+    def count_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "c": pa.array([len(_shingles(t)) for t in batch.column("text").to_pylist()],
+                          pa.int64()),
+        })
+
     counts = {}
-    for batch in shingle_ds.groupby("doc_id").count().iter_batches(batch_format="pyarrow"):
+    for batch in docs.map_batches(count_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
         for doc_id, c in zip(batch.column("doc_id").to_pylist(),
-                             batch.column("count()").to_pylist()):
+                             batch.column("c").to_pylist()):
             counts[doc_id] = c
     counts_ref = ray.put(counts)
 
     from ray.data.aggregate import Count
 
     inter = (
-        shingle_ds.groupby("s")
-        .map_groups(pairs_of_group, batch_format="pandas")
+        shingle_ds.groupby("part")
+        .map_groups(pairs_of_partition, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="i"))
     )
@@ -355,14 +398,10 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
         return pd.DataFrame({"vec_a": pd.Series(ids[r][keep], dtype="int64"),
                              "vec_b": pd.Series(ids[c][keep], dtype="int64")})
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        return g.iloc[:1][["vec_a", "vec_b"]]
-
-    return (
+    candidates = (
         rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["table", "bucket"])
         .map_groups(pairs_in_bucket, batch_format="pandas")
-        .groupby(["vec_a", "vec_b"])
-        .map_groups(first_row, batch_format="pandas")
     )
+    return _dedup_pairs(candidates, a="vec_a", b="vec_b")

@@ -111,27 +111,35 @@ def top_revenue_orders(sf_dir: str, k: int = 20) -> "rd.Dataset":
         g = df.groupby("l_orderkey", as_index=False)["rev"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def enrich(batch: pa.Table) -> pa.Table:
+    def enrich_topk(batch: pa.Table) -> pa.Table:
+        """Enrich + per-block partial top-k: only k rows per block survive to
+        the driver-side final merge, so no global sort barrier is needed —
+        the right top-k plan at any scale (the global sort would shuffle
+        every row to rank 20 of them)."""
         o2c_, c2seg_ = ray.get(side_ref)
-        keys = batch.column("l_orderkey").to_pylist()
-        segs = [c2seg_.get(o2c_.get(kk)) for kk in keys]
+        df = batch.to_pandas()
+        df["revenue_cents"] = _cents(batch.column("revenue")).to_pandas()
+        df = df.sort_values(["revenue_cents", "l_orderkey"],
+                            ascending=[False, True]).head(k)
         return pa.table({
-            "o_orderkey": pa.array(keys, pa.int64()),
-            "revenue_cents": _cents(batch.column("revenue")),
-            "c_mktsegment": pa.array(segs, pa.string()),
+            "o_orderkey": pa.array(df["l_orderkey"], pa.int64()),
+            "revenue_cents": pa.array(df["revenue_cents"], pa.int64()),
+            "c_mktsegment": pa.array(
+                [c2seg_.get(o2c_.get(kk)) for kk in df["l_orderkey"]], pa.string()),
         })
 
-    ds = (
+    partials = (
         rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("l_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
-        .map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
-        .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
-        .limit(k)
+        .map_batches(enrich_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # ≤ k rows per block — a small result by construction
     )
-    return ds
+    return (partials.sort_values(["revenue_cents", "o_orderkey"],
+                                 ascending=[False, True])
+            .head(k).reset_index(drop=True))
 
 
 def events_windowed(sf_dir: str, window_s: int = 3600) -> "rd.Dataset":

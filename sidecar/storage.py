@@ -1,0 +1,73 @@
+"""Storage adapter: Lance when available, Parquet otherwise.
+
+The north_rule mandates "Lance tables of image + caption pairs"; this
+sandbox cannot install ``pylance``, so the adapter resolves the I/O layer at
+import time and everything above it is format-agnostic (both are
+Arrow-native, so the swap changes no schemas and no pipeline code —
+SURVEY.md §1.2).  All writes are partitioned (one file per block / epoch
+partition) so a resumed run can skip finished partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+
+import ray.data as rd
+
+try:  # pragma: no cover - not installable in this sandbox
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+FORMAT = "lance" if HAVE_LANCE else "parquet"
+
+
+def read_images(path: str, columns: list[str] | None = None,
+                override_num_blocks: int | None = None) -> "rd.Dataset":
+    """Read an IMAGES-shaped table (input_hint schema) as a Dataset with
+    column pruning pushed into the scan."""
+    kwargs = {}
+    if override_num_blocks is not None:
+        kwargs["override_num_blocks"] = override_num_blocks
+    if HAVE_LANCE and (path.endswith(".lance") or os.path.isdir(path)):
+        return rd.read_lance(path, columns=columns, **kwargs)
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def write_table(ds: "rd.Dataset", path: str) -> None:
+    """Partitioned write (never one giant file): Lance dataset dir or a
+    directory of per-block parquet files."""
+    if HAVE_LANCE:
+        ds.write_lance(path)
+    else:
+        ds.write_parquet(path)
+
+
+def write_arrow(table: pa.Table, path: str) -> str:
+    """Driver-side small-table write (frontier epochs, manifests' sidecars).
+    Returns the concrete path written (extension varies by format)."""
+    if HAVE_LANCE:
+        import lance
+
+        lance.write_dataset(table, path)
+        return path
+    import pyarrow.parquet as pq
+
+    out = path if path.endswith(".parquet") else path + ".parquet"
+    pq.write_table(table, out)
+    return out
+
+
+def read_arrow(path: str) -> pa.Table:
+    """Driver-side small-table read, matching :func:`write_arrow`."""
+    if HAVE_LANCE and os.path.isdir(path):
+        import lance
+
+        return lance.dataset(path).to_table()
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path if path.endswith(".parquet") else path + ".parquet")

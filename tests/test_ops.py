@@ -165,7 +165,7 @@ class TestRelational:
     def test_top_revenue_orders(self):
         from sidecar.ops.relational import top_revenue_orders
 
-        got = top_revenue_orders(SF, k=5).to_pandas()
+        got = top_revenue_orders(SF, k=5)  # pandas DataFrame (small top-k result)
         df = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
         df["rev"] = df.l_extendedprice * (1 - df.l_discount)
         want = df.groupby("l_orderkey")["rev"].sum().nlargest(5)

@@ -1,0 +1,40 @@
+"""Storage adapter (Lance-or-Parquet) and crawl CLI entry tests."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def test_storage_roundtrip(tmp_path, images_table):
+    import ray.data as rd
+
+    from sidecar import storage
+
+    path = str(tmp_path / "images_out")
+    storage.write_table(rd.from_arrow(images_table), path)
+    back = storage.read_images(path).to_pandas().sort_values("image_id")
+    src = images_table.to_pandas().sort_values("image_id")
+    assert list(back["image_id"]) == list(src["image_id"])
+    assert list(back["phash"]) == list(src["phash"])
+
+
+def test_storage_small_arrow_roundtrip(tmp_path):
+    from sidecar import storage
+
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    p = storage.write_arrow(t, str(tmp_path / "small"))
+    assert storage.read_arrow(p).equals(t)
+
+
+def test_crawl_cli_main(tmp_path):
+    """The ray-job-submit entry: runs inside the existing Ray session
+    (guarded init) and prints a JSON summary."""
+    from sidecar.crawl import main
+
+    summary = main([
+        "--n-seeds", "12", "--max-epochs", "1",
+        "--out-dir", str(tmp_path / "crawl"),
+    ])
+    assert summary["epochs_run"] == 1
+    assert summary["urls_seen"] > 0
+    assert summary["metrics"][0]["sidecar_rows"] > 0
