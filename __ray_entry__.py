@@ -71,6 +71,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             images_dataset(sf_dir).filter(
                 lambda r: r["fmt"] in ("png", "ppm", "b16")))
 
+    def crawl_demo(sf_dir: str):
+        """Deterministic 2-epoch crawl (frontier shuffles, seen-set shards,
+        politeness actors) — sf_dir-independent; returns the final URL-seen
+        set as sorted hex hashes (bit-for-bit reproducible, tests assert it
+        equals the single-threaded oracle's)."""
+        import tempfile
+
+        import pyarrow as pa
+
+        from sidecar.crawl import CrawlConfig, run_crawl
+
+        out = tempfile.mkdtemp(prefix="crawl_demo_", dir="/tmp")
+        res = run_crawl(CrawlConfig(n_seeds=40, max_epochs=2, out_dir=out),
+                        collect_order=False)
+        return pa.table({"url_hash": pa.array([f"{h:016x}" for h in res["seen"]],
+                                              pa.string())})
+
+    def cdxj_merge_demo(sf_dir: str):
+        """Left-outer CDXJ enrichment merge (J1): meta CDXJ from the sidecar
+        pipeline joined onto an original-index CDXJ of the same URLs."""
+        import json as _json
+
+        import pyarrow as pa
+
+        from sidecar.cdxj import merge_cdxj, parse_cdxj_lines
+        from sidecar.canon import surt
+
+        meta = cdxj_project(sf_dir)
+
+        def original_lines(batch: pa.Table) -> pa.Table:
+            lines = []
+            for i, (doc_id, _) in enumerate(zip(batch.column("doc_id").to_pylist(),
+                                                batch.column("text").to_pylist())):
+                s = surt(f"https://example.com/doc/{doc_id}")
+                obj = _json.dumps({"url": f"https://example.com/doc/{doc_id}",
+                                   "status": "200"})
+                lines.append(f"{s} 20210101000000 {obj}")
+            return pa.table({"line": pa.array(lines, pa.string())})
+
+        import ray.data as rd
+
+        original = parse_cdxj_lines(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            .map_batches(original_lines, batch_format="pyarrow", zero_copy_batch=True))
+        return merge_cdxj(meta, original)
+
     return {
         # --- text analysis (documents) -----------------------------------
         "text_token_count": text.token_count,
@@ -98,7 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- crawl/sidecar engine (rows-only: synthesized payload path) --
         "sidecar_extract": sidecar_extract,
         "cdxj_project": cdxj_project,
+        "cdxj_merge": cdxj_merge_demo,
         "multimodal_image_stats": mm_image_stats,
+        "crawl_demo": crawl_demo,
     }
 
 

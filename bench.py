@@ -43,6 +43,8 @@ BENCH_QUERIES = (
     "rel_events_windowed",
     "text_token_count",
     "multimodal_image_stats",
+    "cdxj_merge",
+    "crawl_demo",
 )
 
 

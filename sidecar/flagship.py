@@ -19,12 +19,16 @@ from sidecar import pipeline, synth
 
 
 def _docs_to_images(batch: pa.Table) -> pa.Table:
-    rows = []
+    rows, urls = [], []
     for doc_id, text in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
     ):
         rows.append(synth.make_row(f"doc-{doc_id}", seed=42, caption=text or ""))
-    return pa.Table.from_pylist(rows, schema=synth.IMAGES_SCHEMA)
+        urls.append(f"https://example.com/doc/{doc_id}")
+    t = pa.Table.from_pylist(rows, schema=synth.IMAGES_SCHEMA)
+    # url + ts ride along so the sidecar rows key a CDXJ index (F13/J1)
+    t = t.append_column("url", pa.array(urls, pa.string()))
+    return t.append_column("ts", pa.array(["20210101000000"] * len(urls), pa.string()))
 
 
 def images_dataset(sf_dir: str, *, batch_size: int = 256):
