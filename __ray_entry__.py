@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": text.fingerprint,
         "text_lang_counts": text.lang_counts,
         "text_lang_detect": text.lang_detect,                 # rows-only (model)
+        "text_token_count_regex": text.token_count_regex,
         # --- dedup family ------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_sig": dedup.minhash_signatures,
@@ -141,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_windowed": relational.events_windowed,
         "rel_customer_order_stats": relational.customer_order_stats,
         "rel_supplier_part_join": relational.supplier_part_join,
+        "rel_asof_last_order": relational.asof_last_order,
         # --- crawl/sidecar engine (rows-only: synthesized payload path) --
         "sidecar_extract": sidecar_extract,
         "cdxj_project": cdxj_project,
@@ -169,6 +171,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": """
             SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents
+        """,
+        "text_token_count_regex": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens_re
+            FROM documents
         """,
         "text_lang_counts": """
             SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
@@ -274,6 +282,17 @@ def oracle_sql() -> dict[str, str]:
                    max(epoch_us(o_orderdate)) AS last_date_us,
                    round(sum(o_totalprice) * 100)::BIGINT AS total_price_cents
             FROM orders GROUP BY 1
+        """,
+        "rel_asof_last_order": """
+            WITH ranked AS (
+                SELECT e.event_id, e.user_id, o.o_orderkey,
+                       row_number() OVER (PARTITION BY e.event_id
+                                          ORDER BY o.o_orderdate DESC,
+                                                   o.o_orderkey DESC) AS rn
+                FROM events e JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+            SELECT event_id, user_id, o_orderkey AS last_orderkey
+            FROM ranked WHERE rn = 1
         """,
         "rel_supplier_part_join": """
             SELECT l.l_suppkey, l.l_partkey,

@@ -247,3 +247,61 @@ def supplier_part_join(sf_dir: str) -> "rd.Dataset":
         .aggregate(Sum("l_quantity", alias_name="sum_qty"))
         .map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def asof_last_order(sf_dir: str) -> "rd.Dataset":
+    """As-of join (an operator Ray Data lacks natively): for each event, the
+    most recent order of the same user with o_orderdate <= event ts
+    (ties on date broken by max orderkey; events with no prior order drop —
+    inner semantics keep the output int64-clean for the hash compare).
+
+    Plan: tag + union both sides into one dataset, ONE shuffle keyed by
+    user, then a vectorized per-group searchsorted.  This is the standard
+    distributed as-of plan — co-partition both inputs on the equi-key, do
+    the inequality match sorted within the partition.
+    """
+
+    def ev_rows(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64())
+        n = batch.num_rows
+        return pa.table({
+            "key": pc.cast(batch.column("user_id"), pa.int64()),
+            "is_order": pa.array([0] * n, pa.int64()),
+            "t_us": us,
+            "id": pc.cast(batch.column("event_id"), pa.int64()),
+        })
+
+    def ord_rows(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("o_orderdate"), pa.int64())
+        n = batch.num_rows
+        return pa.table({
+            "key": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "is_order": pa.array([1] * n, pa.int64()),
+            "t_us": us,
+            "id": pc.cast(batch.column("o_orderkey"), pa.int64()),
+        })
+
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g[g["is_order"] == 1].sort_values(["t_us", "id"])
+        events = g[g["is_order"] == 0]
+        if orders.empty or events.empty:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "last_orderkey": pd.Series([], dtype="int64")})
+        ot = orders["t_us"].to_numpy()
+        oid = orders["id"].to_numpy()
+        idx = np.searchsorted(ot, events["t_us"].to_numpy(), side="right") - 1
+        ok = idx >= 0
+        return pd.DataFrame({
+            "event_id": events["id"].to_numpy()[ok],
+            "user_id": events["key"].to_numpy()[ok],
+            "last_orderkey": oid[idx[ok]],
+        })
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"]) \
+        .map_batches(ev_rows, batch_format="pyarrow", zero_copy_batch=True)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(ord_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return ev.union(orders).groupby("key").map_groups(asof_group, batch_format="pandas")

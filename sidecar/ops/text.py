@@ -112,3 +112,21 @@ def lang_counts(sf_dir: str) -> "rd.Dataset":
         .groupby("lang")
         .aggregate(Sum("partial_n", alias_name="n"))
     )
+
+
+def token_count_regex(sf_dir: str) -> "rd.Dataset":
+    """doc_id, n_tokens_re — BPE-ish tokenization: count of
+    ``[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]`` matches.  Arrow's
+    ``count_substring_regex`` and DuckDB's ``regexp_extract_all`` are both
+    RE2, so the counts are bit-equal (verified incl. unicode)."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens_re": pc.cast(
+                pc.count_substring_regex(batch.column("text").fill_null(""), pat),
+                pa.int64()),
+        })
+
+    return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
