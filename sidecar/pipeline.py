@@ -192,6 +192,9 @@ def extract_sidecar_batch(batch: pa.Table) -> pa.Table:
             "fmt": pa.array(fmt, type=pa.string()),
             "payload_digest": pa.array(digests, type=pa.string()),
             "is_text": pa.array(is_text),
+            # caption rides along so the per-row caption-equality invariant
+            # (input_hint) is checkable on the engine's own output
+            "caption": caption,
         }
     )
     # F10/:270-271 — a record with no metadata at all is skipped entirely;

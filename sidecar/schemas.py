@@ -63,6 +63,8 @@ SIDECAR = pa.schema(
         ("fmt", pa.string()),
         ("payload_digest", pa.string()),
         ("is_text", pa.bool_()),
+        ("caption", pa.string()),  # pass-through: enables per-row caption-
+                                   # equality verification (input_hint)
     ]
 )
 

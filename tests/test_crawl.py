@@ -100,3 +100,35 @@ def test_lineage_mismatch_rejected(tmp_path):
     run_crawl(_cfg(out, max_epochs=1))
     with pytest.raises(AssertionError):
         run_crawl(_cfg(out, max_epochs=3, n_seeds=31), resume=True)
+
+
+def test_per_row_fidelity_of_crawl_sidecar(tmp_path):
+    """input_hint per-row invariant: for every crawled URL, the persisted
+    sidecar row's caption EQUALS the deterministic fetch's caption, and the
+    decoded pixels of that fetch round-trip at PSNR >= 40 dB (lossy fmts)
+    with matching phash/w/h/fmt in the sidecar record."""
+    import pyarrow.parquet as pq
+
+    from sidecar import codecs, synth
+    from sidecar.crawl import CrawlConfig, run_crawl
+    from sidecar.detect.phash import phash64
+
+    cfg = CrawlConfig(n_seeds=30, max_epochs=2, out_dir=str(tmp_path / "c"))
+    run_crawl(cfg, collect_order=False)
+    import glob
+
+    files = glob.glob(str(tmp_path / "c" / "sidecar" / "epoch=*" / "*.parquet"))
+    assert files
+    rows = pq.read_table(files[0]).to_pylist()
+    assert rows
+    for r in rows[:50]:
+        expect = synth.fetch_url(r["image_id"], cfg.seed)
+        assert r["caption"] == expect["caption"]          # caption equality
+        if r["fmt"] in ("png", "ppm", "b16"):
+            px = codecs.decode(expect["bytes"], expect["fmt"])
+            assert r["w"] == px.shape[1] and r["h"] == px.shape[0]
+            assert r["phash"] == int(np.int64(np.uint64(phash64(px))))
+            if expect["fmt"] == "b16":                    # lossy: PSNR bound
+                ref_px = synth.make_pixels(r["image_id"], px.shape[1],
+                                           px.shape[0], cfg.seed)
+                assert codecs.psnr(px, ref_px) >= 40.0
