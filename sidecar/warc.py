@@ -1,0 +1,156 @@
+"""WARC-text conformance source/sink (S1/S2 in SURVEY.md §2.1).
+
+The engine's data plane is Arrow tables; WARC text exists for conformance
+with the reference's file format (warc_metadata_sidecar.py:199-203,278-283:
+a warcinfo record followed by one ``metadata`` record per input record).
+This module serializes SIDECAR rows to that text form and reads it back —
+the parser splits on record boundaries inside a ``flat_map`` task, so a
+directory of WARC files reads as one Dataset (one file per task; WARC has
+no internal split points without an index, same constraint the reference's
+ArchiveIterator has).
+
+No code is shared with warcio; the format is implemented from the WARC/1.0
+structure the reference's goldens exhibit: header block of ``Name: value``
+lines, blank line, payload of Content-Length bytes, two blank lines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from sidecar.pipeline import create_warcinfo_payload, sidecar_row_to_payload
+
+_CRLF = "\r\n"
+
+
+def _record_text(headers: list[tuple[str, str]], payload: str) -> str:
+    body = payload.encode()
+    head = _CRLF.join(f"{k}: {v}" for k, v in headers)
+    return (f"WARC/1.0{_CRLF}{head}{_CRLF}"
+            f"Content-Length: {len(body)}{_CRLF}{_CRLF}"
+            f"{payload}{_CRLF}{_CRLF}")
+
+
+def warcinfo_record_text(filename: str, operator: str | None = None,
+                         publisher: str | None = None) -> str:
+    info = create_warcinfo_payload(filename, operator, publisher)
+    payload = "".join(f"{k}: {v}\r\n" for k, v in info.items())
+    headers = [("WARC-Type", "warcinfo"),
+               ("WARC-Filename", filename),
+               ("Content-Type", "application/warc-fields")]
+    return _record_text(headers, payload)
+
+
+def metadata_record_text(row: dict) -> str:
+    """One sidecar WARC ``metadata`` record (reference :278-283 shape)."""
+    ts = row.get("ts") or "20210101000000"
+    iso = (f"{ts[0:4]}-{ts[4:6]}-{ts[6:8]}T{ts[8:10]}:{ts[10:12]}:{ts[12:14]}Z"
+           if len(ts) == 14 else ts)
+    headers = [("WARC-Type", "metadata"),
+               ("WARC-Target-URI", row.get("url") or ""),
+               ("WARC-Date", iso),
+               ("Content-Type", "application/warc-fields")]
+    return _record_text(headers, sidecar_row_to_payload(row))
+
+
+def sidecar_to_warc_text(sidecar_ds) -> "rd.Dataset":
+    """SIDECAR Dataset → one-column (``record``) Dataset of WARC record
+    texts, in a streaming map (rows with an empty payload are skipped, the
+    reference's :270-271 rule)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        recs = []
+        for row in batch.to_pylist():
+            if sidecar_row_to_payload(row):
+                recs.append(metadata_record_text(row))
+        return pa.table({"record": pa.array(recs, pa.string())})
+
+    return sidecar_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_sidecar_warc(sidecar_ds, path: str, *, filename: str | None = None,
+                       operator: str | None = None,
+                       publisher: str | None = None) -> int:
+    """Write a sidecar WARC text file: warcinfo first, then the metadata
+    records (streamed).  Returns the number of metadata records written;
+    zero-record files still carry the warcinfo (S4 analog: the reference
+    rewrites with '0 metadata sidecar records' in the description)."""
+    n = 0
+    with open(path, "w") as f:
+        pos = f.tell()
+        f.write(warcinfo_record_text(filename or os.path.basename(path),
+                                     operator, publisher))
+        for batch in sidecar_to_warc_text(sidecar_ds).iter_batches(
+                batch_format="pyarrow"):
+            col = batch.column("record") if hasattr(batch, "column") else batch["record"]
+            for rec in col.to_pylist():
+                f.write(rec)
+                n += 1
+        if n == 0:  # S4: rewrite warcinfo with the zero-record marker
+            f.seek(pos)
+            f.truncate()
+            info = create_warcinfo_payload(filename or os.path.basename(path),
+                                           operator, publisher)
+            info["description"] = info.get("description", "") + \
+                "; 0 metadata sidecar records"
+            payload = "".join(f"{k}: {v}\r\n" for k, v in info.items())
+            f.write(_record_text([("WARC-Type", "warcinfo"),
+                                  ("WARC-Filename", filename or os.path.basename(path)),
+                                  ("Content-Type", "application/warc-fields")], payload))
+    return n
+
+
+def parse_warc_text(text: str) -> list[dict]:
+    """Split WARC text into records: {rec_type, url, ts14, headers, payload}.
+    Boundary = 'WARC/1.0' at line start after a blank region; payload length
+    from Content-Length (exact, like any conformant reader)."""
+    # tolerate LF-normalized input (e.g. a text-mode read translated CRLF):
+    # payload slicing by Content-Length is byte-exact only for the CRLF form,
+    # so prefer it; the LF fallback is best-effort for hand-edited fixtures.
+    delim = _CRLF if _CRLF + _CRLF in text else "\n"
+    out = []
+    i = 0
+    while True:
+        start = text.find("WARC/1.0", i)
+        if start < 0:
+            break
+        head_end = text.find(delim + delim, start)
+        headers: dict[str, str] = {}
+        for line in text[start:head_end].split(delim)[1:]:
+            if ": " in line:
+                k, v = line.split(": ", 1)
+                headers[k] = v
+        ln = int(headers.get("Content-Length", "0"))
+        if delim == "\n":  # LF-normalized: lengths counted CRLF newlines
+            ln -= (text[head_end:].count("\n", 0, ln) if ln else 0)
+        body_start = head_end + 2 * len(delim)
+        payload = text[body_start : body_start + ln]
+        date = headers.get("WARC-Date", "")
+        ts14 = "".join(c for c in date if c.isdigit())[:14]
+        out.append({
+            "rec_type": headers.get("WARC-Type", ""),
+            "url": headers.get("WARC-Target-URI", ""),
+            "ts": ts14,
+            "headers": headers,
+            "payload": payload,
+        })
+        i = body_start + ln
+    return out
+
+
+def read_warc_text(paths: str | list[str]) -> "rd.Dataset":
+    """S1 analog: a directory/file(s) of WARC text → Dataset of records.
+    One file per read task (WARC is not splittable without an index);
+    record splitting happens inside the flat_map."""
+
+    def split_file(row: dict) -> list[dict]:
+        text = row["bytes"].decode("utf-8", "replace")
+        return [{"path": row["path"], **r} for r in parse_warc_text(text)]
+
+    files = rd.read_binary_files(paths, include_paths=True)
+    return files.flat_map(split_file)
