@@ -67,9 +67,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cdxj_from_sidecar(flagship(sf_dir))
 
     def mm_image_stats(sf_dir: str):
+        import pyarrow as pa
+        import pyarrow.compute as pc_
+
+        def image_rows_only(batch: pa.Table) -> pa.Table:
+            mask = pc_.is_in(batch.column("fmt"),
+                             value_set=pa.array(["png", "ppm", "b16"]))
+            return batch.filter(mask)
+
         return multimodal.image_decode_stats(
-            images_dataset(sf_dir).filter(
-                lambda r: r["fmt"] in ("png", "ppm", "b16")))
+            images_dataset(sf_dir).map_batches(
+                image_rows_only, batch_format="pyarrow", zero_copy_batch=True))
 
     def crawl_demo(sf_dir: str):
         """Deterministic 2-epoch crawl (frontier shuffles, seen-set shards,

@@ -132,3 +132,35 @@ def test_per_row_fidelity_of_crawl_sidecar(tmp_path):
                 ref_px = synth.make_pixels(r["image_id"], px.shape[1],
                                            px.shape[0], cfg.seed)
                 assert codecs.psnr(px, ref_px) >= 40.0
+
+
+def test_select_budget_hot_host_salting_exact():
+    """Hot-host skew splitting (north_rule): a 5,000-URL host ranked through
+    (host, salt) sub-groups selects EXACTLY the global per-host top-budget
+    under the total order — salting must never change the selection."""
+    import ray.data as rd
+
+    from sidecar import frontier as fr
+
+    rows = []
+    for i in range(5000):  # hot host
+        rows.append({"url": f"https://hot.example.com/p/{i}",
+                     "priority": float((i * 2654435761) % 997) / 997.0,
+                     "depth": i % 4, "seed_id": i})
+    for h in range(5):     # normal hosts
+        for i in range(20):
+            rows.append({"url": f"https://h{h}.example.com/p/{i}",
+                         "priority": float(i % 7) / 7.0, "depth": 0,
+                         "seed_id": 10000 + h * 100 + i})
+    tbl = fr.candidates_from_urls(rows, epoch=0)
+    out = fr.select_budget(rd.from_arrow(tbl), budget=7, n_salts=16).to_pandas()
+
+    df = tbl.to_pandas()
+    for host, g in df.groupby("host"):
+        want = set(
+            g.sort_values(fr.SORT_COLS, ascending=fr.SORT_ASC, kind="mergesort")
+            .head(7)["url_hash"])
+        got = set(out[(out.host == host) & out.selected]["url_hash"])
+        assert got == want, host
+    # leftover (non-selected) rows are preserved, nothing dropped
+    assert len(out) == len(df)
