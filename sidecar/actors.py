@@ -23,7 +23,9 @@ from sidecar import synth
 from sidecar.state import BloomFilter, CuckooFilter
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)  # pure state actor: zero CPU reservation so pools
+# of state shards always schedule even on tiny clusters (a 0.25 reservation
+# deadlocked fetch actors blocked on shard RPCs at num_cpus=4)
 class SeenShard:
     def __init__(self, shard_id: int, n_buckets: int = 1 << 16, bloom_bits: int = 1 << 20):
         self.shard_id = shard_id
@@ -77,7 +79,9 @@ class SeenShard:
         return len(self.exact)
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)  # pure state actor: zero CPU reservation so pools
+# of state shards always schedule even on tiny clusters (a 0.25 reservation
+# deadlocked fetch actors blocked on shard RPCs at num_cpus=4)
 class HostPolicy:
     """Politeness + robots for the hosts sharded onto this actor."""
 

@@ -159,10 +159,18 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
             fpath = os.path.join(_epoch_dir(cfg, last), "next_frontier.parquet")
             frontier_tbl = pq.read_table(fpath) if os.path.exists(fpath) else None
 
+    import time as _time
+
     for epoch in range(start_epoch, cfg.max_epochs):
         if frontier_tbl is None or frontier_tbl.num_rows == 0:
             break
         m: dict = {"epoch": epoch, "candidates": frontier_tbl.num_rows}
+        _t0 = _time.perf_counter()
+
+        def _lap(name: str) -> None:
+            nonlocal _t0
+            m[f"t_{name}"] = round(_time.perf_counter() - _t0, 3)
+            _t0 = _time.perf_counter()
 
         # bloom summary of the current seen set, replicated once per epoch
         blobs = ray.get([s.bloom_summary.remote() for s in shards])
@@ -171,14 +179,19 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
             bloom.merge(BloomFilter.deserialize(b))
         any_seen = sum(ray.get([s.size.remote() for s in shards])) > 0
 
-        ds = rd.from_arrow(frontier_tbl)
-        ds = fr.dedup_by_url_hash(ds)
+        # from_arrow yields ONE block — split so the filter/budget chain
+        # fans out (block = unit of map parallelism)
+        n_blocks = max(8, min(64, frontier_tbl.num_rows // 500))
+        ds = rd.from_arrow(frontier_tbl).repartition(n_blocks)
+        # exact url_hash dedup is folded into select_budget's stage 1
+        # (same (host,salt) group ⇒ equivalent, one less all-to-all)
         ds = fr.filter_unseen(
             ds, shards, bloom.serialize() if any_seen else None, cfg.num_seen_shards
         )
         ds = fr.filter_robots(ds, policies, cfg.num_policy_actors)
-        flagged = fr.select_budget(ds, cfg.budget_per_host).materialize()
+        flagged = fr.select_budget(ds, cfg.budget_per_host, dedup=True).materialize()
         m["after_budget_pool"] = flagged.count()
+        _lap("budget")
 
         import pyarrow.compute as pc
 
@@ -186,24 +199,45 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
             lambda t: t.filter(pc.equal(t["selected"], True)).drop_columns(["selected"]),
             batch_format="pyarrow",
         ).materialize()
+        _lap("split_selected")
         leftover = flagged.map_batches(
             lambda t: t.filter(pc.equal(t["selected"], False)).drop_columns(["selected"]),
             batch_format="pyarrow",
         )
-        m["selected"] = selected.count()
+        # politeness accounting at the HostPolicy actors (token buckets).
+        # Grouped count via per-block partials + driver combine — no
+        # all-to-all shuffle for a result of ≤ #hosts rows.
+        def host_partials(t: pa.Table) -> pa.Table:
+            vc = t.column("host").value_counts()
+            return pa.table({"host": vc.field("values"),
+                             "n": pc.cast(vc.field("counts"), pa.int64())})
 
-        # politeness accounting at the HostPolicy actors (token buckets)
-        sel_hosts = selected.groupby("host").count().take_all()
+        host_counts: dict[str, int] = {}
+        for b in selected.map_batches(host_partials, batch_format="pyarrow",
+                                      zero_copy_batch=True).iter_batches(
+                                          batch_format="pyarrow"):
+            for hh, nn in zip(b.column("host").to_pylist(), b.column("n").to_pylist()):
+                host_counts[hh] = host_counts.get(hh, 0) + nn
+        m["selected"] = sum(host_counts.values())
         grant_futures = [
-            policies[host_shard(r["host"], cfg.num_policy_actors)].grant.remote(
-                r["host"], epoch, r["count()"]
-            )
-            for r in sel_hosts
+            policies[host_shard(hh, cfg.num_policy_actors)].grant.remote(hh, epoch, nn)
+            for hh, nn in sorted(host_counts.items())
         ]
         granted = sum(ray.get(grant_futures)) if grant_futures else 0
         assert granted == m["selected"], "budget invariant violated"
+        _lap("politeness")
 
-        # fetch (marks seen) → sidecar extraction → partitioned parquet
+        # fetch (marks seen) → sidecar extraction → partitioned parquet.
+        # Fixed-size actor pool: an autoscaling (1, N) pool ramps too slowly
+        # for epoch-length stages and left the fetch effectively serial
+        # (measured 34s → 4s for a 17k-URL epoch at 32 CPUs).
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # cap BELOW cluster size: a pool holding every CPU slot starves the
+        # downstream extract/write stages (deadlock-prone on small clusters)
+        n_fetchers = max(1, min(16, cpus // 2, cpus - 2))
+        # the unit of map parallelism is the BLOCK: re-split the (small,
+        # metadata-only) selected set so the fetch pool actually fans out
+        selected = selected.repartition(n_fetchers * 4)
         images = selected.map_batches(
             Fetcher,
             fn_constructor_kwargs={
@@ -214,14 +248,21 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
             },
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=(1, 8),
+            concurrency=n_fetchers,
             zero_copy_batch=True,
         )
         sidecar_ds = pipeline.sidecar_dataset(images, batch_size=256)
         sidecar_path = os.path.join(cfg.out_dir, "sidecar", f"epoch={epoch}")
         storage.write_table(sidecar_ds, sidecar_path)  # Lance when available
-        m["sidecar_rows"] = rd.read_parquet(sidecar_path).count() \
-            if not storage.HAVE_LANCE else rd.read_lance(sidecar_path).count()
+        if storage.HAVE_LANCE:
+            m["sidecar_rows"] = rd.read_lance(sidecar_path).count()
+        else:  # row count from parquet footers — no re-read execution
+            import glob as _glob
+
+            m["sidecar_rows"] = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for f in _glob.glob(os.path.join(sidecar_path, "*.parquet")))
+        _lap("fetch_sidecar_write")
 
         # deterministic crawl order for the epoch (total order, §2.6)
         order_rows = selected.sort(
@@ -230,6 +271,7 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
         ).select_columns(["url_canon"])
         epoch_order = [r["url_canon"] for r in order_rows.take_all()] if collect_order else []
         crawl_order.append(epoch_order)
+        _lap("order")
 
         # link discovery → next frontier (+ leftover, epoch bumped)
         links = fr.discover_links(
@@ -259,7 +301,9 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
         )
         if nf_tbl is not None and nf_tbl.num_rows:
             pq.write_table(nf_tbl, os.path.join(edir, "next_frontier.parquet"))
+        _lap("next_frontier")
         m["leftover"] = leftover.count()
+        _lap("leftover_count")
         m["links"] = (nf_tbl.num_rows if nf_tbl is not None else 0) - m["leftover"]
 
         # seen-set delta + manifest (lineage: config → epoch → partitions)
@@ -283,6 +327,10 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
         frontier_tbl = nf_tbl
 
     seen = np.sort(np.concatenate(ray.get([s.snapshot.remote() for s in shards])))
+    # release the state actors' CPU reservations — leaked actors accumulate
+    # across runs in one session and starve later pipelines of slots
+    for a in shards + policies:
+        ray.kill(a)
     return {
         "crawl_order": crawl_order,
         "seen": [int(x) for x in seen],

@@ -152,7 +152,7 @@ def filter_robots(frontier: "rd.Dataset", host_policies: list, num_actors: int) 
 
 
 def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int = 2048,
-                  n_salts: int = 16) -> "rd.Dataset":
+                  n_salts: int = 16, dedup: bool = False) -> "rd.Dataset":
     """Politeness top-k per host with hot-host skew splitting (A4, §2.6).
 
     Stage 1 groups by ``(host, salt)`` (salt = url_hash % n_salts) and marks
@@ -162,6 +162,11 @@ def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int =
     host.  Rows keep a ``selected`` flag; non-selected rows are the leftover
     frontier (the persistent priority queue).  Top-k(host) ≡ top-k of the
     union of per-salt top-k, so salting never changes the selection.
+
+    ``dedup=True`` folds the exact url_hash dedup (A4's groupby(url_hash),
+    keep-best-by-total-order) into stage 1 — duplicates of a url_hash always
+    share (host, salt), so this is exactly equivalent to a separate
+    groupby(url_hash) pass but saves one all-to-all per epoch.
     """
 
     def with_salt(batch: pa.Table) -> pa.Table:
@@ -170,6 +175,9 @@ def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int =
 
     def stage1(g: pd.DataFrame) -> pd.DataFrame:
         g = _sort_group(g)
+        if dedup:  # first row per url_hash is the best (total-order sorted)
+            g = g.drop_duplicates("url_hash", keep="first")
+        g = g.copy()
         g["finalist"] = np.arange(len(g)) < budget
         return g
 
