@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _cents(col: "pa.ChunkedArray | pa.Array") -> "pa.Array":

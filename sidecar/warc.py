@@ -16,7 +16,6 @@ lines, blank line, payload of Content-Length bytes, two blank lines.
 
 from __future__ import annotations
 
-import json
 import os
 
 import pyarrow as pa

@@ -1,8 +1,6 @@
 """Crawl-loop contracts: bit-for-bit equality vs the single-threaded oracle
 (BASELINE.json:north_rule), seen-set/actor semantics, checkpoint/resume."""
 
-import shutil
-
 import numpy as np
 import pytest
 import ray
