@@ -143,6 +143,49 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None,
     }
 
 
+def run_scaling_crawl() -> dict:
+    """Secondary scaling evidence: the FULL crawl loop (frontier shuffles,
+    politeness actors, fetch, sidecar write, checkpoints) at N vs 4N CPUs.
+    Barriers (2 all-to-alls + checkpoint per epoch) are a per-epoch constant
+    that amortizes with frontier size; at this sandbox scale they bound
+    efficiency below the pure fetch+sidecar pipeline's (see BASELINE.md)."""
+    cpus_lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    cpus_hi = int(os.environ.get("GRAFT_SCALE_HI", str(cpus_lo * 4)))
+    code = (
+        "import ray, time, sys, tempfile, json\n"
+        "sys.path.insert(0, '.')\n"
+        "ray.init(address='local', num_cpus=int(sys.argv[1]),"
+        " include_dashboard=False, logging_level='ERROR')\n"
+        "from ray.data import DataContext\n"
+        "DataContext.get_current().enable_progress_bars = False\n"
+        "import ray.data as rd\n"
+        "for b in rd.range(10000).map_batches(lambda b: b, batch_format='pyarrow')"
+        ".iter_batches(): pass\n"
+        "from sidecar.crawl import CrawlConfig, run_crawl\n"
+        "t0 = time.perf_counter()\n"
+        "res = run_crawl(CrawlConfig(n_seeds=30000, n_hosts=300, budget_per_host=250,"
+        " max_epochs=2, out_dir=tempfile.mkdtemp(dir='/tmp')), collect_order=False)\n"
+        "dt = time.perf_counter() - t0\n"
+        "print(json.dumps({'sec': round(dt, 1), 'urls': len(res['seen'])}))\n"
+        "ray.shutdown()\n"
+    )
+    results = {}
+    for n in (cpus_lo, cpus_hi):
+        out = subprocess.run([sys.executable, "-c", code, str(n)],
+                             capture_output=True, text=True, timeout=3600)
+        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    thr = {n: results[n]["urls"] / results[n]["sec"] for n in results}
+    eff = (thr[cpus_hi] / thr[cpus_lo]) / (cpus_hi / cpus_lo)
+    return {
+        "metric": f"crawl-loop scaling efficiency ({cpus_lo} vs {cpus_hi} CPUs)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "throughput_urls_per_sec": {str(n): round(thr[n], 1) for n in thr},
+        "times_sec": {str(n): results[n]["sec"] for n in results},
+        "urls": results[cpus_lo]["urls"],
+    }
+
+
 def run_headline_only(sf_dir: str, num_cpus: int) -> dict:
     """Scaled headline for the scaling criterion: a synthetic URL frontier
     (size from $GRAFT_SCALE_URLS, default 60k) through fetch+sidecar.  The
@@ -184,7 +227,9 @@ def run_headline_only(sf_dir: str, num_cpus: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    if "--scaling" in sys.argv:
+    if "--scaling-crawl" in sys.argv:
+        res = run_scaling_crawl()
+    elif "--scaling" in sys.argv:
         res = run_scaling(sf_dir)
     elif "--headline-only" in sys.argv:
         res = run_headline_only(sf_dir, num_cpus)

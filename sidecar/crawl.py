@@ -104,6 +104,14 @@ class Fetcher:
         return pa.Table.from_pylist(rows, schema=schema)
 
 
+def _parquet_rows(d: str) -> int:
+    """Row count from parquet footers — no read execution."""
+    import glob as _glob
+
+    return sum(pq.ParquetFile(f).metadata.num_rows
+               for f in _glob.glob(os.path.join(d, "*.parquet")))
+
+
 def _write_ckpt(path: str, obj: dict) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
@@ -156,15 +164,24 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
                 crawl_order.append(man["crawl_order"])
                 metrics.append(man["metrics"])
             start_epoch = last + 1
-            fpath = os.path.join(_epoch_dir(cfg, last), "next_frontier.parquet")
-            frontier_tbl = pq.read_table(fpath) if os.path.exists(fpath) else None
+            fdir = os.path.join(_epoch_dir(cfg, last), "next_frontier")
+            fpath = fdir + ".parquet"   # legacy single-file layout
+            if os.path.isdir(fdir) and _parquet_rows(fdir):
+                frontier_tbl = pq.read_table(fdir)
+            elif os.path.exists(fpath):
+                frontier_tbl = pq.read_table(fpath)
+            else:
+                frontier_tbl = None
 
     import time as _time
 
+    frontier_src: str | None = None  # parquet dir once epochs hand off
+    frontier_rows = frontier_tbl.num_rows if frontier_tbl is not None else 0
+
     for epoch in range(start_epoch, cfg.max_epochs):
-        if frontier_tbl is None or frontier_tbl.num_rows == 0:
+        if (frontier_tbl is None and frontier_src is None) or frontier_rows == 0:
             break
-        m: dict = {"epoch": epoch, "candidates": frontier_tbl.num_rows}
+        m: dict = {"epoch": epoch, "candidates": frontier_rows}
         _t0 = _time.perf_counter()
 
         def _lap(name: str) -> None:
@@ -180,9 +197,13 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
         any_seen = sum(ray.get([s.size.remote() for s in shards])) > 0
 
         # from_arrow yields ONE block — split so the filter/budget chain
-        # fans out (block = unit of map parallelism)
-        n_blocks = max(8, min(64, frontier_tbl.num_rows // 500))
-        ds = rd.from_arrow(frontier_tbl).repartition(n_blocks)
+        # fans out (block = unit of map parallelism); parquet dirs already
+        # read as one block per file
+        if frontier_tbl is not None:
+            n_blocks = max(8, min(64, frontier_rows // 500))
+            ds = rd.from_arrow(frontier_tbl).repartition(n_blocks)
+        else:
+            ds = rd.read_parquet(frontier_src)
         # exact url_hash dedup is folded into select_budget's stage 1
         # (same (host,salt) group ⇒ equivalent, one less all-to-all)
         ds = fr.filter_unseen(
@@ -257,11 +278,7 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
         if storage.HAVE_LANCE:
             m["sidecar_rows"] = rd.read_lance(sidecar_path).count()
         else:  # row count from parquet footers — no re-read execution
-            import glob as _glob
-
-            m["sidecar_rows"] = sum(
-                pq.ParquetFile(f).metadata.num_rows
-                for f in _glob.glob(os.path.join(sidecar_path, "*.parquet")))
+            m["sidecar_rows"] = _parquet_rows(sidecar_path)
         _lap("fetch_sidecar_write")
 
         # deterministic crawl order for the epoch (total order, §2.6)
@@ -291,20 +308,17 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
         next_frontier = leftover.map_batches(bump, batch_format="pyarrow").union(links)
         edir = _epoch_dir(cfg, epoch)
         os.makedirs(edir, exist_ok=True)
-        nf_batches = list(next_frontier.iter_batches(batch_format="pyarrow"))
-        nf_tbl = (
-            pa.concat_tables(
-                [b if isinstance(b, pa.Table) else pa.Table.from_batches([b]) for b in nf_batches]
-            )
-            if nf_batches
-            else None
-        )
-        if nf_tbl is not None and nf_tbl.num_rows:
-            pq.write_table(nf_tbl, os.path.join(edir, "next_frontier.parquet"))
+        # distributed, partitioned frontier hand-off: the next frontier is
+        # written as a parquet DIRECTORY by the workers (the driver-side
+        # collect-and-concat it replaces serialized with link count and
+        # capped crawl scaling at ~0.5)
+        nf_dir = os.path.join(edir, "next_frontier")
+        next_frontier.write_parquet(nf_dir)
+        nf_rows = _parquet_rows(nf_dir)
         _lap("next_frontier")
         m["leftover"] = leftover.count()
         _lap("leftover_count")
-        m["links"] = (nf_tbl.num_rows if nf_tbl is not None else 0) - m["leftover"]
+        m["links"] = nf_rows - m["leftover"]
 
         # seen-set delta + manifest (lineage: config → epoch → partitions)
         deltas = ray.get([s.drain_delta.remote() for s in shards])
@@ -324,7 +338,9 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
             },
         )
         metrics.append(m)
-        frontier_tbl = nf_tbl
+        frontier_tbl = None
+        frontier_src = nf_dir if nf_rows else None
+        frontier_rows = nf_rows
 
     seen = np.sort(np.concatenate(ray.get([s.snapshot.remote() for s in shards])))
     # release the state actors' CPU reservations — leaked actors accumulate
