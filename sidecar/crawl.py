@@ -15,11 +15,17 @@ Dataset blocks.  The frontier tables carry metadata only — image bytes are
 born inside the fetch stage and die in the sidecar parquet (never shuffled).
 
 Checkpoint/resume (north_rule "resumable from per-partition checkpoints
-carrying lineage"): ``out_dir/_ckpt/epoch=N/manifest.json`` records the
-epoch's lineage (config hash → epoch → output files), metrics, and the
-seen-set delta; the next frontier is written as parquet.  ``resume=True``
-restores the seen shards from the deltas and continues after the last
-complete epoch — finished epochs are never re-fetched.
+carrying lineage seed→frontier-epoch→partition"): two granularities —
+- epoch: ``_ckpt/epoch=N/manifest.json`` (metrics, crawl order, seen-set
+  delta, next frontier as a worker-written parquet directory); resume
+  restores seen shards from the deltas and continues after the last
+  complete epoch.
+- fetch partition: within an epoch the fetch is split part = url_hash %%
+  num_fetch_partitions, the sidecar parquet is hive-partitioned by part,
+  and ``_ckpt/epoch=N/parts/part=K.json`` records each completed part's
+  lineage + rows + files.  Resuming a crashed epoch re-runs the (cheap,
+  deterministic) frontier selection, re-marks the completed parts' URLs
+  seen (idempotent), and fetches ONLY the unfinished parts.
 """
 
 from __future__ import annotations
@@ -53,6 +59,7 @@ class CrawlConfig:
     seed: int = 42
     num_seen_shards: int = 8
     num_policy_actors: int = 4
+    num_fetch_partitions: int = 16
     out_dir: str = "/tmp/crawl_out"
 
     def lineage_id(self) -> str:
@@ -109,7 +116,8 @@ def _parquet_rows(d: str) -> int:
     import glob as _glob
 
     return sum(pq.ParquetFile(f).metadata.num_rows
-               for f in _glob.glob(os.path.join(d, "*.parquet")))
+               for f in _glob.glob(os.path.join(d, "**", "*.parquet"),
+                                   recursive=True))
 
 
 def _write_ckpt(path: str, obj: dict) -> None:
@@ -248,6 +256,72 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
         assert granted == m["selected"], "budget invariant violated"
         _lap("politeness")
 
+        # ---- sub-epoch fetch partitions (north_rule per-partition ckpt) ---
+        # part = url_hash % P partitions the fetch deterministically; each
+        # completed part gets a manifest (lineage: config → epoch → part),
+        # so a crashed epoch resumes fetching ONLY the unfinished parts
+        # (determinism makes re-selection identical; re-marking seen is
+        # idempotent).
+        P = cfg.num_fetch_partitions
+        edir = _epoch_dir(cfg, epoch)
+        parts_dir = os.path.join(edir, "parts")
+        sidecar_path = os.path.join(cfg.out_dir, "sidecar", f"epoch={epoch}")
+
+        def add_part(t: pa.Table) -> pa.Table:
+            h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return t.append_column(
+                "part", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+        selected = selected.map_batches(add_part, batch_format="pyarrow",
+                                        zero_copy_batch=True).materialize()
+        done_parts: set[int] = set()
+        if os.path.isdir(parts_dir):
+            done_parts = {int(fn.split("=")[1].split(".")[0])
+                          for fn in os.listdir(parts_dir) if fn.startswith("part=")}
+        if done_parts:
+            # clear stale partial writes of unfinished parts
+            import shutil as _shutil
+
+            if os.path.isdir(sidecar_path):
+                for d in os.listdir(sidecar_path):
+                    k = int(d.split("=")[1]) if "=" in d else -1
+                    if k not in done_parts:
+                        _shutil.rmtree(os.path.join(sidecar_path, d),
+                                       ignore_errors=True)
+            # re-mark done parts' URLs seen (their fetch is on disk; actor
+            # state died with the crashed run) — distributed, idempotent
+            done_arr = pa.array(sorted(done_parts), pa.int64())
+
+            def mark_done_seen(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc_
+
+                sub = t.filter(pc_.is_in(t.column("part"), value_set=done_arr))
+                h = sub.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+                so = (h % np.uint64(cfg.num_seen_shards)).astype(np.int64)
+                futs = [shards[si].add_many.remote(h[so == si])
+                        for si in range(cfg.num_seen_shards) if (so == si).any()]
+                ray.get(futs)
+                return pa.table({"n": pa.array([len(h)], pa.int64())})
+
+            n_done_rows = sum(
+                b.column("n").to_pylist()[0]
+                for b in selected.map_batches(
+                    mark_done_seen, batch_format="pyarrow",
+                    zero_copy_batch=True).iter_batches(batch_format="pyarrow"))
+            m["resumed_parts"] = sorted(done_parts)
+            m["resumed_rows"] = int(n_done_rows)
+
+            def drop_done(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc_
+
+                return t.filter(pc_.invert(
+                    pc_.is_in(t.column("part"), value_set=done_arr)))
+
+            to_fetch = selected.map_batches(drop_done, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+        else:
+            to_fetch = selected
+
         # fetch (marks seen) → sidecar extraction → partitioned parquet.
         # Fixed-size actor pool: an autoscaling (1, N) pool ramps too slowly
         # for epoch-length stages and left the fetch effectively serial
@@ -258,8 +332,8 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
         n_fetchers = max(1, min(16, cpus // 2, cpus - 2))
         # the unit of map parallelism is the BLOCK: re-split the (small,
         # metadata-only) selected set so the fetch pool actually fans out
-        selected = selected.repartition(n_fetchers * 4)
-        images = selected.map_batches(
+        to_fetch = to_fetch.repartition(n_fetchers * 4)
+        images = to_fetch.map_batches(
             Fetcher,
             fn_constructor_kwargs={
                 "seen_shards": shards,
@@ -273,11 +347,42 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
             zero_copy_batch=True,
         )
         sidecar_ds = pipeline.sidecar_dataset(images, batch_size=256)
-        sidecar_path = os.path.join(cfg.out_dir, "sidecar", f"epoch={epoch}")
-        storage.write_table(sidecar_ds, sidecar_path)  # Lance when available
-        if storage.HAVE_LANCE:
+
+        # re-derive the fetch partition on the sidecar side (image_id is the
+        # canonical url, so url_hash(image_id) % P matches the frontier part)
+        from sidecar.canon import url_hash as _uh
+
+        def add_part_out(t: pa.Table) -> pa.Table:
+            parts = [(_uh(i) % P) for i in t.column("image_id").to_pylist()]
+            return t.append_column("part", pa.array(parts, pa.int64()))
+
+        sidecar_ds = sidecar_ds.map_batches(add_part_out, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+        n_remaining = m["selected"] - m.get("resumed_rows", 0)
+        if storage.HAVE_LANCE:  # pragma: no cover - lance absent in sandbox
+            storage.write_table(sidecar_ds, sidecar_path)
             m["sidecar_rows"] = rd.read_lance(sidecar_path).count()
-        else:  # row count from parquet footers — no re-read execution
+        else:
+            if n_remaining > 0:
+                sidecar_ds.write_parquet(sidecar_path, partition_cols=["part"])
+            # one manifest per completed part: the north_rule lineage unit
+            # (config lineage → frontier epoch → fetch partition)
+            os.makedirs(parts_dir, exist_ok=True)
+            if os.path.isdir(sidecar_path):
+                for d in sorted(os.listdir(sidecar_path)):
+                    if not d.startswith("part="):
+                        continue
+                    k = int(d.split("=")[1])
+                    if k in done_parts:
+                        continue
+                    pdir = os.path.join(sidecar_path, d)
+                    _write_ckpt(os.path.join(parts_dir, f"part={k}.json"), {
+                        "lineage_id": cfg.lineage_id(),
+                        "epoch": epoch,
+                        "part": k,
+                        "rows": _parquet_rows(pdir),
+                        "files": sorted(os.listdir(pdir)),
+                    })
             m["sidecar_rows"] = _parquet_rows(sidecar_path)
         _lap("fetch_sidecar_write")
 

@@ -115,7 +115,8 @@ def test_per_row_fidelity_of_crawl_sidecar(tmp_path):
     run_crawl(cfg, collect_order=False)
     import glob
 
-    files = glob.glob(str(tmp_path / "c" / "sidecar" / "epoch=*" / "*.parquet"))
+    files = glob.glob(str(tmp_path / "c" / "sidecar" / "epoch=*" / "**" / "*.parquet"),
+                      recursive=True)
     assert files
     rows = pq.read_table(files[0]).to_pylist()
     assert rows
@@ -162,3 +163,40 @@ def test_select_budget_hot_host_salting_exact():
         assert got == want, host
     # leftover (non-selected) rows are preserved, nothing dropped
     assert len(out) == len(df)
+
+
+def test_mid_epoch_partition_resume(tmp_path):
+    """north_rule per-partition checkpoints: after a simulated crash inside
+    an epoch (manifest + one fetch partition lost), resume re-fetches ONLY
+    the lost partition; untouched partitions keep their files (mtime-equal)
+    and the final seen set + crawl order are bit-identical."""
+    import glob
+    import json
+    import os
+
+    cfg = CrawlConfig(n_seeds=60, n_hosts=10, budget_per_host=10, max_epochs=2,
+                      num_fetch_partitions=8, out_dir=str(tmp_path / "c"))
+    r1 = run_crawl(cfg)
+    ep1 = os.path.join(cfg.out_dir, "sidecar", "epoch=1")
+    parts = sorted(os.listdir(ep1))
+    assert len(parts) > 2
+    mtimes = {d: os.path.getmtime(os.path.join(ep1, d)) for d in parts}
+
+    victim = parts[0]
+    k = victim.split("=")[1]
+    os.remove(os.path.join(cfg.out_dir, "_ckpt", "epoch=1", "manifest.json"))
+    os.remove(os.path.join(cfg.out_dir, "_ckpt", "epoch=1", "parts", f"part={k}.json"))
+    import shutil
+
+    shutil.rmtree(os.path.join(ep1, victim))
+
+    r2 = run_crawl(cfg, resume=True)
+    assert r2["seen"] == r1["seen"]
+    assert r2["crawl_order"] == r1["crawl_order"]
+    assert os.path.isdir(os.path.join(ep1, victim))
+    assert all(os.path.getmtime(os.path.join(ep1, d)) == mtimes[d] for d in parts[1:])
+    # each part manifest carries the full lineage chain
+    man = json.load(open(os.path.join(cfg.out_dir, "_ckpt", "epoch=1", "parts",
+                                      f"part={k}.json")))
+    assert man["lineage_id"] == cfg.lineage_id()
+    assert man["epoch"] == 1 and man["part"] == int(k) and man["rows"] > 0
