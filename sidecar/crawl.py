@@ -20,7 +20,7 @@ carrying lineage seed→frontier-epoch→partition"): two granularities —
   delta, next frontier as a worker-written parquet directory); resume
   restores seen shards from the deltas and continues after the last
   complete epoch.
-- fetch partition: within an epoch the fetch is split part = url_hash %%
+- fetch partition: within an epoch the fetch is split part = url_hash %
   num_fetch_partitions, the sidecar parquet is hive-partitioned by part,
   and ``_ckpt/epoch=N/parts/part=K.json`` records each completed part's
   lineage + rows + files.  Resuming a crashed epoch re-runs the (cheap,
