@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_customer_order_stats": relational.customer_order_stats,
         "rel_supplier_part_join": relational.supplier_part_join,
         "rel_asof_last_order": relational.asof_last_order,
+        "rel_union_nations": relational.union_nations,
+        "rel_except_customers": relational.except_customers,
+        "rel_systematic_sample": relational.systematic_sample,
         # --- crawl/sidecar engine (rows-only: synthesized payload path) --
         "sidecar_extract": sidecar_extract,
         "cdxj_project": cdxj_project,
@@ -290,6 +293,21 @@ def oracle_sql() -> dict[str, str]:
                    max(epoch_us(o_orderdate)) AS last_date_us,
                    round(sum(o_totalprice) * 100)::BIGINT AS total_price_cents
             FROM orders GROUP BY 1
+        """,
+        "rel_union_nations": """
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "rel_except_customers": """
+            SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "rel_systematic_sample": """
+            SELECT o_orderkey,
+                   round(o_totalprice * 100)::BIGINT AS o_totalprice_cents
+            FROM orders WHERE o_orderkey % 100 = 0
         """,
         "rel_asof_last_order": """
             WITH ranked AS (

@@ -305,3 +305,72 @@ def asof_last_order(sf_dir: str) -> "rd.Dataset":
                              columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(ord_rows, batch_format="pyarrow", zero_copy_batch=True)
     return ev.union(orders).groupby("key").map_groups(asof_group, batch_format="pandas")
+
+
+def union_nations(sf_dir: str) -> "rd.Dataset":
+    """Set op: distinct nation keys present in customer UNION supplier —
+    `ds.union` then a per-block-partial distinct (no full shuffle: partials
+    are tiny)."""
+
+    def proj(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            vals = batch.column(col).to_numpy(zero_copy_only=False)
+            return pa.table({"nationkey": pa.array(np.unique(vals), pa.int64())})
+        return f
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"]) \
+        .map_batches(proj("c_nationkey"), batch_format="pyarrow", zero_copy_batch=True)
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"]) \
+        .map_batches(proj("s_nationkey"), batch_format="pyarrow", zero_copy_batch=True)
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.iloc[:1]
+
+    return cust.union(sup).groupby("nationkey").map_groups(first, batch_format="pandas")
+
+
+def except_customers(sf_dir: str, min_bal: float = 5000.0,
+                     segment: str = "BUILDING") -> "rd.Dataset":
+    """Set op (EXCEPT / broadcast anti-join): high-balance customers minus
+    the ``segment`` customers.  The subtract side is broadcast once via
+    ray.put; the probe side streams through map_batches — the anti-join
+    plan for any small-side EXCEPT at scale."""
+    import pyarrow.parquet as pq_
+
+    side = pq_.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_mktsegment"])
+    seg = set(side.filter(pc.equal(side.column("c_mktsegment"), segment))
+              .column("c_custkey").to_pylist())
+    seg_ref = ray.put(seg)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        s = ray.get(seg_ref)
+        keep_bal = pc.greater(batch.column("c_acctbal"), min_bal)
+        sub = batch.filter(keep_bal)
+        vals = sub.column("c_custkey").to_numpy(zero_copy_only=False)
+        keep = np.array([v not in s for v in vals], dtype=bool)
+        return pa.table({"c_custkey": pa.array(vals[keep], pa.int64())})
+
+    return rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"]) \
+        .map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def systematic_sample(sf_dir: str, every: int = 100) -> "rd.Dataset":
+    """Deterministic systematic sample: every `every`-th order by key — the
+    reproducible sampling primitive (random_shuffle/sample are available in
+    Ray Data but are not oracle-checkable)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        keep = (keys % every) == 0
+        return pa.table({
+            "o_orderkey": pa.array(keys[keep], pa.int64()),
+            "o_totalprice_cents": _cents(
+                pa.array(batch.column("o_totalprice").to_numpy(
+                    zero_copy_only=False)[keep])),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
