@@ -153,3 +153,35 @@ def read_warc_text(paths: str | list[str]) -> "rd.Dataset":
 
     files = rd.read_binary_files(paths, include_paths=True)
     return files.flat_map(split_file)
+
+
+# ---------------------------------------------------------------------------
+# Output-path derivation conventions (S3/S8 in SURVEY.md §2.1) — the
+# reference's filename rules, re-implemented as pure functions.
+# ---------------------------------------------------------------------------
+
+import re
+
+
+def sidecar_name(archive_name: str) -> str:
+    """``x.warc(.gz)`` / ``x.arc(.gz)`` → ``x.warc.meta.gz``
+    (warc_metadata_sidecar.py:183 semantics)."""
+    return re.sub(r"w?arc(\.gz)?$", "warc.meta.gz", archive_name)
+
+
+def cdxj_name_from_sidecar(sidecar_file: str) -> str:
+    """``x.warc.meta.gz`` → ``x.cdxj`` (sidecar2cdxj.py:11-15 semantics)."""
+    base = os.path.basename(sidecar_file)
+    return re.sub(r"warc\.meta\.gz$", "cdxj", base)
+
+
+def merged_cdxj_name(warc_cdxj: str) -> str:
+    """``x.cdxj`` → ``x_merged.cdxj`` (merge_cdxj.py:96-101 semantics)."""
+    base = os.path.basename(warc_cdxj)
+    return re.sub(r"\.cdxj$", "_merged.cdxj", base)
+
+
+def is_arc_name(archive_name: str) -> bool:
+    """ARC-vs-WARC filename sniff (warc_metadata_sidecar.py:35,186-189)."""
+    return bool(re.search(r"arc(\.gz)?$", archive_name)) and not bool(
+        re.search(r"warc(\.gz)?$", archive_name))

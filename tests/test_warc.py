@@ -55,3 +55,18 @@ def test_warc_zero_record_rewrite(tmp_path):
     recs = warc.parse_warc_text(open(path, "rb").read().decode())
     assert len(recs) == 1
     assert "0 metadata sidecar records" in recs[0]["payload"]
+
+
+def test_filename_derivation():
+    """S3/S8 path conventions match the reference's regex semantics."""
+    from sidecar.warc import (cdxj_name_from_sidecar, is_arc_name,
+                              merged_cdxj_name, sidecar_name)
+
+    assert sidecar_name("a.warc") == "a.warc.meta.gz"
+    assert sidecar_name("a.warc.gz") == "a.warc.meta.gz"
+    assert sidecar_name("a.arc") == "a.warc.meta.gz"
+    assert sidecar_name("a.arc.gz") == "a.warc.meta.gz"
+    assert cdxj_name_from_sidecar("/dir/a.warc.meta.gz") == "a.cdxj"
+    assert merged_cdxj_name("/dir/a.cdxj") == "a_merged.cdxj"
+    assert is_arc_name("a.arc") and is_arc_name("a.arc.gz")
+    assert not is_arc_name("a.warc") and not is_arc_name("a.warc.gz")
