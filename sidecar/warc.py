@@ -45,19 +45,38 @@ def warcinfo_record_text(filename: str, operator: str | None = None,
     return _record_text(headers, payload)
 
 
-def metadata_record_text(row: dict) -> str:
-    """One sidecar WARC ``metadata`` record (reference :278-283 shape)."""
+def metadata_record_text(row: dict, *, source_is_warc: bool = True,
+                         warcinfo_id: str | None = None) -> str:
+    """One sidecar WARC ``metadata`` record (reference :278-283 shape).
+
+    Header parity with the reference's F4 projection (:217-228): a
+    WARC-sourced record carries ``WARC-Concurrent-ID`` (the source record's
+    id — here derived deterministically from url+ts, since our records are
+    born synthetic) and, when known, ``WARC-Warcinfo-ID``; an ARC-sourced
+    record carries only ``WARC-Date`` extras (tests assert the absence,
+    reference tests :188-197).
+    """
+    import hashlib as _hashlib
+
     ts = row.get("ts") or "20210101000000"
     iso = (f"{ts[0:4]}-{ts[4:6]}-{ts[6:8]}T{ts[8:10]}:{ts[10:12]}:{ts[12:14]}Z"
            if len(ts) == 14 else ts)
     headers = [("WARC-Type", "metadata"),
                ("WARC-Target-URI", row.get("url") or ""),
-               ("WARC-Date", iso),
-               ("Content-Type", "application/warc-fields")]
+               ("WARC-Date", iso)]
+    if source_is_warc:
+        rec_hash = _hashlib.blake2b(
+            f"{row.get('url')}|{ts}".encode(), digest_size=16).hexdigest()
+        concurrent = row.get("concurrent_id") or f"<urn:uuid:{rec_hash}>"
+        headers.append(("WARC-Concurrent-ID", concurrent))
+        if warcinfo_id:
+            headers.append(("WARC-Warcinfo-ID", warcinfo_id))
+    headers.append(("Content-Type", "application/warc-fields"))
     return _record_text(headers, sidecar_row_to_payload(row))
 
 
-def sidecar_to_warc_text(sidecar_ds) -> "rd.Dataset":
+def sidecar_to_warc_text(sidecar_ds, *, source_is_warc: bool = True,
+                         warcinfo_id: str | None = None) -> "rd.Dataset":
     """SIDECAR Dataset → one-column (``record``) Dataset of WARC record
     texts, in a streaming map (rows with an empty payload are skipped, the
     reference's :270-271 rule)."""
@@ -66,7 +85,8 @@ def sidecar_to_warc_text(sidecar_ds) -> "rd.Dataset":
         recs = []
         for row in batch.to_pylist():
             if sidecar_row_to_payload(row):
-                recs.append(metadata_record_text(row))
+                recs.append(metadata_record_text(row, source_is_warc=source_is_warc,
+                                                 warcinfo_id=warcinfo_id))
         return pa.table({"record": pa.array(recs, pa.string())})
 
     return sidecar_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -74,7 +94,9 @@ def sidecar_to_warc_text(sidecar_ds) -> "rd.Dataset":
 
 def write_sidecar_warc(sidecar_ds, path: str, *, filename: str | None = None,
                        operator: str | None = None,
-                       publisher: str | None = None) -> int:
+                       publisher: str | None = None,
+                       source_is_warc: bool = True,
+                       warcinfo_id: str | None = None) -> int:
     """Write a sidecar WARC text file: warcinfo first, then the metadata
     records (streamed).  Returns the number of metadata records written;
     zero-record files still carry the warcinfo (S4 analog: the reference
@@ -84,7 +106,9 @@ def write_sidecar_warc(sidecar_ds, path: str, *, filename: str | None = None,
         pos = f.tell()
         f.write(warcinfo_record_text(filename or os.path.basename(path),
                                      operator, publisher))
-        for batch in sidecar_to_warc_text(sidecar_ds).iter_batches(
+        for batch in sidecar_to_warc_text(
+                sidecar_ds, source_is_warc=source_is_warc,
+                warcinfo_id=warcinfo_id).iter_batches(
                 batch_format="pyarrow"):
             col = batch.column("record") if hasattr(batch, "column") else batch["record"]
             for rec in col.to_pylist():

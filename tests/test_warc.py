@@ -70,3 +70,22 @@ def test_filename_derivation():
     assert merged_cdxj_name("/dir/a.cdxj") == "a_merged.cdxj"
     assert is_arc_name("a.arc") and is_arc_name("a.arc.gz")
     assert not is_arc_name("a.warc") and not is_arc_name("a.warc.gz")
+
+
+def test_arc_source_header_absence(images_table):
+    """F4 parity: ARC-sourced sidecar records carry no WARC-Concurrent-ID /
+    WARC-Warcinfo-ID; WARC-sourced ones do (reference tests :188-197)."""
+    ds = _sidecar(images_table.slice(0, 4))
+    warc_recs = warc.parse_warc_text(
+        "".join(r["record"] for r in warc.sidecar_to_warc_text(
+            ds, source_is_warc=True, warcinfo_id="<urn:uuid:w1>").take_all()))
+    arc_recs = warc.parse_warc_text(
+        "".join(r["record"] for r in warc.sidecar_to_warc_text(
+            _sidecar(images_table.slice(0, 4)), source_is_warc=False).take_all()))
+    assert warc_recs and arc_recs
+    for r in warc_recs:
+        assert "WARC-Concurrent-ID" in r["headers"]
+        assert r["headers"]["WARC-Warcinfo-ID"] == "<urn:uuid:w1>"
+    for r in arc_recs:
+        assert "WARC-Concurrent-ID" not in r["headers"]
+        assert "WARC-Warcinfo-ID" not in r["headers"]
