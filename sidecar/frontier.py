@@ -26,6 +26,7 @@ from sidecar.canon import canonical_url, host_of, url_hash
 
 SORT_COLS = ["priority", "depth", "url_hash", "seed_id", "url"]
 SORT_ASC = [False, True, True, True, True]
+NUM_BUDGET_PARTS = 64  # coarse Ray-level partition count for select_budget
 
 
 def _sort_group(g: pd.DataFrame) -> pd.DataFrame:
@@ -169,29 +170,43 @@ def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int =
     groupby(url_hash) pass but saves one all-to-all per epoch.
     """
 
-    def with_salt(batch: pa.Table) -> pa.Table:
+    # Ray-level grouping uses COARSE partition keys (≤ NUM_BUDGET_PARTS
+    # groups per stage); the exact (host, salt) / host grouping happens
+    # vectorized INSIDE each task via sort + groupby().cumcount() — per-group
+    # Python dispatch over (hosts × salts) tiny groups dominated wall time
+    # otherwise (measured 13-17s → ~4s for a 400k-row frontier at 32 CPUs).
+    from zlib import crc32
+
+    def with_keys(batch: pa.Table) -> pa.Table:
         h = batch.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        return batch.append_column("salt", pa.array((h % np.uint64(n_salts)).astype(np.int32)))
+        salt = (h % np.uint64(n_salts)).astype(np.int32)
+        hp = np.array([crc32(x.encode()) for x in batch.column("host").to_pylist()],
+                      dtype=np.int64)
+        part1 = ((hp * np.int64(31) + salt) % NUM_BUDGET_PARTS).astype(np.int64)
+        part2 = (hp % NUM_BUDGET_PARTS).astype(np.int64)
+        t = batch.append_column("salt", pa.array(salt))
+        t = t.append_column("part1", pa.array(part1))
+        return t.append_column("part2", pa.array(part2))
 
     def stage1(g: pd.DataFrame) -> pd.DataFrame:
         g = _sort_group(g)
         if dedup:  # first row per url_hash is the best (total-order sorted)
             g = g.drop_duplicates("url_hash", keep="first")
         g = g.copy()
-        g["finalist"] = np.arange(len(g)) < budget
-        return g
+        g["finalist"] = g.groupby(["host", "salt"], sort=False).cumcount() < budget
+        return g.drop(columns=["part1"])
 
     def stage2(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        fin = g[g["finalist"]]
-        fin = _sort_group(fin)
-        chosen = set(fin.head(budget)["url_hash"])
-        g["selected"] = g["url_hash"].isin(chosen) & g["finalist"]
-        return g.drop(columns=["salt", "finalist"])
+        g = _sort_group(g).copy()
+        # rank finalists per host in total order; cumsum counts only them
+        fin_rank = (g.groupby("host", sort=False)["finalist"]
+                    .cumsum() - g["finalist"].astype(int))
+        g["selected"] = g["finalist"] & (fin_rank < budget)
+        return g.drop(columns=["salt", "finalist", "part2"])
 
-    salted = frontier.map_batches(with_salt, batch_format="pyarrow", zero_copy_batch=True)
-    ranked = salted.groupby(["host", "salt"]).map_groups(stage1, batch_format="pandas")
-    return ranked.groupby("host").map_groups(stage2, batch_format="pandas")
+    keyed = frontier.map_batches(with_keys, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = keyed.groupby("part1").map_groups(stage1, batch_format="pandas")
+    return ranked.groupby("part2").map_groups(stage2, batch_format="pandas")
 
 
 def discover_links(selected: "rd.Dataset", epoch: int, n_hosts: int, seed: int) -> "rd.Dataset":
