@@ -154,6 +154,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_union_nations": relational.union_nations,
         "rel_except_customers": relational.except_customers,
         "rel_systematic_sample": relational.systematic_sample,
+        "rel_sessionize": relational.sessionize,
+        "rel_events_sliding": relational.events_sliding,
         # --- crawl/sidecar engine (rows-only: synthesized payload path) --
         "sidecar_extract": sidecar_extract,
         "cdxj_project": cdxj_project,
@@ -303,6 +305,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey FROM customer WHERE c_acctbal > 5000
             EXCEPT
             SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        """,
+        "rel_sessionize": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+            lagd AS (SELECT user_id, ts_us, event_id,
+                            CASE WHEN lag(ts_us) OVER w IS NULL
+                                   OR ts_us - lag(ts_us) OVER w > 1800000000
+                                 THEN 1 ELSE 0 END AS new_s
+                     FROM e WINDOW w AS (PARTITION BY user_id
+                                         ORDER BY ts_us, event_id)),
+            sess AS (SELECT user_id, ts_us, event_id,
+                            sum(new_s) OVER (PARTITION BY user_id
+                                             ORDER BY ts_us, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS sid
+                     FROM lagd)
+            SELECT user_id, min(ts_us) AS session_start_us,
+                   count(*)::BIGINT AS n_events,
+                   max(ts_us) - min(ts_us) AS duration_us
+            FROM sess GROUP BY user_id, sid
+        """,
+        "rel_events_sliding": """
+            SELECT event_type, win_start, count(*)::BIGINT AS n_events FROM (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) * 3600 AS win_start
+                FROM events
+                UNION ALL
+                SELECT event_type,
+                       ((epoch_us(ts) - 1800000000) // 3600000000) * 3600 + 1800
+                           AS win_start
+                FROM events
+            ) GROUP BY 1, 2
         """,
         "rel_systematic_sample": """
             SELECT o_orderkey,

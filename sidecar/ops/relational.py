@@ -374,3 +374,77 @@ def systematic_sample(sf_dir: str, every: int = 100) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/orders.parquet",
                            columns=["o_orderkey", "o_totalprice"]) \
         .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sessionize(sf_dir: str, gap_s: int = 1800) -> "rd.Dataset":
+    """Session windows over the events log: per user, events separated by
+    more than ``gap_s`` start a new session.  One shuffle keyed by user;
+    the windowing itself is a vectorized sorted-group computation (Ray Data
+    has no event-time windows natively — this is the documented pattern:
+    partition by key, sort by ts inside the group).
+
+    Output: user_id, session_start_us, n_events, duration_us (all int64 —
+    exactly hashable against the SQL lag/cumsum-window oracle).
+    """
+    gap_us = gap_s * 1_000_000
+
+    def sessions_of_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"])
+        ts = g["ts_us"].to_numpy()
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sid = np.cumsum(new) - 1
+        out = pd.DataFrame({"ts_us": ts, "sid": sid})
+        agg = out.groupby("sid").agg(session_start_us=("ts_us", "min"),
+                                     n_events=("ts_us", "size"),
+                                     session_end_us=("ts_us", "max"))
+        return pd.DataFrame({
+            "user_id": np.full(len(agg), g["user_id"].iloc[0], dtype=np.int64),
+            "session_start_us": agg["session_start_us"].to_numpy(),
+            "n_events": agg["n_events"].to_numpy().astype(np.int64),
+            "duration_us": (agg["session_end_us"] - agg["session_start_us"]).to_numpy(),
+        })
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_id": batch.column("event_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_id", "ts"])
+        .map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(sessions_of_user, batch_format="pandas")
+    )
+
+
+def events_sliding(sf_dir: str, window_s: int = 3600, slide_s: int = 1800) -> "rd.Dataset":
+    """Sliding-window count: per event_type, 1h windows sliding every 30min —
+    each event lands in window_s/slide_s grids.  Implemented as the union of
+    K offset tumbling grids computed in one vectorized pass per batch
+    (partial counts), then a tiny global groupby."""
+    k = window_s // slide_s
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        us = df["ts"].values.astype("datetime64[us]").astype("int64")
+        frames = []
+        for i in range(k):
+            off = i * slide_s * 1_000_000
+            win = ((us - off) // (window_s * 1_000_000)) * window_s + i * slide_s
+            frames.append(pd.DataFrame({"event_type": df["event_type"],
+                                        "win_start": win}))
+        allf = pd.concat(frames)
+        g = allf.groupby(["event_type", "win_start"], as_index=False).size()
+        g = g.rename(columns={"size": "p_n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "win_start"])
+        .aggregate(Sum("p_n", alias_name="n_events"))
+    )
