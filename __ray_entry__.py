@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_systematic_sample": relational.systematic_sample,
         "rel_sessionize": relational.sessionize,
         "rel_events_sliding": relational.events_sliding,
+        "rel_running_totals": relational.running_totals,
         # --- crawl/sidecar engine (rows-only: synthesized payload path) --
         "sidecar_extract": sidecar_extract,
         "cdxj_project": cdxj_project,
@@ -335,6 +336,15 @@ def oracle_sql() -> dict[str, str]:
                            AS win_start
                 FROM events
             ) GROUP BY 1, 2
+        """,
+        "rel_running_totals": """
+            SELECT event_type, event_id,
+                   (row_number() OVER w)::BIGINT AS running_n,
+                   round((sum(value) OVER w) * 100)::BIGINT AS running_value_cents
+            FROM events
+            WINDOW w AS (PARTITION BY event_type
+                         ORDER BY epoch_us(ts), event_id
+                         ROWS UNBOUNDED PRECEDING)
         """,
         "rel_systematic_sample": """
             SELECT o_orderkey,

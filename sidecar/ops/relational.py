@@ -448,3 +448,38 @@ def events_sliding(sf_dir: str, window_s: int = 3600, slide_s: int = 1800) -> "r
         .groupby(["event_type", "win_start"])
         .aggregate(Sum("p_n", alias_name="n_events"))
     )
+
+
+def running_totals(sf_dir: str) -> "rd.Dataset":
+    """Stateful-streaming shape (§2.8): per event_type running event count
+    and value sum in event-time order.  One shuffle keyed by type; the
+    running state is a vectorized cumsum over the sorted group — order
+    dependence is explicit (ts, then event_id), which is what makes the
+    prefix sums bit-identical to the SQL window oracle (both engines add
+    doubles left-to-right in the same order)."""
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "event_id": batch.column("event_id"),
+            "ts_us": pc.cast(batch.column("ts"), pa.int64()),
+            "value": batch.column("value"),
+        })
+
+    def totals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"])
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(),
+            "event_id": g["event_id"].to_numpy(),
+            "running_n": np.arange(1, len(g) + 1, dtype=np.int64),
+            "running_value_cents": np.round(
+                g["value"].to_numpy().cumsum() * 100).astype(np.int64),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "event_id", "ts", "value"])
+        .map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .map_groups(totals, batch_format="pandas")
+    )
