@@ -193,27 +193,40 @@ def _merge_cdxj_partitioned(meta_ds, original_ds) -> "rd.Dataset":
         original_ds.map_batches(tag("orig"), batch_format="pyarrow")
     )
 
+    from zlib import crc32
+
     def add_key(batch: pa.Table) -> pa.Table:
         key = [s + " " + t for s, t in zip(batch.column("surt").to_pylist(),
                                            batch.column("ts").to_pylist())]
-        return batch.append_column("key", pa.array(key, pa.string()))
+        part = [crc32(k.encode()) % 64 for k in key]
+        t = batch.append_column("key", pa.array(key, pa.string()))
+        return t.append_column("part", pa.array(part, pa.int64()))
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """Within one coarse hash partition: build a dict of the meta side,
+        probe the orig side — the Ray groupby key is the 64-way partition
+        (per-join-key map_groups dispatch doesn't scale; SURVEY.md J1)."""
         metas = g[g["side"] == "meta"]
         origs = g[g["side"] == "orig"].copy()
         if len(origs) == 0:
-            return origs.drop(columns=["side", "key"])
-        if len(metas):
-            m = json.loads(metas.iloc[0]["json"])
-            origs["json"] = [json.dumps(get_sidecar_fields(json.loads(j), m))
-                             for j in origs["json"]]
-            origs["matched"] = True
-        else:
-            origs["matched"] = False
-        return origs.drop(columns=["side", "key"])
+            return origs.drop(columns=["side", "key", "part"])
+        build = {k: j for k, j in zip(metas["key"], metas["json"])}
+        out_json, matched = [], []
+        for k, j in zip(origs["key"], origs["json"]):
+            mj = build.get(k)
+            if mj is not None:
+                out_json.append(json.dumps(
+                    get_sidecar_fields(json.loads(j), json.loads(mj))))
+                matched.append(True)
+            else:
+                out_json.append(j)
+                matched.append(False)
+        origs["json"] = out_json
+        origs["matched"] = matched
+        return origs.drop(columns=["side", "key", "part"])
 
     return (
         both.map_batches(add_key, batch_format="pyarrow")
-        .groupby("key")
-        .map_groups(merge_group, batch_format="pandas")
+        .groupby("part")
+        .map_groups(merge_partition, batch_format="pandas")
     )

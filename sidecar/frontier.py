@@ -70,12 +70,24 @@ def candidates_from_urls(rows: list[dict], epoch: int) -> pa.Table:
 
 def dedup_by_url_hash(frontier: "rd.Dataset") -> "rd.Dataset":
     """Exact per-epoch dedup (A4 / J3 exactness layer): one row per url_hash,
-    keeping the best by the total order."""
+    keeping the best by the total order.
 
-    def best(g: pd.DataFrame) -> pd.DataFrame:
-        return _sort_group(g).head(1)
+    The Ray groupby key is a coarse url_hash partition; the per-key keep-best
+    is a vectorized sort + drop_duplicates inside each task (a groupby on the
+    raw url_hash would dispatch Python once per distinct URL).
+    """
 
-    return frontier.groupby("url_hash").map_groups(best, batch_format="pandas")
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = batch.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "dpart", pa.array((h % np.uint64(NUM_BUDGET_PARTS)).astype(np.int64)))
+
+    def best_per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        return (_sort_group(g).drop_duplicates("url_hash", keep="first")
+                .drop(columns=["dpart"]))
+
+    return (frontier.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("dpart").map_groups(best_per_partition, batch_format="pandas"))
 
 
 def filter_unseen(frontier: "rd.Dataset", seen_shards: list, bloom_blob: bytes | None,
