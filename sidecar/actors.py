@@ -94,10 +94,11 @@ class HostPolicy:
         self.denied_robots: int = 0
 
     def robots_disallowed(self, hosts: list[str], paths: list[str]) -> list[bool]:
+        from sidecar.robots import is_allowed
+
         out = []
         for host, path in zip(hosts, paths):
-            prefixes = self._robots.get(host, [])
-            bad = any(path.startswith(p) for p in prefixes)
+            bad = not is_allowed(self._robots.get(host, []), path)
             if bad:
                 self.denied_robots += 1
             out.append(bad)

@@ -71,7 +71,9 @@ def crawl(
         # 3. robots filter
         def allowed(c: dict) -> bool:
             path = urlsplit(c["url_canon"]).path or "/"
-            return not any(path.startswith(p) for p in robots.get(c["host"], []))
+            from sidecar.robots import is_allowed
+
+            return is_allowed(robots.get(c["host"], []), path)
 
         cands = [c for c in cands if allowed(c)]
         m["after_robots"] = len(cands)

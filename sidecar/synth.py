@@ -166,16 +166,30 @@ def out_links(url_canon: str, n_hosts: int = 20, seed: int = 42) -> list[tuple[s
     return links
 
 
-def robots_rules(n_hosts: int = 20, seed: int = 42) -> dict[str, list[str]]:
-    """~25% of hosts disallow a path prefix (FIXTURES.md §2)."""
-    rules: dict[str, list[str]] = {}
-    for host in hosts(n_hosts):
-        r = _h(seed, "robots", host)
-        if r % 4 == 0:
-            rules[host] = [f"/page/{r % 10}"]  # disallow one decade of page ids
-        else:
-            rules[host] = []
-    return rules
+def robots_txt(host: str, seed: int = 42) -> str:
+    """Deterministic robots.txt TEXT per host (parsed by sidecar.robots):
+    ~25% of hosts disallow a path prefix; of those, half carry an Allow
+    override and some a wildcard/$-anchored rule — exercising the RFC 9309
+    longest-match + allow-wins-ties semantics."""
+    r = _h(seed, "robots", host)
+    if r % 4 != 0:
+        return "User-agent: *\nDisallow:\n"
+    d = r % 10
+    lines = ["User-agent: *", f"Disallow: /page/{d}"]
+    if (r >> 4) % 2 == 0:
+        # allow-override: the exact page id {d}0 is re-allowed (longer match)
+        lines.append(f"Allow: /page/{d}0")
+    if (r >> 5) % 4 == 0:
+        # $-anchored rule: the bare id {d} only (not its decade)
+        lines = ["User-agent: *", f"Disallow: /page/{d}$"]
+    return "\n".join(lines) + "\n"
+
+
+def robots_rules(n_hosts: int = 20, seed: int = 42) -> dict[str, list]:
+    """Parsed robots rules per host (sidecar.robots rule lists)."""
+    from sidecar.robots import parse_robots
+
+    return {host: parse_robots(robots_txt(host, seed)) for host in hosts(n_hosts)}
 
 
 def fetch_url(url_canon: str, seed: int = 42) -> dict:
