@@ -24,20 +24,41 @@ def is_dns_url(url: str) -> bool:
     return bool(_DNS.match(url))
 
 
+_PCT = re.compile(r"%[0-9a-fA-F]{2}")
+_MULTISLASH = re.compile(r"//+")
+
+_DEFAULT_PORTS = {"http": 80, "https": 443, "ftp": 21}
+
+
+def _norm_path(path: str) -> str:
+    """Collapse duplicate slashes; normalize %XX hex to uppercase."""
+    path = _MULTISLASH.sub("/", path or "/")
+    return _PCT.sub(lambda m: m.group(0).upper(), path)
+
+
 def split_url(url: str) -> tuple[str, str, str, str]:
-    """Return (host, path, query, fragmentless-url). Scheme-less urls get http."""
+    """Return (host[:port], path, query, fragmentless-url): host lowercased,
+    default scheme port dropped, non-default port kept (public SURT rule),
+    path slash-collapsed and %-hex-normalized.  Scheme-less urls get http."""
     if not _SCHEME.match(url):
         url = "http://" + url
     parts = urlsplit(url)
     host = (parts.hostname or "").lower()
-    path = parts.path or "/"
+    try:
+        port = parts.port
+    except ValueError:
+        port = None
+    if port is not None and port != _DEFAULT_PORTS.get(parts.scheme.lower()):
+        host = f"{host}:{port}"
+    path = _norm_path(parts.path)
     return host, path, parts.query, url
 
 
 def host_of(url: str) -> str:
-    """Registered host of a URL, lowercased, www-stripped (politeness key)."""
+    """Registered host of a URL, lowercased, www-stripped, port-stripped
+    (politeness is per machine-name, not per port)."""
     host, _, _, _ = split_url(url)
-    return _WWW.sub("", host)
+    return _WWW.sub("", host).split(":")[0]
 
 
 def surt(url: str) -> str:
@@ -51,7 +72,11 @@ def surt(url: str) -> str:
     """
     host, path, query, _ = split_url(url)
     host = _WWW.sub("", host)
-    rev = ",".join(reversed(host.split("."))) if host else ""
+    port = ""
+    if ":" in host:
+        host, port = host.split(":", 1)
+        port = ":" + port
+    rev = (",".join(reversed(host.split("."))) + port) if host else ""
     path = path.lower() or "/"
     out = rev + ")" + path
     if query:

@@ -116,3 +116,20 @@ def test_merge_broadcast():
 
 def test_merge_partitioned():
     _merge_case(broadcast=False)
+
+
+def test_canonicalization_port_and_path_rules():
+    """Public SURT details: default port dropped, non-default kept, duplicate
+    slashes collapsed, %-escapes hex-uppercased, fragment dropped."""
+    from sidecar.canon import canonical_url, host_of, surt
+
+    assert surt("https://ex.com:443/a") == surt("https://ex.com/a")
+    assert surt("http://ex.com:80/a") == "com,ex)/a"
+    assert surt("http://ex.com:8080/a") == "com,ex:8080)/a"
+    assert surt("http://ex.com//a///b") == "com,ex)/a/b"
+    assert surt("http://ex.com/a%2Fb") == "com,ex)/a%2fb"  # surt lowercases
+    from sidecar.canon import canonical_url as cu
+
+    assert cu("http://ex.com/a%2fb") == "http://ex.com/a%2Fb"  # canon uppercases hex
+    assert canonical_url("http://ex.com/p#frag") == "http://ex.com/p"
+    assert host_of("http://ex.com:8080/x") == "ex.com"
