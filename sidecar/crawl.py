@@ -481,19 +481,36 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--num-policy-actors", type=int, default=4)
     p.add_argument("--out-dir", default="/tmp/crawl_out")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--config", default=None,
+                   help="YAML/JSON file of CrawlConfig fields (CLI flags win)")
     args = p.parse_args(argv)
+
+    file_cfg: dict = {}
+    if args.config:
+        with open(args.config) as fh:
+            text = fh.read()
+        try:
+            file_cfg = json.loads(text)
+        except json.JSONDecodeError:
+            import yaml  # ships with ray
+
+            file_cfg = yaml.safe_load(text) or {}
 
     if not ray.is_initialized():
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False)
 
-    cfg = CrawlConfig(
+    cli = dict(
         n_seeds=args.n_seeds, n_hosts=args.n_hosts,
         budget_per_host=args.budget_per_host, max_epochs=args.max_epochs,
         max_depth=args.max_depth, seed=args.seed,
         num_seen_shards=args.num_seen_shards,
         num_policy_actors=args.num_policy_actors, out_dir=args.out_dir,
     )
+    defaults = {k: p.get_default(k) for k in cli}
+    merged = dict(file_cfg)
+    merged.update({k: v for k, v in cli.items() if v != defaults[k]})
+    cfg = CrawlConfig(**{**cli, **merged})
     result = run_crawl(cfg, resume=args.resume, collect_order=False)
     summary = {
         "epochs_run": result["epochs_run"],
