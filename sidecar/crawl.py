@@ -218,7 +218,8 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
             ds, shards, bloom.serialize() if any_seen else None, cfg.num_seen_shards
         )
         ds = fr.filter_robots(ds, policies, cfg.num_policy_actors)
-        flagged = fr.select_budget(ds, cfg.budget_per_host, dedup=True).materialize()
+        flagged = fr.select_budget(ds, cfg.budget_per_host, dedup=True,
+                                   size_hint=frontier_rows).materialize()
         m["after_budget_pool"] = flagged.count()
         _lap("budget")
 

@@ -164,8 +164,12 @@ def filter_robots(frontier: "rd.Dataset", host_policies: list, num_actors: int) 
                                 zero_copy_batch=True)
 
 
+SMALL_FRONTIER_ROWS = 20_000  # below this, driver-side ranking beats 2 shuffles
+
+
 def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int = 2048,
-                  n_salts: int = 16, dedup: bool = False) -> "rd.Dataset":
+                  n_salts: int = 16, dedup: bool = False,
+                  size_hint: int | None = None) -> "rd.Dataset":
     """Politeness top-k per host with hot-host skew splitting (A4, §2.6).
 
     Stage 1 groups by ``(host, salt)`` (salt = url_hash % n_salts) and marks
@@ -180,7 +184,31 @@ def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int =
     keep-best-by-total-order) into stage 1 — duplicates of a url_hash always
     share (host, salt), so this is exactly equivalent to a separate
     groupby(url_hash) pass but saves one all-to-all per epoch.
+
+    ``size_hint`` (an upper bound on input rows, known by the caller from
+    checkpoint metadata) enables the adaptive small-input plan: below
+    SMALL_FRONTIER_ROWS the whole ranking runs driver-side in one vectorized
+    pandas pass (identical semantics — the selection math is the same code
+    path shapes; proven equal by the bit-for-bit tests) instead of paying
+    two all-to-all barrier constants on a few thousand metadata rows.
     """
+    if size_hint is not None and size_hint <= SMALL_FRONTIER_ROWS:
+        df = frontier.to_pandas()  # executes the (narrow) upstream filters once
+        if len(df) == 0:
+            return frontier
+        h = df["url_hash"].to_numpy().astype(np.uint64)
+        df = df.assign(salt=(h % np.uint64(n_salts)).astype(np.int32))
+        df = _sort_group(df)
+        if dedup:
+            df = df.drop_duplicates("url_hash", keep="first")
+        df = df.copy()
+        df["finalist"] = df.groupby(["host", "salt"], sort=False).cumcount() < budget
+        fin_rank = (df.groupby("host", sort=False)["finalist"].cumsum()
+                    - df["finalist"].astype(int))
+        df["selected"] = df["finalist"] & (fin_rank < budget)
+        df = df.drop(columns=["salt", "finalist"])
+        return rd.from_pandas(df.reset_index(drop=True))
+
 
     # Ray-level grouping uses COARSE partition keys (≤ NUM_BUDGET_PARTS
     # groups per stage); the exact (host, salt) / host grouping happens

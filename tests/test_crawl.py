@@ -200,3 +200,27 @@ def test_mid_epoch_partition_resume(tmp_path):
                                       f"part={k}.json")))
     assert man["lineage_id"] == cfg.lineage_id()
     assert man["epoch"] == 1 and man["part"] == int(k) and man["rows"] > 0
+
+
+def test_select_budget_fast_path_equals_distributed():
+    """The adaptive small-input (driver-side) plan selects exactly what the
+    distributed two-shuffle plan selects."""
+    import ray.data as rd
+
+    from sidecar import frontier as fr
+
+    rows = []
+    for i in range(3000):
+        rows.append({"url": f"https://h{i % 7}.example.com/p/{i % 900}",
+                     "priority": float((i * 37) % 101) / 101.0,
+                     "depth": i % 3, "seed_id": i})
+    tbl = fr.candidates_from_urls(rows, epoch=0)
+
+    slow = fr.select_budget(rd.from_arrow(tbl), budget=9, dedup=True) \
+        .to_pandas().sort_values(["url_hash", "url"]).reset_index(drop=True)
+    fast = fr.select_budget(rd.from_arrow(tbl), budget=9, dedup=True,
+                            size_hint=len(rows)) \
+        .to_pandas().sort_values(["url_hash", "url"]).reset_index(drop=True)
+    cols = ["url", "url_hash", "host", "selected"]
+    assert slow[cols].equals(fast[cols])
+    assert slow["selected"].sum() == fast["selected"].sum() > 0
