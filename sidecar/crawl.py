@@ -328,9 +328,13 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
         # for epoch-length stages and left the fetch effectively serial
         # (measured 34s → 4s for a 17k-URL epoch at 32 CPUs).
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        # cap BELOW cluster size: a pool holding every CPU slot starves the
-        # downstream extract/write stages (deadlock-prone on small clusters)
-        n_fetchers = max(1, min(16, cpus // 2, cpus - 2))
+        # cap BELOW cluster size (a pool holding every CPU slot starves the
+        # downstream extract/write stages — deadlock-prone on small
+        # clusters) and BY WORKLOAD (spinning 14 actor processes for a
+        # 40-URL epoch costs more than the fetch itself)
+        n_remaining_est = m["selected"] - m.get("resumed_rows", 0)
+        n_fetchers = max(1, min(16, cpus // 2, cpus - 2,
+                                n_remaining_est // 500 + 1))
         # the unit of map parallelism is the BLOCK: re-split the (small,
         # metadata-only) selected set so the fetch pool actually fans out
         to_fetch = to_fetch.repartition(n_fetchers * 4)
