@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_counts": text.lang_counts,
         "text_lang_detect": text.lang_detect,                 # rows-only (model)
         "text_token_count_regex": text.token_count_regex,
+        "text_winnow_fingerprint": text.winnow_fingerprint,
         # --- dedup family ------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_sig": dedup.minhash_signatures,
@@ -194,6 +195,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_lang_counts": """
             SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+        """,
+        "text_winnow_fingerprint": """
+            WITH pos AS (
+                SELECT doc_id, i,
+                       substr(md5(substr(coalesce(text, ''), i, 5)), 1, 8) AS h,
+                       length(coalesce(text, '')) AS L
+                FROM documents,
+                     unnest(generate_series(1, length(coalesce(text, '')) - 4)) AS t(i)
+            ),
+            wins AS (
+                SELECT doc_id, i, L,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+                FROM pos
+            )
+            SELECT DISTINCT doc_id, fp FROM wins WHERE i <= L - 8
         """,
         "dedup_exact": """
             SELECT md5(coalesce(text, '')) AS fp,

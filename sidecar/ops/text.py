@@ -130,3 +130,34 @@ def token_count_regex(sf_dir: str) -> "rd.Dataset":
         })
 
     return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def winnow_fingerprint(sf_dir: str, k: int = 5, w: int = 5) -> "rd.Dataset":
+    """doc_id, fp — winnowing fingerprints (the MOSS rolling-hash scheme):
+    hash every char k-gram, slide a w-window, keep the window minimum,
+    emit the DISTINCT set per document.  Near-identical documents share most
+    fingerprints, which is what makes this the standard copy-detection
+    primitive.  Hashes are 8-hex-char md5 prefixes compared lexicographically
+    so the DuckDB window-min oracle is bit-equal."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        ids, fps = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            t = text or ""
+            n = len(t)
+            m = n - k + 1
+            if m < w:
+                continue
+            hs = [md5(t[i:i + k].encode()).hexdigest()[:8] for i in range(m)]
+            seen = set()
+            for j in range(m - w + 1):
+                seen.add(min(hs[j:j + w]))
+            for fp in seen:
+                ids.append(doc_id)
+                fps.append(fp)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "fp": pa.array(fps, pa.string())})
+
+    return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
