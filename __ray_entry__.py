@@ -181,7 +181,13 @@ def oracle_sql() -> dict[str, str]:
                    length(coalesce(text, ''))::BIGINT AS n_chars,
                    len(string_split(coalesce(text, ''), ' '))::BIGINT AS n_tokens,
                    (length(coalesce(text, '')) - len(string_split(coalesce(text, ''), ' ')) + 1)::DOUBLE
-                       / len(string_split(coalesce(text, ''), ' ')) AS avg_token_len
+                       / len(string_split(coalesce(text, ''), ' ')) AS avg_token_len,
+                   len(list_filter(string_split(coalesce(text, ''), ' '),
+                       x -> x IN ('the','a','an','and','of','to','in','is','it',
+                                  'that','this','with','for','as','on','at',
+                                  'by','from')))::BIGINT AS n_stopwords,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '[^A-Za-z0-9 ]'))::BIGINT AS n_punct
             FROM documents
         """,
         "text_fingerprint": """

@@ -38,10 +38,16 @@ def token_count(sf_dir: str) -> "rd.Dataset":
     return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+             "this", "with", "for", "as", "on", "at", "by", "from")
+
+
 def quality_score(sf_dir: str) -> "rd.Dataset":
-    """doc_id, n_chars, n_tokens, avg_token_len — cheap quality features
-    (length + mean token length; the punctuation/stopword family follows the
-    same vectorized pattern)."""
+    """doc_id, n_chars, n_tokens, avg_token_len, n_stopwords, n_punct —
+    the quality-feature family (length, mean token length, stopword count,
+    punctuation-char count); counts are exact ints, the single ratio is one
+    IEEE division so the oracle hashes bit-equal."""
+    sw = set(STOPWORDS)
 
     def f(batch: pa.Table) -> pa.Table:
         text = batch.column("text").fill_null("")
@@ -52,12 +58,19 @@ def quality_score(sf_dir: str) -> "rd.Dataset":
             pc.cast(pc.add(pc.subtract(n_chars, n_tokens), 1), pa.float64()),
             pc.cast(n_tokens, pa.float64()),
         )
+        n_stop = pa.array(
+            [sum(1 for t in (s or "").split(" ") if t in sw)
+             for s in text.to_pylist()], pa.int64())
+        n_punct = pc.cast(
+            pc.count_substring_regex(text, "[^A-Za-z0-9 ]"), pa.int64())
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "n_chars": n_chars,
                 "n_tokens": n_tokens,
                 "avg_token_len": avg,
+                "n_stopwords": n_stop,
+                "n_punct": n_punct,
             }
         )
 
