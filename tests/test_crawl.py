@@ -224,3 +224,31 @@ def test_select_budget_fast_path_equals_distributed():
     cols = ["url", "url_hash", "host", "selected"]
     assert slow[cols].equals(fast[cols])
     assert slow["selected"].sum() == fast["selected"].sum() > 0
+
+
+def test_epoch_zero_partition_resume(tmp_path):
+    """Crash during the FIRST epoch (no complete epoch manifest at all):
+    resume must still skip the finished fetch partitions of epoch 0."""
+    import os
+    import shutil
+
+    cfg = CrawlConfig(n_seeds=60, n_hosts=10, budget_per_host=10, max_epochs=1,
+                      num_fetch_partitions=8, out_dir=str(tmp_path / "c"))
+    r1 = run_crawl(cfg)
+    ep0 = os.path.join(cfg.out_dir, "sidecar", "epoch=0")
+    parts = sorted(os.listdir(ep0))
+    assert len(parts) > 2
+    mtimes = {d: os.path.getmtime(os.path.join(ep0, d)) for d in parts}
+
+    victim = parts[-1]
+    k = victim.split("=")[1]
+    os.remove(os.path.join(cfg.out_dir, "_ckpt", "epoch=0", "manifest.json"))
+    os.remove(os.path.join(cfg.out_dir, "_ckpt", "epoch=0", "parts", f"part={k}.json"))
+    shutil.rmtree(os.path.join(ep0, victim))
+
+    r2 = run_crawl(cfg, resume=True)
+    assert r2["seen"] == r1["seen"]
+    assert r2["crawl_order"] == r1["crawl_order"]
+    assert os.path.isdir(os.path.join(ep0, victim))
+    assert all(os.path.getmtime(os.path.join(ep0, d)) == mtimes[d]
+               for d in parts if d != victim)
