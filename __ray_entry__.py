@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessionize": relational.sessionize,
         "rel_events_sliding": relational.events_sliding,
         "rel_running_totals": relational.running_totals,
+        "rel_range_join_acctbal": relational.range_join_acctbal,
         # --- crawl/sidecar engine (rows-only: synthesized payload path) --
         "sidecar_extract": sidecar_extract,
         "cdxj_project": cdxj_project,
@@ -368,6 +369,12 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY event_type
                          ORDER BY epoch_us(ts), event_id
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "rel_range_join_acctbal": """
+            SELECT s.s_suppkey, count(*)::BIGINT AS n_close_customers
+            FROM supplier s JOIN customer c
+              ON c.c_acctbal BETWEEN s.s_acctbal - 1.0 AND s.s_acctbal + 1.0
+            GROUP BY s.s_suppkey
         """,
         "rel_systematic_sample": """
             SELECT o_orderkey,

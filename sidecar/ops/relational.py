@@ -483,3 +483,68 @@ def running_totals(sf_dir: str) -> "rd.Dataset":
         .groupby("event_type")
         .map_groups(totals, batch_format="pandas")
     )
+
+
+def range_join_acctbal(sf_dir: str, band: float = 1.0) -> "rd.Dataset":
+    """Range (band) join: per supplier, how many customers hold an account
+    balance within ±band — the bucketed-range shuffle plan Ray Data lacks
+    natively: both sides are bucketed by floor(bal/band); the probe
+    (supplier) side is REPLICATED to its bucket ±1 so every in-band pair
+    co-locates in exactly the build row's bucket (counted once — the build
+    row lives in one bucket).  Within a bucket the match is a vectorized
+    interval check.  Suppliers with no in-band customer drop (inner join).
+    """
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(np.floor(bal / band).astype(np.int64)),
+            "side": pa.array(np.zeros(len(bal), dtype=np.int64)),
+            "key": pc.cast(batch.column("c_custkey"), pa.int64()),
+            "bal": pa.array(bal, pa.float64()),
+        })
+
+    def supp_rows(batch: pa.Table) -> pa.Table:
+        bal = batch.column("s_acctbal").to_numpy(zero_copy_only=False)
+        key = batch.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        b0 = np.floor(bal / band).astype(np.int64)
+        buckets = np.concatenate([b0 - 1, b0, b0 + 1])
+        return pa.table({
+            "bucket": pa.array(buckets),
+            "side": pa.array(np.ones(3 * len(bal), dtype=np.int64)),
+            "key": pa.array(np.tile(key, 3), pa.int64()),
+            "bal": pa.array(np.tile(bal, 3), pa.float64()),
+        })
+
+    def match_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g[g["side"] == 0]
+        supp = g[g["side"] == 1]
+        if cust.empty or supp.empty:
+            return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                                 "p_n": pd.Series([], dtype="int64")})
+        bucket = g["bucket"].iloc[0]
+        # count only pairs whose CUSTOMER lives in this bucket (it does by
+        # construction) — each pair counted exactly once across buckets
+        cb = np.sort(cust["bal"].to_numpy())
+        sk = supp["key"].to_numpy()
+        sb = supp["bal"].to_numpy()
+        lo = np.searchsorted(cb, sb - band, side="left")
+        hi = np.searchsorted(cb, sb + band, side="right")
+        # restrict to customers in THIS bucket: cb is already only this bucket
+        n = hi - lo
+        keep = n > 0
+        return pd.DataFrame({"s_suppkey": sk[keep], "p_n": n[keep]})
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"]) \
+        .map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True)
+    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                           columns=["s_suppkey", "s_acctbal"]) \
+        .map_batches(supp_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        cust.union(supp)
+        .groupby("bucket")
+        .map_groups(match_bucket, batch_format="pandas")
+        .groupby("s_suppkey")
+        .aggregate(Sum("p_n", alias_name="n_close_customers"))
+    )
