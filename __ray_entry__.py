@@ -373,7 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_range_join_acctbal": """
             SELECT s.s_suppkey, count(*)::BIGINT AS n_close_customers
             FROM supplier s JOIN customer c
-              ON c.c_acctbal BETWEEN s.s_acctbal - 1.0 AND s.s_acctbal + 1.0
+              ON c.c_acctbal BETWEEN s.s_acctbal - 10.0 AND s.s_acctbal + 10.0
             GROUP BY s.s_suppkey
         """,
         "rel_systematic_sample": """

@@ -485,7 +485,7 @@ def running_totals(sf_dir: str) -> "rd.Dataset":
     )
 
 
-def range_join_acctbal(sf_dir: str, band: float = 1.0) -> "rd.Dataset":
+def range_join_acctbal(sf_dir: str, band: float = 10.0) -> "rd.Dataset":
     """Range (band) join: per supplier, how many customers hold an account
     balance within ±band — the bucketed-range shuffle plan Ray Data lacks
     natively: both sides are bucketed by floor(bal/band); the probe
