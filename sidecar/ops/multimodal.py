@@ -159,25 +159,37 @@ class VideoFrameSample:
         })
 
 
+def _pool_size(requested: "int | tuple | None") -> "int | tuple":
+    """Default actor-pool size capped BELOW cluster CPUs — a pool holding
+    every slot starves upstream read/filter tasks (deadlocks at num_cpus=4)."""
+    if requested is not None:
+        return requested
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(1, min(4, cpus - 2))
+
+
 def image_decode_stats(images_ds: "rd.Dataset", *, batch_size: int = 64,
-                       concurrency: int | tuple = 4) -> "rd.Dataset":
+                       concurrency: "int | tuple | None" = None) -> "rd.Dataset":
     """IMAGES Dataset → decode-stats Dataset via the actor pool."""
     return images_ds.map_batches(
         ImageDecodeStats,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=_pool_size(concurrency),
     )
 
 
 def image_resize(images_ds: "rd.Dataset", out_w: int = 32, out_h: int = 32,
-                 *, batch_size: int = 64, concurrency: int | tuple = 4) -> "rd.Dataset":
+                 *, batch_size: int = 64,
+                 concurrency: "int | tuple | None" = None) -> "rd.Dataset":
     return images_ds.map_batches(
         ImageResize,
         fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=_pool_size(concurrency),
     )
