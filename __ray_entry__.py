@@ -79,6 +79,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             images_dataset(sf_dir).map_batches(
                 image_rows_only, batch_format="pyarrow", zero_copy_batch=True))
 
+    def mm_phash_neardup(sf_dir: str):
+        """Perceptual near-dup over image rows ∪ their lossy (b16)
+        re-encodes: each base/re-encode pair differs by ≤7 phash bits, so the
+        banded plan must recover them (verified exactly vs brute force in
+        tests; rows-only here — phash of synthetic payloads isn't SQL)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc_
+
+        def image_rows_only(batch: pa.Table) -> pa.Table:
+            mask = pc_.is_in(batch.column("fmt"),
+                             value_set=pa.array(["png", "ppm", "b16"]))
+            return batch.filter(mask)
+
+        base = images_dataset(sf_dir).map_batches(
+            image_rows_only, batch_format="pyarrow", zero_copy_batch=True)
+        both = base.union(multimodal.lossy_reencode(base))
+        return multimodal.phash_neardup(both)
+
     def crawl_demo(sf_dir: str):
         """Deterministic 2-epoch crawl (frontier shuffles, seen-set shards,
         politeness actors) — sf_dir-independent; returns the final URL-seen
@@ -134,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_detect": text.lang_detect,                 # rows-only (model)
         "text_token_count_regex": text.token_count_regex,
         "text_winnow_fingerprint": text.winnow_fingerprint,
+        "text_tfidf_topk": text.tfidf_topk,
+        "text_bigram_topk": text.bigram_topk,
         # --- dedup family ------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_sig": dedup.minhash_signatures,
@@ -142,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_embedding_cosine": dedup.embedding_near_dup,
         "dedup_embedding_lsh": dedup.embedding_near_dup_lsh,  # rows-only (approx)
+        "dedup_lsh_components": dedup.lsh_components,
         # --- similarity search (embeddings) ------------------------------
         "sim_ann_topk": similarity.ann_topk,
         "sim_ann_ivf": similarity.ann_topk_ivf,               # rows-only (approx)
@@ -159,11 +180,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_sliding": relational.events_sliding,
         "rel_running_totals": relational.running_totals,
         "rel_range_join_acctbal": relational.range_join_acctbal,
+        "rel_group_topk": relational.group_topk_orders,
+        "rel_nation_quantiles": relational.nation_acctbal_quantiles,
+        "rel_semi_join_orders": relational.semi_join_big_orders,
         # --- crawl/sidecar engine (rows-only: synthesized payload path) --
         "sidecar_extract": sidecar_extract,
         "cdxj_project": cdxj_project,
         "cdxj_merge": cdxj_merge_demo,
         "multimodal_image_stats": mm_image_stats,
+        "multimodal_phash_neardup": mm_phash_neardup,
         "crawl_demo": crawl_demo,
     }
 
@@ -391,6 +416,68 @@ def oracle_sql() -> dict[str, str]:
                   ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
             SELECT event_id, user_id, o_orderkey AS last_orderkey
             FROM ranked WHERE rn = 1
+        """,
+        "rel_group_topk": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice * 100)::BIGINT AS o_totalprice_cents,
+                   (row_number() OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY round(o_totalprice * 100)::BIGINT DESC,
+                                 o_orderkey))::BIGINT AS rank
+            FROM orders QUALIFY rank <= 3
+        """,
+        "rel_nation_quantiles": """
+            SELECT c_nationkey::BIGINT AS c_nationkey,
+                   count(*)::BIGINT AS n_customers,
+                   quantile_disc(round(c_acctbal * 100)::BIGINT, 0.5)
+                       AS median_bal_cents,
+                   quantile_disc(round(c_acctbal * 100)::BIGINT, 0.9)
+                       AS p90_bal_cents
+            FROM customer GROUP BY 1
+        """,
+        "rel_semi_join_orders": """
+            SELECT o_orderkey,
+                   round(o_totalprice * 100)::BIGINT AS o_totalprice_cents
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_quantity >= 47.0)
+        """,
+        "text_tfidf_topk": """
+            WITH t AS (SELECT doc_id,
+                              unnest(string_split(coalesce(text, ''), ' ')) AS term
+                       FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM t GROUP BY 1)
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   (row_number() OVER (
+                        PARTITION BY tf.doc_id
+                        ORDER BY tf.tf::DOUBLE / df.df DESC, tf.term))::BIGINT AS rank
+            FROM tf JOIN df USING (term)
+            QUALIFY rank <= 5
+        """,
+        "text_bigram_topk": """
+            WITH toks AS (SELECT string_split(coalesce(text, ''), ' ') AS w
+                          FROM documents),
+            bg AS (SELECT w[i] || ' ' || w[i+1] AS s
+                   FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i))
+            SELECT s, count(*)::BIGINT AS n FROM bg
+            GROUP BY s ORDER BY n DESC, s LIMIT 100
+        """,
+        "dedup_lsh_components": f"""
+            WITH RECURSIVE {_MINHASH_CTE},
+            bands AS (SELECT doc_id, b, md5(string_agg(mh, '|' ORDER BY p)) AS bucket
+                      FROM mh, unnest(generate_series(0, 3)) AS t(b)
+                      WHERE p // 2 = b GROUP BY doc_id, b),
+            pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM bands a JOIN bands b
+                        ON a.b = b.b AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+            edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                      UNION SELECT doc_b, doc_a FROM pairs),
+            reach(a, b) AS (SELECT a, b FROM edges
+                            UNION SELECT r.a, e.b FROM reach r
+                                  JOIN edges e ON r.b = e.a)
+            SELECT a AS doc_id, least(a, min(b)) AS component_id
+            FROM reach GROUP BY a
         """,
         "rel_supplier_part_join": """
             SELECT l.l_suppkey, l.l_partkey,

@@ -126,19 +126,29 @@ def _pairs_within(g: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
     return pd.DataFrame({"doc_a": np.concatenate(a), "doc_b": np.concatenate(b)})
 
 
-def _dedup_pairs(pairs_ds: "rd.Dataset", a: str = "doc_a", b: str = "doc_b") -> "rd.Dataset":
+def _dedup_pairs(pairs_ds: "rd.Dataset", a: str = "doc_a", b: str = "doc_b",
+                 extra_cols: tuple[str, ...] = ()) -> "rd.Dataset":
     """Distinct (a,b) pairs via coarse-partition drop_duplicates: partition
     key = pair hash mod NUM_SHUFFLE_PARTS, so the shuffle has 64 groups
-    regardless of pair count and dedup runs vectorized per partition."""
+    regardless of pair count and dedup runs vectorized per partition.
+    Int keys hash arithmetically; string keys via crc32.  ``extra_cols``
+    ride along (first value per pair wins — identical across dups here)."""
+    from zlib import crc32
+
+    keep_cols = [a, b, *extra_cols]
 
     def add_part(batch: pa.Table) -> pa.Table:
         aa = batch.column(a).to_numpy(zero_copy_only=False)
         bb = batch.column(b).to_numpy(zero_copy_only=False)
-        part = ((aa * 1000003 + bb) % NUM_SHUFFLE_PARTS).astype(np.int64)
+        if np.issubdtype(aa.dtype, np.integer):
+            part = ((aa * 1000003 + bb) % NUM_SHUFFLE_PARTS).astype(np.int64)
+        else:
+            part = np.array([crc32(f"{x}|{y}".encode()) % NUM_SHUFFLE_PARTS
+                             for x, y in zip(aa, bb)], dtype=np.int64)
         return batch.append_column("part", pa.array(part, pa.int64()))
 
     def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates([a, b])[[a, b]]
+        return g.drop_duplicates([a, b])[keep_cols]
 
     return (
         pairs_ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
@@ -405,3 +415,54 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
         .map_groups(pairs_in_bucket, batch_format="pandas")
     )
     return _dedup_pairs(candidates, a="vec_a", b="vec_b")
+
+
+# -------------------------------------------------- near-dup cluster assembly
+
+def lsh_components(sf_dir: str) -> "pa.Table":
+    """doc_id, component_id — connected components over the MinHash-LSH
+    candidate-pair graph: the cluster-assembly step that turns pairwise
+    near-dup hits into dedup groups (component_id = min doc_id reachable).
+
+    The edge list is orders of magnitude smaller than the corpus (only docs
+    with an LSH collision appear), so the standard plan applies: pairs are
+    computed distributed (``minhash_lsh_pairs``), then union-find runs over
+    the streamed edge list.  At 100 TB, if the edge list itself outgrows one
+    node, this becomes iterative min-label propagation (repeat
+    ``groupby(node).aggregate(Min(label))`` + broadcast-back until fixpoint,
+    O(log diameter) rounds) — the per-pair semantics are identical, which is
+    what the recursive-CTE oracle checks.
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in lsh_pairs_iter(sf_dir):
+        for a, b in zip(batch.column("doc_a").to_pylist(),
+                        batch.column("doc_b").to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by min keeps component_id = min(doc_id)
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+
+    docs = sorted(parent)
+    return pa.table({
+        "doc_id": pa.array(docs, pa.int64()),
+        "component_id": pa.array([find(d) for d in docs], pa.int64()),
+    })
+
+
+def lsh_pairs_iter(sf_dir: str):
+    """Stream the distinct LSH candidate pairs as Arrow batches (edge list
+    only — never the document text)."""
+    yield from minhash_lsh_pairs(sf_dir).iter_batches(batch_format="pyarrow")

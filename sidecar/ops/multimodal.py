@@ -159,15 +159,129 @@ class VideoFrameSample:
         })
 
 
+class LossyReencode:
+    """Actor-pool stage: decode → re-encode through the deterministic lossy
+    ``b16`` codec (the sandbox stand-in for a JPEG re-compression pass).
+    Emits the IMAGES shape with ``image_id`` suffixed ``~b16`` — used to
+    exercise perceptual near-dup detection on realistic near-(not-exact)
+    duplicates."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, blobs, ws, hs, caps = [], [], [], [], []
+        for image_id, data, fmt, cap in zip(
+            batch.column("image_id").to_pylist(),
+            batch.column("bytes").to_pylist(),
+            batch.column("fmt").to_pylist(),
+            batch.column("caption").to_pylist(),
+        ):
+            px = codecs.decode(data, fmt)
+            ids.append(image_id + "~b16")
+            blobs.append(codecs.encode(px, "b16"))
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            caps.append(cap)
+        n = len(ids)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(["b16"] * n, pa.string()),
+            "caption": pa.array(caps, pa.string()),
+        })
+
+
+def phash_neardup(images_ds: "rd.Dataset", max_dist: int = 7,
+                  *, batch_size: int = 64,
+                  concurrency: "int | tuple | None" = None) -> "rd.Dataset":
+    """id_a, id_b, dist — image pairs whose 64-bit perceptual hashes differ
+    in at most ``max_dist`` bits: near-duplicate detection over the decoded
+    pixels (re-encodes, lossy round-trips), the image analog of MinHash-LSH.
+
+    Plan: decode → phash per image (actor pool, the only stage that touches
+    payload bytes) → band the 64-bit hash into 8 disjoint 8-bit chunks; by
+    pigeonhole, any pair at distance ≤ 7 shares at least one exact chunk, so
+    banding has NO false negatives at this threshold.  Candidate pairs come
+    from a (band, chunk)-keyed groupby over (id, phash)-sized rows — image
+    bytes never enter the shuffle — and are verified vectorized (XOR+popcount)
+    inside the group, where both phashes are already co-located; a
+    coarse-partition pair-dedup collapses multi-band collisions.  At web
+    scale, 8-bit chunks make N/256-sized buckets: switch to the C(8,2)=28
+    chunk-PAIR bands of 16 bits (guarantee dist ≤ 6, 2^16 buckets) — same
+    shuffle shape, one constant changed."""
+    import pandas as pd
+
+    from sidecar.ops.dedup import NUM_SHUFFLE_PARTS, _dedup_pairs
+
+    stats = image_decode_stats(images_ds, batch_size=batch_size,
+                               concurrency=concurrency)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        ph = batch.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ph.view(np.uint64)
+        n = len(ids)
+        bands, chunks, parts = [], [], []
+        for b in range(8):
+            chunk = ((u >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
+            bands.append(np.full(n, b, dtype=np.int64))
+            chunks.append(chunk)
+            parts.append((chunk * 8 + b) % NUM_SHUFFLE_PARTS)
+        return pa.table({
+            "part": pa.array(np.concatenate(parts), pa.int64()),
+            "band": pa.array(np.concatenate(bands), pa.int64()),
+            "chunk": pa.array(np.concatenate(chunks), pa.int64()),
+            "image_id": pa.array(ids * 8, pa.string()),
+            "phash": pa.array(np.tile(ph, 8), pa.int64()),
+        })
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_d = [], [], []
+        for _, sub in g.groupby(["band", "chunk"], sort=False):
+            if len(sub) < 2:
+                continue
+            order = np.argsort(sub["image_id"].to_numpy())
+            ids = sub["image_id"].to_numpy()[order]
+            ph = sub["phash"].to_numpy()[order].astype(np.int64).view(np.uint64)
+            r, c = np.triu_indices(len(ids), k=1)
+            x = ph[r] ^ ph[c]
+            dist = np.zeros(len(x), dtype=np.int64)
+            for s in range(64):  # vectorized popcount
+                dist += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+            keep = dist <= max_dist
+            out_a.append(ids[r[keep]])
+            out_b.append(ids[c[keep]])
+            out_d.append(dist[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="object"),
+                                 "id_b": pd.Series([], dtype="object"),
+                                 "dist": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "dist": np.concatenate(out_d)})
+
+    candidates = (
+        stats.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+    )
+    return _dedup_pairs(candidates, a="id_a", b="id_b", extra_cols=("dist",))
+
+
 def _pool_size(requested: "int | tuple | None") -> "int | tuple":
-    """Default actor-pool size capped BELOW cluster CPUs — a pool holding
-    every slot starves upstream read/filter tasks (deadlocks at num_cpus=4)."""
+    """Default actor-pool sizing: AUTOSCALING (min=1, max<cpus).  A fixed
+    pool grabs its CPUs up front; with two multimodal pools in one pipeline
+    (e.g. lossy_reencode → phash_neardup) fixed pools can hold every slot
+    and starve the upstream read tasks — a scheduling deadlock (observed at
+    num_cpus=8 with two pools of 4).  min=1 keeps each pool alive while
+    leaving slots for task operators; Ray grows the pool only when input
+    blocks queue up."""
     if requested is not None:
         return requested
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return max(1, min(4, cpus - 2))
+    return (1, max(1, min(4, cpus - 2)))
 
 
 def image_decode_stats(images_ds: "rd.Dataset", *, batch_size: int = 64,
@@ -175,6 +289,19 @@ def image_decode_stats(images_ds: "rd.Dataset", *, batch_size: int = 64,
     """IMAGES Dataset → decode-stats Dataset via the actor pool."""
     return images_ds.map_batches(
         ImageDecodeStats,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=_pool_size(concurrency),
+    )
+
+
+def lossy_reencode(images_ds: "rd.Dataset", *, batch_size: int = 64,
+                   concurrency: "int | tuple | None" = None) -> "rd.Dataset":
+    """IMAGES Dataset → its deterministic lossy (b16) re-encodes, ids
+    suffixed ``~b16`` — union with the input to exercise near-dup search."""
+    return images_ds.map_batches(
+        LossyReencode,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,

@@ -485,6 +485,117 @@ def running_totals(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def group_topk_orders(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """Top-k-per-group (window rank): each customer's k highest-value orders
+    with their rank.  Two-level plan: a per-batch partial top-k (only k rows
+    per (customer × block) survive to the shuffle) then a per-group final
+    top-k — the shuffle volume is bounded by k × |customers| regardless of
+    order count, unlike a global window sort."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["o_totalprice_cents"] = _cents(batch.column("o_totalprice")).to_pandas()
+        df = (df.sort_values(["o_custkey", "o_totalprice_cents", "o_orderkey"],
+                             ascending=[True, False, True])
+              .groupby("o_custkey", sort=False).head(k))
+        return pa.Table.from_pandas(
+            df[["o_custkey", "o_orderkey", "o_totalprice_cents"]],
+            preserve_index=False)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice_cents", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_custkey", "o_orderkey", "o_totalprice_cents", "rank"]]
+
+    return (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+def nation_acctbal_quantiles(sf_dir: str) -> "rd.Dataset":
+    """Per-nation discrete quantiles of customer account balance: n, median
+    and p90 in integer cents — exact order statistics, not interpolated, so
+    the values are elements of the input and hash-stable.  The discrete rule
+    matches DuckDB's ``quantile_disc``: sorted[ceil(q*n) - 1].
+
+    One shuffle keyed by nation (25 groups); within the group the quantile is
+    a vectorized sort + index.  At web scale with billions of rows per key
+    this becomes a two-pass t-digest/histogram sketch; the exact per-group
+    sort is correct while a group fits a worker (~10^8 rows)."""
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": pc.cast(batch.column("c_nationkey"), pa.int64()),
+            "bal_cents": _cents(batch.column("c_acctbal")),
+        })
+
+    def quantiles(g: pd.DataFrame) -> pd.DataFrame:
+        s = np.sort(g["bal_cents"].to_numpy())
+        n = len(s)
+
+        def disc(q: float) -> int:
+            return int(s[min(n - 1, int(np.ceil(q * n)) - 1)])
+
+        return pd.DataFrame({
+            "c_nationkey": [np.int64(g["c_nationkey"].iloc[0])],
+            "n_customers": np.array([n], dtype=np.int64),
+            "median_bal_cents": np.array([disc(0.5)], dtype=np.int64),
+            "p90_bal_cents": np.array([disc(0.9)], dtype=np.int64),
+        })
+
+    return (
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_nationkey", "c_acctbal"])
+        .map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_nationkey")
+        .map_groups(quantiles, batch_format="pandas")
+    )
+
+
+def semi_join_big_orders(sf_dir: str, min_qty: float = 47.0) -> "rd.Dataset":
+    """Semi-join (EXISTS): orders having at least one lineitem with
+    l_quantity >= min_qty.  The existence side reduces to a distinct-key set
+    (per-batch partial distinct, then a driver-side union — at most
+    |matching orders| keys, no row data), broadcast once via ray.put; the
+    probe side streams through a vectorized membership filter.  The same
+    broadcast-semi-join plan as the seen-set anti-join (SURVEY.md J3), with
+    polarity flipped."""
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch.column("l_quantity"), min_qty)
+        keys = batch.filter(m).column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(np.unique(keys), pa.int64())})
+
+    keys: set[int] = set()
+    for b in (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_quantity"])
+              .map_batches(distinct_keys, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .iter_batches(batch_format="pyarrow")):
+        keys.update(b.column("k").to_pylist())
+    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    def semi(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        keep = np.isin(ok, ks)
+        return pa.table({
+            "o_orderkey": pa.array(ok[keep], pa.int64()),
+            "o_totalprice_cents": _cents(
+                pa.array(batch.column("o_totalprice").to_numpy(
+                    zero_copy_only=False)[keep])),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def range_join_acctbal(sf_dir: str, band: float = 10.0) -> "rd.Dataset":
     """Range (band) join: per supplier, how many customers hold an account
     balance within ±band — the bucketed-range shuffle plan Ray Data lacks

@@ -145,6 +145,100 @@ def token_count_regex(sf_dir: str) -> "rd.Dataset":
     return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def tfidf_topk(sf_dir: str, k: int = 5) -> "rd.Dataset":
+    """doc_id, term, tf, df, rank — each document's k most distinctive terms
+    by tf·idf with idf = 1/df (rank-equivalent per doc to any monotone idf,
+    and hash-exact: score = tf::DOUBLE / df is ONE IEEE division of the same
+    two ints in both engines, so ordering — ties broken by term — is
+    bit-identical; the emitted columns are ints/strings only).
+
+    Two passes over documents (tokenize is cheap; no intermediate
+    materialization): pass 1 computes document frequency per term via
+    per-batch partial distinct + a vocab-keyed groupby, collected and
+    broadcast once via ray.put (at 100 TB the vocab outgrows a broadcast and
+    this becomes a hash-partitioned join on term — same plan as
+    ngram_jaccard's inverted index); pass 2 re-tokenizes, scores and emits
+    the per-doc top-k, shuffle-free."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(set((t or "").split(" ")))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "p_df": pa.array(list(c.values()), pa.int64())})
+
+    df_map: dict[str, int] = {}
+    for b in (read_documents(sf_dir)
+              .map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("term").aggregate(Sum("p_df", alias_name="df"))
+              .iter_batches(batch_format="pyarrow")):
+        df_map.update(zip(b.column("term").to_pylist(),
+                          b.column("df").to_pylist()))
+    import ray
+
+    df_ref = ray.put(df_map)
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        ids, terms, tfs, dfs, ranks = [], [], [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            cnt = Counter((text or "").split(" "))
+            scored = sorted(((-(tf / dfm[term]), term, tf) for term, tf in cnt.items()))
+            for r, (_, term, tf) in enumerate(scored[:k], start=1):
+                ids.append(doc_id)
+                terms.append(term)
+                tfs.append(tf)
+                dfs.append(dfm[term])
+                ranks.append(r)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "term": pa.array(terms, pa.string()),
+                         "tf": pa.array(tfs, pa.int64()),
+                         "df": pa.array(dfs, pa.int64()),
+                         "rank": pa.array(ranks, pa.int64())})
+
+    return read_documents(sf_dir).map_batches(score_topk, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+
+
+def bigram_topk(sf_dir: str, k: int = 100) -> "rd.Dataset":
+    """s, n — the corpus's k most frequent word bigrams (with multiplicity).
+    Per-batch partial counts collapse each block to its distinct bigrams
+    before the vocab-keyed groupby; a per-block partial top-k then feeds a
+    driver-side merge of ≤ k rows per block — no global sort.  Ties at the
+    cut are broken by the bigram string, so the result set is deterministic."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            w = (t or "").split(" ")
+            c.update(f"{w[i]} {w[i+1]}" for i in range(len(w) - 1))
+        return pa.table({"s": pa.array(list(c.keys()), pa.string()),
+                         "p_n": pa.array(list(c.values()), pa.int64())})
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().sort_values(["n", "s"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    merged = (
+        read_documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s").aggregate(Sum("p_n", alias_name="n"))
+        .map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # ≤ k rows per block by construction
+    )
+    return (merged.sort_values(["n", "s"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
 def winnow_fingerprint(sf_dir: str, k: int = 5, w: int = 5) -> "rd.Dataset":
     """doc_id, fp — winnowing fingerprints (the MOSS rolling-hash scheme):
     hash every char k-gram, slide a w-window, keep the window minimum,

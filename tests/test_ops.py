@@ -238,3 +238,153 @@ class TestMultimodal:
             AudioFeatureStage(fake=False)(batch)
         with pytest.raises(NotImplementedError):
             VideoFrameSample(fake=False)(batch)
+
+
+class TestNewRelational:
+    def test_group_topk_orders(self):
+        import pandas as pd
+
+        from sidecar.ops.relational import group_topk_orders
+
+        got = group_topk_orders(SF, k=3).to_pandas() \
+            .sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+        df = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey", "o_orderkey", "o_totalprice"]).to_pandas()
+        df["o_totalprice_cents"] = np.round(df["o_totalprice"] * 100).astype(np.int64)
+        df = df.sort_values(["o_custkey", "o_totalprice_cents", "o_orderkey"],
+                            ascending=[True, False, True])
+        df["rank"] = df.groupby("o_custkey").cumcount() + 1
+        want = df[df["rank"] <= 3][
+            ["o_custkey", "o_orderkey", "o_totalprice_cents", "rank"]
+        ].reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype("int64"), want.astype("int64"))
+
+    def test_nation_quantiles(self):
+        from sidecar.ops.relational import nation_acctbal_quantiles
+
+        got = nation_acctbal_quantiles(SF).to_pandas().set_index("c_nationkey")
+        df = pq.read_table(f"{SF}/customer.parquet",
+                           columns=["c_nationkey", "c_acctbal"]).to_pandas()
+        df["cents"] = np.round(df["c_acctbal"] * 100).astype(np.int64)
+        for nk, sub in df.groupby("c_nationkey"):
+            s = np.sort(sub["cents"].to_numpy())
+            n = len(s)
+            r = got.loc[nk]
+            assert r["n_customers"] == n
+            assert r["median_bal_cents"] == s[min(n - 1, int(np.ceil(0.5 * n)) - 1)]
+            assert r["p90_bal_cents"] == s[min(n - 1, int(np.ceil(0.9 * n)) - 1)]
+
+    def test_semi_join_orders(self):
+        from sidecar.ops.relational import semi_join_big_orders
+
+        got = semi_join_big_orders(SF, min_qty=47.0).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_quantity"]).to_pandas()
+        keys = set(li[li["l_quantity"] >= 47.0]["l_orderkey"])
+        orders = pq.read_table(f"{SF}/orders.parquet",
+                               columns=["o_orderkey"]).to_pandas()
+        want = set(orders[orders["o_orderkey"].isin(keys)]["o_orderkey"])
+        assert set(got["o_orderkey"]) == want and len(got) == len(want)
+
+
+class TestNewText:
+    def test_tfidf_topk(self):
+        from collections import Counter
+
+        from sidecar.ops.text import tfidf_topk
+
+        got = tfidf_topk(SF, k=5).to_pandas()
+        docs = _docs()
+        df_counts: Counter = Counter()
+        for _, text in docs:
+            df_counts.update(set((text or "").split(" ")))
+        by_doc = {d: g for d, g in got.groupby("doc_id")}
+        for doc_id, text in docs[:50]:
+            cnt = Counter((text or "").split(" "))
+            want = sorted(((-(tf / df_counts[t]), t, tf) for t, tf in cnt.items()))[:5]
+            g = by_doc[doc_id].sort_values("rank")
+            assert list(g["term"]) == [t for _, t, _ in want]
+            assert list(g["tf"]) == [tf for _, _, tf in want]
+            assert list(g["df"]) == [df_counts[t] for _, t, _ in want]
+
+    def test_bigram_topk(self):
+        from collections import Counter
+
+        from sidecar.ops.text import bigram_topk
+
+        got = bigram_topk(SF, k=50)
+        c: Counter = Counter()
+        for _, text in _docs():
+            w = (text or "").split(" ")
+            c.update(f"{w[i]} {w[i+1]}" for i in range(len(w) - 1))
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        assert list(zip(got["s"], got["n"])) == want
+
+
+class TestDedupComponents:
+    def test_lsh_components_match_bfs(self):
+        from collections import defaultdict
+
+        from sidecar.ops.dedup import lsh_components, minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(SF).to_pandas()
+        adj = defaultdict(set)
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        for start in sorted(adj):
+            if start in want:
+                continue
+            comp, stack = [], [start]
+            seen = {start}
+            while stack:
+                x = stack.pop()
+                comp.append(x)
+                for y in adj[x] - seen:
+                    seen.add(y)
+                    stack.append(y)
+            m = min(comp)
+            for x in comp:
+                want[x] = m
+        got = lsh_components(SF).to_pandas()
+        assert dict(zip(got["doc_id"], got["component_id"])) == want
+
+
+class TestPhashNearDup:
+    def test_banded_equals_bruteforce(self, images_table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray.data as rd
+
+        from sidecar.ops.multimodal import lossy_reencode, phash_neardup
+        from sidecar import codecs
+        from sidecar.detect.phash import phash64
+
+        img_only = images_table.filter(
+            pc.is_in(images_table.column("fmt"),
+                     value_set=pa.array(["png", "ppm", "b16"]))).slice(0, 80)
+        base = rd.from_arrow(img_only)
+        both = base.union(lossy_reencode(base, concurrency=2))
+        got = phash_neardup(both, max_dist=7, concurrency=2).to_pandas()
+        got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+        # brute-force oracle over decoded phashes of base + re-encodes
+        items = []
+        for row in img_only.to_pylist():
+            px = codecs.decode(row["bytes"], row["fmt"])
+            items.append((row["image_id"], phash64(px)))
+            px2 = codecs.decode(codecs.encode(px, "b16"), "b16")
+            items.append((row["image_id"] + "~b16", phash64(px2)))
+        want = set()
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                (ia, pa_), (ib, pb) = items[i], items[j]
+                if bin(pa_ ^ pb).count("1") <= 7:
+                    want.add((min(ia, ib), max(ia, ib)))
+        assert got_pairs == want
+        assert len(want) > 0  # the re-encode pairs make this non-trivial
+        # every emitted dist is within threshold
+        assert (got["dist"] <= 7).all()
