@@ -151,6 +151,7 @@ def run_scaling_crawl() -> dict:
     efficiency below the pure fetch+sidecar pipeline's (see BASELINE.md)."""
     cpus_lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     cpus_hi = int(os.environ.get("GRAFT_SCALE_HI", str(cpus_lo * 4)))
+    trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "3"))
     code = (
         "import ray, time, sys, tempfile, json\n"
         "sys.path.insert(0, '.')\n"
@@ -171,9 +172,15 @@ def run_scaling_crawl() -> dict:
     )
     results = {}
     for n in (cpus_lo, cpus_hi):
-        out = subprocess.run([sys.executable, "-c", code, str(n)],
-                             capture_output=True, text=True, timeout=3600)
-        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(trials):  # best-of: the shared sandbox shows up to
+            # 2-3x run-to-run interference on identical runs
+            out = subprocess.run([sys.executable, "-c", code, str(n)],
+                                 capture_output=True, text=True, timeout=3600)
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+        results[n] = best
     thr = {n: results[n]["urls"] / results[n]["sec"] for n in results}
     eff = (thr[cpus_hi] / thr[cpus_lo]) / (cpus_hi / cpus_lo)
     return {

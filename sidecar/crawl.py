@@ -73,42 +73,54 @@ class CrawlConfig:
         ).hexdigest()
 
 
-class Fetcher:
-    """ST7+ST8 actor-pool stage: mark-seen → deterministic fetch → IMAGES row.
+def make_fetcher(seen_shards: list, num_shards: int, seed: int):
+    """ST7+ST8 fetch stage: mark-seen → deterministic fetch → sidecar
+    extraction, all inside ONE batch function, run as elastic Ray TASKS.
 
-    Stateful setup (shard handles, config) happens once per actor in
-    ``__init__``; per-batch work is ``__call__``.  ``add_many`` is
-    idempotent, so a retried task re-marks the same hashes harmlessly.
+    Tasks, not an actor pool, deliberately: the stage has no expensive
+    per-worker state (the seen-shard handles serialize into the closure and
+    cost nothing to hold; the politeness/seen STATE stays in its dedicated
+    actors) — so a fixed pool only added per-epoch actor-process spin-up
+    (a fresh pool per map_batches per epoch), pool-size tuning, and
+    upstream-starvation risk, while tasks reuse warm worker processes and
+    let the scheduler use every CPU slot.  ``add_many`` is idempotent, so a
+    retried task re-marks the same hashes harmlessly.
+
+    The seen-mark RPCs are fired FIRST and awaited LAST, so shard
+    round-trips overlap the fetch+extract compute; the mutation still
+    completes before the batch (and hence the epoch barrier) finishes.
     """
 
-    def __init__(self, seen_shards: list, num_shards: int, seed: int, epoch: int):
-        self.shards = seen_shards
-        self.num_shards = num_shards
-        self.seed = seed
-        self.ts14 = str(20210101000000 + epoch)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def fetch_extract(batch: pa.Table) -> pa.Table:
         hashes = batch.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        shard_of = (hashes % np.uint64(self.num_shards)).astype(np.int64)
+        shard_of = (hashes % np.uint64(num_shards)).astype(np.int64)
         futures = []
-        for s in range(self.num_shards):
+        for s in range(num_shards):
             part = hashes[shard_of == s]
             if len(part):
-                futures.append(self.shards[s].add_many.remote(part))
-        ray.get(futures)  # seen-set mutation is part of the fetch transaction
+                futures.append(seen_shards[s].add_many.remote(part))
+        epochs = batch.column("epoch").to_pylist()
         rows = []
-        for canon, url in zip(
-            batch.column("url_canon").to_pylist(), batch.column("url").to_pylist()
+        for canon, url, ep in zip(
+            batch.column("url_canon").to_pylist(), batch.column("url").to_pylist(),
+            epochs,
         ):
-            row = synth.fetch_url(canon, self.seed)
+            row = synth.fetch_url(canon, seed)
             row["image_id"] = canon
             row["url"] = url
-            row["ts"] = self.ts14
+            row["ts"] = str(20210101000000 + ep)
             rows.append(row)
         schema = synth.IMAGES_SCHEMA.append(pa.field("url", pa.string())).append(
             pa.field("ts", pa.string())
         )
-        return pa.Table.from_pylist(rows, schema=schema)
+        images = pa.Table.from_pylist(rows, schema=schema)
+        if "part" in batch.column_names:  # fetch-partition id, row-aligned
+            images = images.append_column("part", batch.column("part"))
+        out = pipeline.extract_sidecar_batch(images)
+        ray.get(futures)  # seen-set mutation is part of the fetch transaction
+        return out
+
+    return fetch_extract
 
 
 def _parquet_rows(d: str) -> int:
@@ -323,46 +335,21 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
         else:
             to_fetch = selected
 
-        # fetch (marks seen) → sidecar extraction → partitioned parquet.
-        # Fixed-size actor pool: an autoscaling (1, N) pool ramps too slowly
-        # for epoch-length stages and left the fetch effectively serial
-        # (measured 34s → 4s for a 17k-URL epoch at 32 CPUs).
+        # fetch (marks seen) + sidecar extraction in ONE elastic task stage
+        # → partitioned parquet.  The unit of map parallelism is the BLOCK:
+        # re-split the (small, metadata-only) selected set so the stage fans
+        # out across every CPU, with enough blocks for load balance but not
+        # so many that per-task overhead dominates a small epoch.
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        # cap BELOW cluster size (a pool holding every CPU slot starves the
-        # downstream extract/write stages — deadlock-prone on small
-        # clusters) and BY WORKLOAD (spinning 14 actor processes for a
-        # 40-URL epoch costs more than the fetch itself)
         n_remaining_est = m["selected"] - m.get("resumed_rows", 0)
-        n_fetchers = max(1, min(16, cpus // 2, cpus - 2,
-                                n_remaining_est // 500 + 1))
-        # the unit of map parallelism is the BLOCK: re-split the (small,
-        # metadata-only) selected set so the fetch pool actually fans out
-        to_fetch = to_fetch.repartition(n_fetchers * 4)
-        images = to_fetch.map_batches(
-            Fetcher,
-            fn_constructor_kwargs={
-                "seen_shards": shards,
-                "num_shards": cfg.num_seen_shards,
-                "seed": cfg.seed,
-                "epoch": epoch,
-            },
+        n_blocks = max(1, min(cpus * 4, n_remaining_est // 256 + 1))
+        to_fetch = to_fetch.repartition(n_blocks)
+        sidecar_ds = to_fetch.map_batches(
+            make_fetcher(shards, cfg.num_seen_shards, cfg.seed),
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=n_fetchers,
             zero_copy_batch=True,
         )
-        sidecar_ds = pipeline.sidecar_dataset(images, batch_size=256)
-
-        # re-derive the fetch partition on the sidecar side (image_id is the
-        # canonical url, so url_hash(image_id) % P matches the frontier part)
-        from sidecar.canon import url_hash as _uh
-
-        def add_part_out(t: pa.Table) -> pa.Table:
-            parts = [(_uh(i) % P) for i in t.column("image_id").to_pylist()]
-            return t.append_column("part", pa.array(parts, pa.int64()))
-
-        sidecar_ds = sidecar_ds.map_batches(add_part_out, batch_format="pyarrow",
-                                            zero_copy_batch=True)
         n_remaining = m["selected"] - m.get("resumed_rows", 0)
         if storage.HAVE_LANCE:  # pragma: no cover - lance absent in sandbox
             storage.write_table(sidecar_ds, sidecar_path)

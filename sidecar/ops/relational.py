@@ -86,60 +86,66 @@ def pricing_summary(sf_dir: str) -> "rd.Dataset":
     )
 
 
-def top_revenue_orders(sf_dir: str, k: int = 20) -> "rd.Dataset":
-    """Broadcast-join top-k: lineitem revenue per order, joined to orders and
-    customer (both small sides broadcast via ray.put), top-k by revenue.
+NUM_AGG_PARTS = 64  # coarse shuffle partitions for high-cardinality groupbys
 
-    The only shuffle is groupby(l_orderkey); customer/orders lookups ride
-    inside map_batches against the broadcast dicts (SURVEY.md J1 pattern).
+
+def top_revenue_orders(sf_dir: str, k: int = 20) -> "rd.Dataset":
+    """Top-k orders by lineitem revenue, enriched with customer segment.
+
+    Coarse-partition aggregate + post-top-k enrichment: per-order sums need a
+    shuffle, but a key-cardinality groupby (~1.5M keys at sf=1) pays per-key
+    dispatch — instead the shuffle key is ``l_orderkey % NUM_AGG_PARTS`` (64
+    groups at ANY scale; each order lives wholly in one partition so
+    per-partition sums are complete), the per-order sum + partial top-k run
+    vectorized inside each group task, and the driver merges 64×k candidate
+    rows.  The orders→customer enrichment runs AFTER top-k on exactly k rows
+    (predicate-pushdown point reads) — no broadcast of the full orders table,
+    unlike a join-then-rank plan.
     """
     import pyarrow.parquet as pq
 
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_orderkey", "o_custkey"])
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    o2c = dict(zip(orders.column("o_orderkey").to_pylist(),
-                   orders.column("o_custkey").to_pylist()))
-    c2seg = dict(zip(cust.column("c_custkey").to_pylist(),
-                     cust.column("c_mktsegment").to_pylist()))
-    side_ref = ray.put((o2c, c2seg))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["rev"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby("l_orderkey", as_index=False)["rev"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    def enrich_topk(batch: pa.Table) -> pa.Table:
-        """Enrich + per-block partial top-k: only k rows per block survive to
-        the driver-side final merge, so no global sort barrier is needed —
-        the right top-k plan at any scale (the global sort would shuffle
-        every row to rank 20 of them)."""
-        o2c_, c2seg_ = ray.get(side_ref)
-        df = batch.to_pandas()
-        df["revenue_cents"] = _cents(batch.column("revenue")).to_pandas()
-        df = df.sort_values(["revenue_cents", "l_orderkey"],
-                            ascending=[False, True]).head(k)
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
         return pa.table({
-            "o_orderkey": pa.array(df["l_orderkey"], pa.int64()),
-            "revenue_cents": pa.array(df["revenue_cents"], pa.int64()),
-            "c_mktsegment": pa.array(
-                [c2seg_.get(o2c_.get(kk)) for kk in df["l_orderkey"]], pa.string()),
+            "part": pa.array(key % NUM_AGG_PARTS, pa.int64()),
+            "l_orderkey": pa.array(key, pa.int64()),
+            "rev": pa.array(price * (1 - disc), pa.float64()),
         })
 
-    partials = (
+    def sum_topk(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("l_orderkey", sort=False)["rev"].sum()
+        cents = np.round(s.to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"o_orderkey": s.index.to_numpy(), "revenue_cents": cents})
+        return df.sort_values(["revenue_cents", "o_orderkey"],
+                              ascending=[False, True]).head(k)
+
+    top = (
         rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue"))
-        .map_batches(enrich_topk, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()  # ≤ k rows per block — a small result by construction
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(sum_topk, batch_format="pandas")
+        .to_pandas()  # ≤ 64 × k rows by construction
+        .sort_values(["revenue_cents", "o_orderkey"], ascending=[False, True])
+        .head(k).reset_index(drop=True)
     )
-    return (partials.sort_values(["revenue_cents", "o_orderkey"],
-                                 ascending=[False, True])
-            .head(k).reset_index(drop=True))
+
+    keys = top["o_orderkey"].tolist()
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey"],
+                           filters=[("o_orderkey", "in", keys)])
+    o2c = dict(zip(orders.column("o_orderkey").to_pylist(),
+                   orders.column("o_custkey").to_pylist()))
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"],
+                         filters=[("c_custkey", "in",
+                                   sorted(set(o2c.values())))])
+    c2seg = dict(zip(cust.column("c_custkey").to_pylist(),
+                     cust.column("c_mktsegment").to_pylist()))
+    top["c_mktsegment"] = [c2seg[o2c[kk]] for kk in keys]
+    return top
 
 
 def events_windowed(sf_dir: str, window_s: int = 3600) -> "rd.Dataset":

@@ -197,6 +197,8 @@ def extract_sidecar_batch(batch: pa.Table) -> pa.Table:
             "caption": caption,
         }
     )
+    if "part" in batch.column_names:  # fetch-partition id rides through
+        out = out.append_column("part", batch.column("part"))
     # F10/:270-271 — a record with no metadata at all is skipped entirely;
     # with a non-empty payload we always have a mime, so only empty payloads drop.
     return out.filter(pa.array(nonempty))
