@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_winnow_fingerprint": text.winnow_fingerprint,
         "text_tfidf_topk": text.tfidf_topk,
         "text_bigram_topk": text.bigram_topk,
+        "text_mask_terms": text.mask_terms,
         # --- dedup family ------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_sig": dedup.minhash_signatures,
@@ -166,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search (embeddings) ------------------------------
         "sim_ann_topk": similarity.ann_topk,
         "sim_ann_ivf": similarity.ann_topk_ivf,               # rows-only (approx)
+        "sim_kmeans": similarity.kmeans,                      # rows-only (iterative)
         # --- relational core (groupby/join/sort/window) ------------------
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_revenue_orders": relational.top_revenue_orders,
@@ -183,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_group_topk": relational.group_topk_orders,
         "rel_nation_quantiles": relational.nation_acctbal_quantiles,
         "rel_semi_join_orders": relational.semi_join_big_orders,
+        "rel_pricing_rollup": relational.pricing_rollup,
         # --- crawl/sidecar engine (rows-only: synthesized payload path) --
         "sidecar_extract": sidecar_extract,
         "cdxj_project": cdxj_project,
@@ -462,6 +465,23 @@ def oracle_sql() -> dict[str, str]:
                    FROM toks, unnest(generate_series(1, len(w) - 1)) AS t(i))
             SELECT s, count(*)::BIGINT AS n FROM bg
             GROUP BY s ORDER BY n DESC, s LIMIT 100
+        """,
+        "text_mask_terms": r"""
+            SELECT doc_id,
+                   regexp_replace(coalesce(text, ''),
+                                  '\b(customer|value)\b', '[MASK]', 'g')
+                       AS scrubbed,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '\b(customer|value)\b'))::BIGINT AS n_masked
+            FROM documents
+        """,
+        "rel_pricing_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   round(sum(l_quantity) * 100)::BIGINT AS sum_qty_cents,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "dedup_lsh_components": f"""
             WITH RECURSIVE {_MINHASH_CTE},

@@ -602,6 +602,48 @@ def semi_join_big_orders(sf_dir: str, min_qty: float = 47.0) -> "rd.Dataset":
         .map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def pricing_rollup(sf_dir: str) -> "pd.DataFrame":
+    """ROLLUP aggregate: lineitem quantity/count at three grouping levels —
+    (returnflag, linestatus), (returnflag), and grand total — with 'ALL' as
+    the rolled-up sentinel (hash-stable across engines, unlike SQL NULL).
+
+    The scale plan computes ONLY the finest level distributed (the same
+    partial-aggregate + small groupby as pricing_summary); the coarser
+    levels are derived from the finest RESULT (a handful of rows) on the
+    driver — never a second pass over the data.  Sums roll up exactly
+    because the finest level is already integer cents."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            p_qty=("l_quantity", "sum"), p_cnt=("l_quantity", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    finest = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("p_qty", alias_name="sum_qty"),
+                   Sum("p_cnt", alias_name="n_rows"))
+        .to_pandas()  # |flags| × |statuses| rows
+    )
+    finest["sum_qty_cents"] = np.round(finest["sum_qty"] * 100).astype(np.int64)
+    finest = finest[["l_returnflag", "l_linestatus", "sum_qty_cents", "n_rows"]]
+    lvl1 = (finest.groupby("l_returnflag", as_index=False)
+            .agg(sum_qty_cents=("sum_qty_cents", "sum"), n_rows=("n_rows", "sum")))
+    lvl1["l_linestatus"] = "ALL"
+    lvl0 = pd.DataFrame({
+        "l_returnflag": ["ALL"], "l_linestatus": ["ALL"],
+        "sum_qty_cents": [finest["sum_qty_cents"].sum()],
+        "n_rows": [finest["n_rows"].sum()],
+    })
+    out = pd.concat([finest, lvl1, lvl0], ignore_index=True)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["sum_qty_cents"] = out["sum_qty_cents"].astype(np.int64)
+    return out[["l_returnflag", "l_linestatus", "sum_qty_cents", "n_rows"]]
+
+
 def range_join_acctbal(sf_dir: str, band: float = 10.0) -> "rd.Dataset":
     """Range (band) join: per supplier, how many customers hold an account
     balance within ±band — the bucketed-range shuffle plan Ray Data lacks

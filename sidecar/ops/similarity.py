@@ -77,6 +77,107 @@ def ann_topk(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
     )
 
 
+KMEANS_SCALE = np.int64(1) << 24  # fixed-point accumulator scale
+
+
+def kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> "rd.Dataset":
+    """vec_id, cluster — distributed Lloyd's k-means over the embeddings.
+
+    Each iteration is one shuffle-free pass: ``map_batches`` assigns rows to
+    the nearest centroid and emits per-centroid partial sums; the driver
+    combines the (k × dim)-sized partials and updates centroids.  Partials
+    accumulate in FIXED-POINT int64 (value × 2^24, rounded): integer sums
+    are order-independent, so the centroids — and therefore the final
+    assignment — are bit-identical at any parallelism level or block order,
+    which a float64 reduction cannot promise.  Init = the k lowest vec_ids
+    (deterministic, no RNG).  Iterative ⇒ no SQL oracle; a single-threaded
+    oracle with the identical arithmetic asserts the assignment in tests.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ids)
+    C = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[order[:k]]
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def make_partials(centroids: np.ndarray):
+        c_ref = ray.put(centroids)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            Cc = ray.get(c_ref)
+            E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            d2 = (E * E).sum(1)[:, None] - 2 * E @ Cc.T + (Cc * Cc).sum(1)[None, :]
+            a = np.argmin(d2, axis=1)
+            fx = np.round(E * KMEANS_SCALE).astype(np.int64)
+            rows = {"cluster": [], "n": [], "sums": []}
+            for c in np.unique(a):
+                sel = a == c
+                rows["cluster"].append(int(c))
+                rows["n"].append(int(sel.sum()))
+                rows["sums"].append(fx[sel].sum(axis=0).tolist())
+            return pa.table({
+                "cluster": pa.array(rows["cluster"], pa.int64()),
+                "n": pa.array(rows["n"], pa.int64()),
+                "sums": pa.array(rows["sums"], pa.list_(pa.int64())),
+            })
+
+        return partials
+
+    dim = C.shape[1]
+    for _ in range(iters):
+        acc = np.zeros((k, dim), dtype=np.int64)
+        cnt = np.zeros(k, dtype=np.int64)
+        for b in ds.map_batches(make_partials(C), batch_format="pyarrow",
+                                zero_copy_batch=True).iter_batches(
+                                    batch_format="pyarrow"):
+            for c, n, s in zip(b.column("cluster").to_pylist(),
+                               b.column("n").to_pylist(),
+                               b.column("sums").to_pylist()):
+                acc[c] += np.array(s, dtype=np.int64)
+                cnt[c] += n
+        nonzero = cnt > 0
+        C = C.copy()
+        C[nonzero] = (acc[nonzero] / KMEANS_SCALE) / cnt[nonzero, None]
+
+    final_ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cc = ray.get(final_ref)
+        E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        d2 = (E * E).sum(1)[:, None] - 2 * E @ Cc.T + (Cc * Cc).sum(1)[None, :]
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(np.argmin(d2, axis=1).astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_oracle(sf_dir: str, k: int = 8, iters: int = 5) -> dict[int, int]:
+    """Single-threaded reference with the IDENTICAL fixed-point arithmetic
+    (the bit-for-bit contract for the distributed version)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    C = E[order[:k]].copy()
+    fx = np.round(E * KMEANS_SCALE).astype(np.int64)
+    for _ in range(iters):
+        d2 = (E * E).sum(1)[:, None] - 2 * E @ C.T + (C * C).sum(1)[None, :]
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            sel = a == c
+            if sel.any():
+                C[c] = (fx[sel].sum(axis=0) / KMEANS_SCALE) / sel.sum()
+    d2 = (E * E).sum(1)[:, None] - 2 * E @ C.T + (C * C).sum(1)[None, :]
+    a = np.argmin(d2, axis=1)
+    return dict(zip(ids.tolist(), a.astype(np.int64).tolist()))
+
+
 def ann_topk_ivf(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
                  k: int = 10, n_cells: int = 16, n_probe: int = 4,
                  seed: int = 42) -> "rd.Dataset":

@@ -239,6 +239,30 @@ def bigram_topk(sf_dir: str, k: int = 100) -> "rd.Dataset":
             .head(k).reset_index(drop=True))
 
 
+MASK_TERMS = ("customer", "value")  # deny-list (PII-style scrub stand-in)
+_MASK_RE = r"\b(" + "|".join(MASK_TERMS) + r")\b"
+
+
+def mask_terms(sf_dir: str) -> "rd.Dataset":
+    """doc_id, scrubbed, n_masked — deny-list term masking (the PII-scrub
+    shape every training-data pipeline needs: regex redaction + audit
+    counts), shuffle-free.  Arrow's ``replace_substring_regex`` and DuckDB's
+    ``regexp_replace(..., 'g')`` are both RE2, so the scrubbed text and
+    counts are bit-equal."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").fill_null("")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "scrubbed": pc.replace_substring_regex(text, _MASK_RE, "[MASK]"),
+            "n_masked": pc.cast(pc.count_substring_regex(text, _MASK_RE),
+                                pa.int64()),
+        })
+
+    return read_documents(sf_dir).map_batches(f, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+
+
 def winnow_fingerprint(sf_dir: str, k: int = 5, w: int = 5) -> "rd.Dataset":
     """doc_id, fp — winnowing fingerprints (the MOSS rolling-hash scheme):
     hash every char k-gram, slide a w-window, keep the window minimum,

@@ -388,3 +388,51 @@ class TestPhashNearDup:
         assert len(want) > 0  # the re-encode pairs make this non-trivial
         # every emitted dist is within threshold
         assert (got["dist"] <= 7).all()
+
+
+class TestKmeans:
+    def test_kmeans_matches_fixed_point_oracle(self):
+        from sidecar.ops.similarity import kmeans, kmeans_oracle
+
+        got = kmeans(SF, k=8, iters=5).to_pandas()
+        want = kmeans_oracle(SF, k=8, iters=5)
+        assert dict(zip(got["vec_id"], got["cluster"])) == want
+        assert got["cluster"].nunique() > 1  # non-degenerate clustering
+
+    def test_kmeans_deterministic_across_runs(self):
+        from sidecar.ops.similarity import kmeans
+
+        a = kmeans(SF, k=8, iters=3).to_pandas().sort_values("vec_id")
+        b = kmeans(SF, k=8, iters=3).to_pandas().sort_values("vec_id")
+        assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
+
+
+class TestRollupAndMask:
+    def test_pricing_rollup_levels_consistent(self):
+        from sidecar.ops.relational import pricing_rollup
+
+        out = pricing_rollup(SF)
+        fine = out[(out["l_returnflag"] != "ALL") & (out["l_linestatus"] != "ALL")]
+        lvl1 = out[(out["l_returnflag"] != "ALL") & (out["l_linestatus"] == "ALL")]
+        total = out[(out["l_returnflag"] == "ALL")]
+        assert len(total) == 1
+        assert total["n_rows"].iloc[0] == fine["n_rows"].sum() == lvl1["n_rows"].sum()
+        assert total["sum_qty_cents"].iloc[0] == fine["sum_qty_cents"].sum()
+        li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_quantity"])
+        assert total["n_rows"].iloc[0] == li.num_rows
+
+    def test_mask_terms_scrubs_and_counts(self):
+        import re
+
+        from sidecar.ops.text import mask_terms
+
+        got = mask_terms(SF).to_pandas().set_index("doc_id")
+        pat = re.compile(r"\b(customer|value)\b")
+        hits = 0
+        for doc_id, text in _docs()[:100]:
+            t = text or ""
+            r = got.loc[doc_id]
+            assert r["scrubbed"] == pat.sub("[MASK]", t)
+            assert r["n_masked"] == len(pat.findall(t))
+            hits += r["n_masked"]
+        assert hits > 0  # the deny-list actually fires on this corpus
