@@ -61,6 +61,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return flagship(sf_dir).drop_columns(["charset", "languages",
                                               "caption_languages"])
 
+    def sidecar_extract_dedup(sf_dir: str):
+        """The explicit A3 compute-once-per-digest plan (groupby payload
+        digest → extract distinct payloads → broadcast metadata back);
+        row-equal to sidecar_extract (asserted in tests)."""
+        from sidecar.pipeline import sidecar_dataset_dedup_digest
+
+        return sidecar_dataset_dedup_digest(images_dataset(sf_dir)) \
+            .drop_columns(["charset", "languages", "caption_languages"])
+
     def cdxj_project(sf_dir: str):
         from sidecar.cdxj import cdxj_from_sidecar
 
@@ -96,6 +105,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             image_rows_only, batch_format="pyarrow", zero_copy_batch=True)
         both = base.union(multimodal.lossy_reencode(base))
         return multimodal.phash_neardup(both)
+
+    def mm_audio_features(sf_dir: str):
+        """Audio feature-extract PLUMBING over opaque binary payloads (the
+        decode itself is a deterministic fake — no audio libs in this
+        container; the actor-pool stage, schema and batch sizing are real).
+        Rows-only."""
+        return images_dataset(sf_dir).map_batches(
+            multimodal.AudioFeatureStage,
+            fn_constructor_kwargs={"fake": True},
+            batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
+            concurrency=(1, 4))
+
+    def mm_video_frame_sample(sf_dir: str):
+        """Video frame-index sampling PLUMBING (deterministic fake decode,
+        real Ray-side stage).  Rows-only."""
+        return images_dataset(sf_dir).map_batches(
+            multimodal.VideoFrameSample,
+            fn_constructor_kwargs={"fake": True, "every_n": 30},
+            batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
+            concurrency=(1, 4))
 
     def crawl_demo(sf_dir: str):
         """Deterministic 2-epoch crawl (frontier shuffles, seen-set shards,
@@ -186,12 +215,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_nation_quantiles": relational.nation_acctbal_quantiles,
         "rel_semi_join_orders": relational.semi_join_big_orders,
         "rel_pricing_rollup": relational.pricing_rollup,
+        "rel_orders_lineitem_join": relational.orders_lineitem_join,
         # --- crawl/sidecar engine (rows-only: synthesized payload path) --
         "sidecar_extract": sidecar_extract,
+        "sidecar_extract_dedup": sidecar_extract_dedup,
         "cdxj_project": cdxj_project,
         "cdxj_merge": cdxj_merge_demo,
         "multimodal_image_stats": mm_image_stats,
         "multimodal_phash_neardup": mm_phash_neardup,
+        "multimodal_audio_features": mm_audio_features,
+        "multimodal_video_frame_sample": mm_video_frame_sample,
         "crawl_demo": crawl_demo,
     }
 
@@ -474,6 +507,12 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(coalesce(text, ''),
                        '\b(customer|value)\b'))::BIGINT AS n_masked
             FROM documents
+        """,
+        "rel_orders_lineitem_join": """
+            SELECT l.l_orderkey, l.l_linenumber::BIGINT AS l_linenumber,
+                   round(l.l_quantity * 100)::BIGINT AS l_quantity_cents,
+                   o.o_orderpriority
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         """,
         "rel_pricing_rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,

@@ -41,7 +41,9 @@ BENCH_QUERIES = (
     "rel_pricing_summary",
     "rel_top_revenue_orders",
     "rel_events_windowed",
+    "rel_orders_lineitem_join",
     "text_token_count",
+    "text_tfidf_topk",
     "multimodal_image_stats",
     "cdxj_merge",
     "crawl_demo",

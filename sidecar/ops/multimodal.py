@@ -281,7 +281,7 @@ def _pool_size(requested: "int | tuple | None") -> "int | tuple":
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return (1, max(1, min(4, cpus - 2)))
+    return (1, max(1, min(16, cpus - 2)))
 
 
 def image_decode_stats(images_ds: "rd.Dataset", *, batch_size: int = 64,

@@ -602,6 +602,64 @@ def semi_join_big_orders(sf_dir: str, min_qty: float = 47.0) -> "rd.Dataset":
         .map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def orders_lineitem_join(sf_dir: str) -> "rd.Dataset":
+    """General large×large inner hash join (no pre-aggregation): every
+    lineitem row joined to its order's priority — the shuffle-join shape for
+    when NEITHER side fits a broadcast.
+
+    Plan: tag each side, union into one Dataset, ONE shuffle keyed by a
+    coarse partition of the join key (64 groups at any scale — the same
+    co-partitioning trick as the as-of join), then a vectorized pandas merge
+    inside each partition.  Each key's rows from both sides land in the same
+    partition by construction, so the per-partition merge is exact.  Output
+    is row-level (one row per lineitem), proving the join itself rather
+    than a joined aggregate."""
+
+    def ord_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "jpart": pa.array((k % NUM_AGG_PARTS).astype(np.int64), pa.int64()),
+            "key": pa.array(k, pa.int64()),
+            "side": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "lineno": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "qty_cents": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "o_orderpriority": batch.column("o_orderpriority"),
+        })
+
+    def li_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        n = len(k)
+        return pa.table({
+            "jpart": pa.array((k % NUM_AGG_PARTS).astype(np.int64), pa.int64()),
+            "key": pa.array(k, pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int64)),
+            "lineno": pc.cast(batch.column("l_linenumber"), pa.int64()),
+            "qty_cents": _cents(batch.column("l_quantity")),
+            "o_orderpriority": pa.array([""] * n, pa.string()),
+        })
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g[g["side"] == 0][["key", "o_orderpriority"]]
+        items = g[g["side"] == 1][["key", "lineno", "qty_cents"]]
+        out = items.merge(orders, on="key", how="inner")
+        return pd.DataFrame({
+            "l_orderkey": out["key"].to_numpy(),
+            "l_linenumber": out["lineno"].to_numpy(),
+            "l_quantity_cents": out["qty_cents"].to_numpy(),
+            "o_orderpriority": out["o_orderpriority"].to_numpy(),
+        })
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(ord_rows, batch_format="pyarrow", zero_copy_batch=True)
+    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_linenumber", "l_quantity"]) \
+        .map_batches(li_rows, batch_format="pyarrow", zero_copy_batch=True)
+    return (orders.union(items)
+            .groupby("jpart")
+            .map_groups(join_partition, batch_format="pandas"))
+
+
 def pricing_rollup(sf_dir: str) -> "pd.DataFrame":
     """ROLLUP aggregate: lineitem quantity/count at three grouping levels —
     (returnflag, linestatus), (returnflag), and grand total — with 'ALL' as

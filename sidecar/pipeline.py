@@ -17,8 +17,9 @@ Work-dedup by payload digest (reference DIGEST_CACHE, :39,231-246) is done
 as a *within-batch memo* plus deterministic detectors: re-computing a digest
 seen in another batch yields byte-identical metadata, so output equals the
 reference's cache semantics without shuffling image bytes across the cluster
-(A3 discussion in SURVEY.md §2.5).  ``extract_unique_then_join=True`` gives
-the explicit groupby(payload_digest) compute-once plan for parity tests.
+(A3 discussion in SURVEY.md §2.5).  ``sidecar_dataset_dedup_digest`` is the
+explicit groupby(payload_digest) compute-once plan (extract once per distinct
+payload, broadcast the metadata back) for when extraction dwarfs hashing.
 """
 
 from __future__ import annotations
@@ -221,6 +222,123 @@ def sidecar_dataset(images_ds, *, batch_size: int = 1024, concurrency=None):
         zero_copy_batch=True,
         **kwargs,
     )
+
+
+PAYLOAD_DERIVED_COLS = (
+    "mime_fido", "mime_magic", "puid", "charset", "languages", "soft404",
+    "phash", "w", "h", "fmt", "is_text", "payload_digest",
+)  # columns that depend only on the payload bytes — the cacheable part
+
+
+def sidecar_dataset_dedup_digest(images_ds, *, batch_size: int = 1024,
+                                 num_parts: int = 64):
+    """The EXPLICIT compute-once-per-digest plan (reference DIGEST_CACHE →
+    SURVEY.md A3: groupby(payload_digest), extract once per distinct payload,
+    fan results back to every row).
+
+    ``sidecar_dataset`` already matches the reference's cache SEMANTICS via
+    deterministic detectors (+ a within-batch memo); this variant additionally
+    matches its WORK profile — each distinct payload is extracted exactly
+    once — which is the right plan when extraction dwarfs hashing (model
+    scoring, OCR) and the corpus has heavy exact duplication (mirrors).
+
+    Plan, keeping payload shuffles minimal:
+      1. per-block first-occurrence dedup (vectorized) — at most one payload
+         per (block × digest) continues;
+      2. coarse-partition groupby on the digest hash → global keep-first
+         (the only stage where payload bytes cross the wire, one per
+         surviving candidate);
+      3. ``extract_sidecar_batch`` over the distinct representatives only;
+      4. the payload-derived metadata (small, no bytes) is collected and
+         broadcast once via ``ray.put``; a final shuffle-free pass over the
+         ORIGINAL rows re-hashes (cheap) and assembles each row from the
+         lookup, computing only the row-specific fields (caption language)
+         in place.  At a scale where even the metadata outgrows a broadcast,
+         step 4 becomes a hash-partitioned join on payload_digest — the
+         upstream stages are unchanged.
+
+    Output rows equal ``sidecar_dataset``'s (order aside) — asserted in
+    tests on corpora with duplicate payloads and distinct captions.
+    """
+    from zlib import crc32
+
+    import pandas as pd
+
+    import ray
+    import ray.data as rd  # noqa: F401  (type context)
+
+    def reps(batch: pa.Table) -> pa.Table:
+        digests = _digest_batch(batch.column("bytes"))
+        first = (~pd.Series(digests).duplicated()).to_numpy()
+        sub = batch.filter(pa.array(first))
+        d = digests[first]
+        part = np.array([crc32(x.encode()) % num_parts for x in d], dtype=np.int64)
+        return sub.append_column("dpart", pa.array(part, pa.int64()))
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["bytes"].map(lambda b: hashlib.sha1(b or b"").hexdigest())
+        return g.loc[~d.duplicated()].drop(columns=["dpart"])
+
+    uniq = (
+        images_ds.map_batches(reps, batch_format="pyarrow",
+                              batch_size=batch_size, zero_copy_batch=True)
+        .groupby("dpart")
+        .map_groups(keep_first, batch_format="pandas")
+    )
+    meta = uniq.map_batches(extract_sidecar_batch, batch_format="pyarrow",
+                            batch_size=batch_size, zero_copy_batch=True)
+
+    lookup: dict[str, dict] = {}
+    for b in meta.iter_batches(batch_format="pyarrow"):
+        tbl = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for row in tbl.select(list(PAYLOAD_DERIVED_COLS)).to_pylist():
+            lookup[row["payload_digest"]] = row
+    lookup_ref = ray.put(lookup)
+
+    def assemble(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        n = batch.num_rows
+        digests = _digest_batch(batch.column("bytes"))
+        caption = batch.column("caption").combine_chunks()
+        url = batch.column("url") if "url" in batch.column_names else pa.nulls(n, pa.string())
+        ts = batch.column("ts") if "ts" in batch.column_names else pa.nulls(n, pa.string())
+        hit = [lk.get(d) for d in digests]
+        keep = np.array([h is not None for h in hit], dtype=bool)  # ≡ nonempty filter
+
+        def col(name):
+            return [h[name] for h, k in zip(hit, keep) if k]
+
+        is_text = np.array(col("is_text"), dtype=bool)
+        cap_kept = caption.filter(pa.array(keep)).fill_null("")
+        cap_mask = (~is_text) & (
+            pc.greater(pc.utf8_length(cap_kept), 0).to_numpy(zero_copy_only=False))
+        caption_languages = find_language_batch(cap_kept, mask=cap_mask)
+        out = pa.table({
+            "image_id": batch.column("image_id").filter(pa.array(keep)),
+            "url": url.filter(pa.array(keep)) if n else url,
+            "ts": ts.filter(pa.array(keep)) if n else ts,
+            "mime_fido": pa.array(col("mime_fido"), pa.string()),
+            "mime_magic": pa.array(col("mime_magic"), pa.string()),
+            "puid": pa.array(col("puid"), pa.string()),
+            "charset": pa.array(col("charset"), type=schemas.CHARSET_T),
+            "languages": pa.array(col("languages"), type=schemas.LANGUAGES_T),
+            "caption_languages": pa.array(
+                [_lang_dict_to_struct(x) for x in caption_languages],
+                type=schemas.LANGUAGES_T),
+            "soft404": pa.array(col("soft404"), pa.float64()),
+            "phash": pa.array(col("phash"), pa.int64()),
+            "w": pa.array(col("w"), pa.int32()),
+            "h": pa.array(col("h"), pa.int32()),
+            "fmt": pa.array(col("fmt"), pa.string()),
+            "payload_digest": pa.array([d for d, k in zip(digests, keep) if k],
+                                       pa.string()),
+            "is_text": pa.array(is_text),
+            "caption": cap_kept,
+        })
+        return out
+
+    return images_ds.map_batches(assemble, batch_format="pyarrow",
+                                 batch_size=batch_size, zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

@@ -436,3 +436,25 @@ class TestRollupAndMask:
             assert r["n_masked"] == len(pat.findall(t))
             hits += r["n_masked"]
         assert hits > 0  # the deny-list actually fires on this corpus
+
+
+class TestShuffleJoin:
+    def test_orders_lineitem_join_matches_pandas(self):
+        import pandas as pd
+
+        from sidecar.ops.relational import orders_lineitem_join
+
+        got = orders_lineitem_join(SF).to_pandas() \
+            .sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_linenumber", "l_quantity"]).to_pandas()
+        od = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey", "o_orderpriority"]).to_pandas()
+        want = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        want = pd.DataFrame({
+            "l_orderkey": want["l_orderkey"],
+            "l_linenumber": want["l_linenumber"].astype("int64"),
+            "l_quantity_cents": np.round(want["l_quantity"] * 100).astype("int64"),
+            "o_orderpriority": want["o_orderpriority"],
+        }).sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)

@@ -121,3 +121,34 @@ def test_determinism_across_parallelism(images_table):
         [x if isinstance(x, pa.Table) else pa.Table.from_batches([x]) for x in batches]
     ).combine_chunks().sort_by("image_id")
     assert a.equals(b)
+
+
+def test_dedup_digest_plan_equals_plain_extract():
+    """A3 parity: the explicit compute-once-per-digest plan produces the
+    same rows as the plain per-row extraction, on a corpus with heavy exact
+    payload duplication and DISTINCT captions (the per-row fields must not
+    be cached along with the payload-derived ones)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sidecar.pipeline import sidecar_dataset, sidecar_dataset_dedup_digest
+
+    base = [synth.make_row(f"dd-{i % 7}", seed=7) for i in range(40)]
+    rows = []
+    for i, r in enumerate(base):  # same payloads, unique ids+captions
+        r = dict(r)
+        r["image_id"] = f"row-{i:03d}"
+        r["caption"] = f"unique caption words {i} for row"
+        rows.append(r)
+    tbl = pa.Table.from_pylist(rows, schema=synth.IMAGES_SCHEMA)
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values("image_id").reset_index(drop=True)
+        for c in ("charset", "languages", "caption_languages"):
+            df[c] = df[c].map(lambda v: str(v))
+        return df
+
+    a = norm(sidecar_dataset(rd.from_arrow(tbl)))
+    b = norm(sidecar_dataset_dedup_digest(rd.from_arrow(tbl)))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["payload_digest"].nunique() < len(a)  # duplication actually present
