@@ -216,6 +216,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_semi_join_orders": relational.semi_join_big_orders,
         "rel_pricing_rollup": relational.pricing_rollup,
         "rel_orders_lineitem_join": relational.orders_lineitem_join,
+        "rel_left_join_order_counts": relational.customers_order_counts_left,
+        "rel_distinct_count": relational.distinct_count_custkey,
+        "rel_approx_distinct": relational.approx_distinct_custkey,  # rows-only (sketch)
         # --- crawl/sidecar engine (rows-only: synthesized payload path) --
         "sidecar_extract": sidecar_extract,
         "sidecar_extract_dedup": sidecar_extract_dedup,
@@ -507,6 +510,15 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(coalesce(text, ''),
                        '\b(customer|value)\b'))::BIGINT AS n_masked
             FROM documents
+        """,
+        "rel_left_join_order_counts": """
+            SELECT c.c_custkey, coalesce(o.n, 0)::BIGINT AS n_orders
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey, count(*)::BIGINT AS n FROM orders GROUP BY 1
+            ) o ON o.o_custkey = c.c_custkey
+        """,
+        "rel_distinct_count": """
+            SELECT count(DISTINCT o_custkey)::BIGINT AS n_distinct FROM orders
         """,
         "rel_orders_lineitem_join": """
             SELECT l.l_orderkey, l.l_linenumber::BIGINT AS l_linenumber,

@@ -602,6 +602,123 @@ def semi_join_big_orders(sf_dir: str, min_qty: float = 47.0) -> "rd.Dataset":
         .map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def customers_order_counts_left(sf_dir: str) -> "rd.Dataset":
+    """Left-outer join: EVERY customer with their order count — zero for
+    customers with no orders (the rows an inner join silently drops).
+
+    The aggregate side collapses to (custkey, n) — one int per customer with
+    ≥1 order — via per-batch partials + groupby; that small side broadcasts
+    (ray.put) and the probe (customer) side streams through a vectorized
+    lookup, exactly the J1 broadcast plan with left-outer pass-through
+    semantics (cdxj merge's unmatched-probe rule, merge_cdxj.py:79-81,
+    generalized to a relational operator)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column("o_custkey").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"o_custkey": pa.array(u, pa.int64()),
+                         "p_n": pa.array(c.astype(np.int64), pa.int64())})
+
+    counts: dict[int, int] = {}
+    for b in (rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+              .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("o_custkey").aggregate(Sum("p_n", alias_name="n"))
+              .iter_batches(batch_format="pyarrow")):
+        counts.update(zip(b.column("o_custkey").to_pylist(),
+                          b.column("n").to_pylist()))
+    counts_ref = ray.put(counts)
+
+    def left_join(batch: pa.Table) -> pa.Table:
+        cnt = ray.get(counts_ref)
+        keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "c_custkey": pa.array(keys, pa.int64()),
+            "n_orders": pa.array([cnt.get(k, 0) for k in keys], pa.int64()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]) \
+        .map_batches(left_join, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def distinct_count_custkey(sf_dir: str) -> "pa.Table":
+    """n_distinct — exact COUNT(DISTINCT o_custkey), the two-level distinct
+    plan: per-block partial ``np.unique`` (each block forwards at most its
+    distinct keys), coarse-partition global dedup (64 groups at any
+    cardinality), per-partition counts summed on the driver (64 ints)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.unique(batch.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "part": pa.array(u % NUM_AGG_PARTS, pa.int64()),
+            "k": pa.array(u, pa.int64()),
+        })
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"p_n": [np.int64(g["k"].nunique())]})
+
+    total = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(count_distinct, batch_format="pandas")
+        .to_pandas()["p_n"].sum()
+    )
+    return pa.table({"n_distinct": pa.array([int(total)], pa.int64())})
+
+
+HLL_P = 8                      # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+
+
+def _hll_registers(keys: np.ndarray) -> np.ndarray:
+    """Register maxima for a batch of int64 keys (md5-based 64-bit hash —
+    deterministic across processes, like every hash in this repo)."""
+    import hashlib as _hl
+
+    regs = np.zeros(HLL_M, dtype=np.int8)
+    md5 = _hl.md5
+    for k in keys.tolist():
+        h = int.from_bytes(md5(str(k).encode()).digest()[:8], "big")
+        j = h >> (64 - HLL_P)
+        rest = (h << HLL_P) & ((1 << 64) - 1)
+        # rank = leading zeros of the remaining 56-bit suffix + 1
+        rank = (64 - rest.bit_length()) + 1 if rest else (64 - HLL_P) + 1
+        if rank > regs[j]:
+            regs[j] = rank
+    return regs
+
+
+def approx_distinct_custkey(sf_dir: str) -> "pa.Table":
+    """n_approx — HyperLogLog distinct estimate of o_custkey (m=256).
+
+    The sketch pattern for COUNT DISTINCT at 100 TB: per-block register
+    maxima (256 bytes each) are the ONLY thing shuffled — merge = elementwise
+    max, order-independent and retry-idempotent, so the estimate is
+    deterministic at any parallelism.  Approximate (±1.04/√m ≈ 6.5%) ⇒
+    rows-only driver check; the error bound and determinism are asserted in
+    tests against the exact operator above.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.unique(batch.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table({"regs": pa.array([_hll_registers(keys).tolist()],
+                                          pa.list_(pa.int8()))})
+
+    regs = np.zeros(HLL_M, dtype=np.int8)
+    for b in (rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+              .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+              .iter_batches(batch_format="pyarrow")):
+        for r in b.column("regs").to_pylist():
+            regs = np.maximum(regs, np.array(r, dtype=np.int8))
+
+    est = (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M / np.sum(
+        np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * HLL_M and zeros:  # small-range linear counting
+        est = HLL_M * np.log(HLL_M / zeros)
+    return pa.table({"n_approx": pa.array([int(round(est))], pa.int64())})
+
+
 def orders_lineitem_join(sf_dir: str) -> "rd.Dataset":
     """General large×large inner hash join (no pre-aggregation): every
     lineitem row joined to its order's priority — the shuffle-join shape for

@@ -458,3 +458,56 @@ class TestShuffleJoin:
             "o_orderpriority": want["o_orderpriority"],
         }).sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestDistinctCount:
+    def test_exact_distinct_count(self):
+        from sidecar.ops.relational import distinct_count_custkey
+
+        got = distinct_count_custkey(SF).column("n_distinct").to_pylist()[0]
+        orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey"])
+        want = len(set(orders.column("o_custkey").to_pylist()))
+        assert got == want
+
+    def test_hll_within_error_bound_and_deterministic(self):
+        from sidecar.ops.relational import approx_distinct_custkey
+
+        orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey"])
+        exact = len(set(orders.column("o_custkey").to_pylist()))
+        a = approx_distinct_custkey(SF).column("n_approx").to_pylist()[0]
+        b = approx_distinct_custkey(SF).column("n_approx").to_pylist()[0]
+        assert a == b  # register merge is order-independent
+        assert abs(a - exact) / exact < 0.15  # ~2 sigma of 1.04/sqrt(256)
+
+
+class TestLeftJoin:
+    def test_left_join_keeps_orderless_customers(self):
+        from sidecar.ops.relational import customers_order_counts_left
+
+        got = customers_order_counts_left(SF).to_pandas()
+        cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"])
+        orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey"]).to_pandas()
+        vc = orders["o_custkey"].value_counts()
+        assert len(got) == cust.num_rows  # every customer survives
+        m = dict(zip(got["c_custkey"], got["n_orders"]))
+        for k in cust.column("c_custkey").to_pylist():
+            assert m[k] == int(vc.get(k, 0))
+
+    def test_left_join_zero_count_rows_survive(self, tmp_path):
+        """The left-outer rows themselves: a customer with NO orders gets a
+        zero-count row (an inner join would drop it)."""
+        import pyarrow as pa
+        import shutil
+
+        from sidecar.ops.relational import customers_order_counts_left
+
+        cust = pq.read_table(f"{SF}/customer.parquet")
+        extra = pa.Table.from_pylist(
+            [{c.name: (999999 if c.name == "c_custkey" else None)
+              for c in cust.schema}], schema=cust.schema)
+        pq.write_table(pa.concat_tables([cust, extra]),
+                       str(tmp_path / "customer.parquet"))
+        shutil.copy(f"{SF}/orders.parquet", tmp_path / "orders.parquet")
+        got = customers_order_counts_left(str(tmp_path)).to_pandas()
+        assert len(got) == cust.num_rows + 1
+        assert got.set_index("c_custkey").loc[999999, "n_orders"] == 0
