@@ -138,7 +138,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from sidecar.crawl import CrawlConfig, run_crawl
 
         out = tempfile.mkdtemp(prefix="crawl_demo_", dir="/tmp")
-        res = run_crawl(CrawlConfig(n_seeds=40, max_epochs=2, out_dir=out),
+        # shard/actor counts sized to the tiny demo workload (hash
+        # partitioning makes the result identical at any shard count —
+        # the bit-for-bit tests run the same config at multiple levels)
+        res = run_crawl(CrawlConfig(n_seeds=40, max_epochs=2, out_dir=out,
+                                    num_seen_shards=2, num_policy_actors=2,
+                                    num_fetch_partitions=4),
                         collect_order=False)
         return pa.table({"url_hash": pa.array([f"{h:016x}" for h in res["seen"]],
                                               pa.string())})
@@ -184,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf_topk": text.tfidf_topk,
         "text_bigram_topk": text.bigram_topk,
         "text_mask_terms": text.mask_terms,
+        "text_repetition_ratio": text.repetition_ratio,
         # --- dedup family ------------------------------------------------
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_sig": dedup.minhash_signatures,
@@ -282,6 +288,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM pos
             )
             SELECT DISTINCT doc_id, fp FROM wins WHERE i <= L - 8
+        """,
+        "text_repetition_ratio": """
+            WITH toks AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+                          FROM documents),
+            g AS (SELECT doc_id, greatest(len(w) - 2, 0) AS n,
+                         CASE WHEN len(w) >= 3 THEN (
+                             SELECT count(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                             FROM unnest(generate_series(1, len(w) - 2)) AS t(i)
+                         ) ELSE 0 END AS d
+                  FROM toks)
+            SELECT doc_id, n::BIGINT AS n_grams, d::BIGINT AS n_distinct,
+                   CASE WHEN n = 0 THEN NULL
+                        ELSE 1.0 - d::DOUBLE / n END AS rep_ratio
+            FROM g
         """,
         "dedup_exact": """
             SELECT md5(coalesce(text, '')) AS fp,

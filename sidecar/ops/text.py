@@ -239,6 +239,33 @@ def bigram_topk(sf_dir: str, k: int = 100) -> "rd.Dataset":
             .head(k).reset_index(drop=True))
 
 
+def repetition_ratio(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """doc_id, n_grams, n_distinct, rep_ratio — within-document repetition
+    (the Gopher-style quality signal: fraction of word k-grams that are
+    repeats).  Shuffle-free; counts are exact ints and the ratio is one IEEE
+    division, so the oracle hashes bit-equal.  Docs with < k tokens emit
+    n_grams = 0 and a null ratio (matching SQL's NULL on 0/0)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids, total, distinct, ratio = [], [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            w = (text or "").split(" ")
+            n = max(0, len(w) - k + 1)
+            grams = {" ".join(w[i:i + k]) for i in range(n)}
+            ids.append(doc_id)
+            total.append(n)
+            distinct.append(len(grams))
+            ratio.append(None if n == 0 else 1.0 - len(grams) / n)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(total, pa.int64()),
+                         "n_distinct": pa.array(distinct, pa.int64()),
+                         "rep_ratio": pa.array(ratio, pa.float64())})
+
+    return read_documents(sf_dir).map_batches(f, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+
+
 MASK_TERMS = ("customer", "value")  # deny-list (PII-style scrub stand-in)
 _MASK_RE = r"\b(" + "|".join(MASK_TERMS) + r")\b"
 

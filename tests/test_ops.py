@@ -511,3 +511,20 @@ class TestLeftJoin:
         got = customers_order_counts_left(str(tmp_path)).to_pandas()
         assert len(got) == cust.num_rows + 1
         assert got.set_index("c_custkey").loc[999999, "n_orders"] == 0
+
+
+class TestRepetitionRatio:
+    def test_matches_python_oracle(self):
+        from sidecar.ops.text import repetition_ratio
+
+        got = repetition_ratio(SF).to_pandas().set_index("doc_id")
+        for doc_id, text in _docs()[:80]:
+            w = (text or "").split(" ")
+            n = max(0, len(w) - 2)
+            grams = {" ".join(w[i:i + 3]) for i in range(n)}
+            r = got.loc[doc_id]
+            assert r["n_grams"] == n
+            assert r["n_distinct"] == len(grams)
+            if n:
+                assert r["rep_ratio"] == 1.0 - len(grams) / n
+        assert (got["rep_ratio"].dropna() > 0).any()  # repeats exist in corpus
