@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pricing_rollup": relational.pricing_rollup,
         "rel_orders_lineitem_join": relational.orders_lineitem_join,
         "rel_left_join_order_counts": relational.customers_order_counts_left,
+        "rel_global_rank_sample": relational.global_rank_sample,
         "rel_distinct_count": relational.distinct_count_custkey,
         "rel_approx_distinct": relational.approx_distinct_custkey,  # rows-only (sketch)
         # --- crawl/sidecar engine (rows-only: synthesized payload path) --
@@ -530,6 +531,13 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(coalesce(text, ''),
                        '\b(customer|value)\b'))::BIGINT AS n_masked
             FROM documents
+        """,
+        "rel_global_rank_sample": """
+            WITH r AS (SELECT o_orderkey,
+                              row_number() OVER (ORDER BY epoch_us(o_orderdate),
+                                                 o_orderkey) AS rn
+                       FROM orders)
+            SELECT o_orderkey, rn::BIGINT AS rn FROM r WHERE rn % 1000 = 0
         """,
         "rel_left_join_order_counts": """
             SELECT c.c_custkey, coalesce(o.n, 0)::BIGINT AS n_orders

@@ -602,6 +602,63 @@ def semi_join_big_orders(sf_dir: str, min_qty: float = 47.0) -> "rd.Dataset":
         .map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def global_rank_sample(sf_dir: str, every: int = 1000) -> "rd.Dataset":
+    """o_orderkey, rn — every ``every``-th order in GLOBAL
+    (o_orderdate, o_orderkey) sort order, with its global rank.
+
+    The distributed global-rank plan: range-partition by a data-independent
+    key (calendar month of o_orderdate — a natural range partitioning that
+    needs no sampling pass), sort within each partition, and turn local
+    ranks global by adding the broadcast prefix-count of all lower
+    partitions (per-bucket counts are a per-batch partial + tiny driver
+    cumsum).  No single node ever holds more than one month; the only
+    all-to-all is the bucket groupby.  Correct because the partition key is
+    a prefix of the sort key."""
+
+    def to_bucket(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        month = (us // (86_400_000_000 * 32)).astype(np.int64)  # ~month-grain
+        return pa.table({
+            "bucket": pa.array(month, pa.int64()),
+            "t_us": pa.array(us, pa.int64()),
+            "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+        })
+
+    def bucket_counts(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(batch.column("bucket").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "n": pa.array(c.astype(np.int64), pa.int64())})
+
+    base = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderdate"]) \
+        .map_batches(to_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    counts: dict[int, int] = {}
+    for b in base.map_batches(bucket_counts, batch_format="pyarrow",
+                              zero_copy_batch=True).iter_batches(
+                                  batch_format="pyarrow"):
+        for k, n in zip(b.column("bucket").to_pylist(), b.column("n").to_pylist()):
+            counts[k] = counts.get(k, 0) + n
+    offsets = {}
+    acc = 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    off_ref = ray.put(offsets)
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values(["t_us", "o_orderkey"])
+        rn = np.arange(1, len(g) + 1, dtype=np.int64) + offs[int(g["bucket"].iloc[0])]
+        keep = rn % every == 0
+        return pd.DataFrame({"o_orderkey": g["o_orderkey"].to_numpy()[keep],
+                             "rn": rn[keep]})
+
+    return base.groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
+
+
 def customers_order_counts_left(sf_dir: str) -> "rd.Dataset":
     """Left-outer join: EVERY customer with their order count — zero for
     customers with no orders (the rows an inner join silently drops).

@@ -528,3 +528,19 @@ class TestRepetitionRatio:
             if n:
                 assert r["rep_ratio"] == 1.0 - len(grams) / n
         assert (got["rep_ratio"].dropna() > 0).any()  # repeats exist in corpus
+
+
+class TestGlobalRank:
+    def test_global_rank_sample(self):
+        from sidecar.ops.relational import global_rank_sample
+
+        got = global_rank_sample(SF, every=100).to_pandas() \
+            .sort_values("rn").reset_index(drop=True)
+        df = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey", "o_orderdate"]).to_pandas()
+        df["t_us"] = df["o_orderdate"].values.astype("datetime64[us]").astype("int64")
+        df = df.sort_values(["t_us", "o_orderkey"]).reset_index(drop=True)
+        df["rn"] = np.arange(1, len(df) + 1)
+        want = df[df["rn"] % 100 == 0][["o_orderkey", "rn"]].reset_index(drop=True)
+        assert list(got["o_orderkey"]) == list(want["o_orderkey"])
+        assert list(got["rn"]) == list(want["rn"])
