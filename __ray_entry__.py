@@ -54,7 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     Each callable takes ``sf_dir`` and returns a Dataset / DataFrame / Table.
     """
     from sidecar.flagship import flagship, images_dataset
-    from sidecar.ops import dedup, multimodal, relational, similarity, text
+    from sidecar.ops import dedup, multimodal, prep, relational, similarity, text
 
     def sidecar_extract(sf_dir: str):
         # drop the binary payload column for the rows-only check
@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": dedup.embedding_near_dup,
         "dedup_embedding_lsh": dedup.embedding_near_dup_lsh,  # rows-only (approx)
         "dedup_lsh_components": dedup.lsh_components,
+        "prep_corpus": prep.prep_corpus,
         # --- similarity search (embeddings) ------------------------------
         "sim_ann_topk": similarity.ann_topk,
         "sim_ann_ivf": similarity.ann_topk_ivf,               # rows-only (approx)
@@ -476,6 +477,28 @@ def oracle_sql() -> dict[str, str]:
                   ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
             SELECT event_id, user_id, o_orderkey AS last_orderkey
             FROM ranked WHERE rn = 1
+        """,
+        "prep_corpus": """
+            WITH q AS (SELECT doc_id, coalesce(text, '') AS text FROM documents
+                       WHERE length(coalesce(text, '')) >= 50),
+            fp AS (SELECT md5(text) AS f, min(doc_id) AS keep FROM q GROUP BY 1),
+            kept AS (SELECT doc_id, text FROM q
+                     WHERE doc_id IN (SELECT keep FROM fp)),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM kept),
+            sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                   FROM toks, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+            mh AS (SELECT doc_id, p, min(md5(p::VARCHAR || '|' || s)) AS mh
+                   FROM sh, unnest(generate_series(0, 7)) AS t(p)
+                   GROUP BY doc_id, p),
+            bands AS (SELECT doc_id, b, md5(string_agg(mh, '|' ORDER BY p)) AS bucket
+                      FROM mh, unnest(generate_series(0, 3)) AS t(b)
+                      WHERE p // 2 = b GROUP BY doc_id, b),
+            pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM bands a JOIN bands b
+                        ON a.b = b.b AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id)
+            SELECT doc_id, len(w)::BIGINT AS n_tokens FROM toks
+            WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
         """,
         "rel_group_topk": """
             SELECT o_custkey, o_orderkey,

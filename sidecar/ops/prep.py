@@ -1,0 +1,129 @@
+"""The composite training-data prep pipeline: quality gate → exact dedup →
+MinHash-LSH near-dup removal → token accounting, as ONE streamed Ray Data
+flow — the end-to-end shape a 100 TB corpus-prep run takes, built from this
+repo's operator family (SURVEY.md training-data ops) and checkable
+end-to-end against a single DuckDB query.
+
+Stage semantics (deterministic, mirrored exactly in the SQL oracle):
+  1. quality gate: keep docs with n_chars >= min_chars;
+  2. exact dedup: per md5(text) fingerprint keep the min doc_id;
+  3. near-dup removal: MinHash-LSH candidate pairs computed over the
+     SURVIVORS of stages 1-2 (same md5 signature/banding formulas as
+     sidecar.ops.dedup); for every pair (a < b) the larger doc_id drops —
+     a deterministic one-shot sweep (not transitive closure; the cluster
+     version is dedup.lsh_components);
+  4. output (doc_id, n_tokens) of the final survivors.
+
+Scale notes: the only driver-held state is ID SETS (survivor ids, dropped
+ids — ints, no text), broadcast via ray.put; at a scale where even ids
+outgrow a broadcast each membership filter becomes a hash-partitioned
+semi-join on doc_id with the same semantics.  Text/shingles stay inside
+map_batches tasks throughout; the LSH banding shuffle carries (part, band,
+bucket, doc_id) rows only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from sidecar.ops.dedup import (
+    NUM_BANDS,
+    NUM_SHUFFLE_PARTS,
+    ROWS_PER_BAND,
+    _dedup_pairs,
+    _minhash_sig,
+    _pairs_within,
+    _shingles,
+)
+from sidecar.ops.text import read_documents
+
+
+def prep_corpus(sf_dir: str, min_chars: int = 50) -> "rd.Dataset":
+    """doc_id, n_tokens — the surviving documents of the full prep flow."""
+
+    def quality(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").fill_null("")
+        keep = pc.greater_equal(pc.utf8_length(text), min_chars)
+        return batch.filter(keep)
+
+    gated = read_documents(sf_dir).map_batches(
+        quality, batch_format="pyarrow", zero_copy_batch=True)
+
+    # stage 2: exact-dedup survivors (min doc_id per fingerprint) — the
+    # groupby moves (fp, doc_id) rows only; survivor ids collect small
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        fps = [md5((t or "").encode()).hexdigest()
+               for t in batch.column("text").to_pylist()]
+        return pa.table({"fp": pa.array(fps, pa.string()),
+                         "doc_id": batch.column("doc_id")})
+
+    from ray.data.aggregate import Min
+
+    survivors: set[int] = set()
+    for b in (gated.map_batches(fp_rows, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("fp").aggregate(Min("doc_id", alias_name="keep"))
+              .iter_batches(batch_format="pyarrow")):
+        survivors.update(b.column("keep").to_pylist())
+    surv_ref = ray.put(np.array(sorted(survivors), dtype=np.int64))
+
+    def keep_survivors(batch: pa.Table) -> pa.Table:
+        sv = ray.get(surv_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(ids, sv)))
+
+    kept = gated.map_batches(keep_survivors, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    # stage 3: LSH candidate pairs over the kept docs (identical banding to
+    # dedup.minhash_lsh_pairs); drop the larger id of each pair
+    def bucketize(batch: pa.Table) -> pa.Table:
+        md5 = hashlib.md5
+        bands, buckets, ids, parts = [], [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            sig = _minhash_sig(_shingles(text))
+            if sig is None:
+                continue
+            for b in range(NUM_BANDS):
+                chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+                digest = md5("|".join(chunk).encode()).hexdigest()
+                bands.append(b)
+                buckets.append(digest)
+                ids.append(doc_id)
+                parts.append(int(digest[:8], 16) % NUM_SHUFFLE_PARTS)
+        return pa.table({"part": pa.array(parts, pa.int64()),
+                         "band": pa.array(bands, pa.int64()),
+                         "bucket": pa.array(buckets, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    pairs = _dedup_pairs(
+        kept.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(lambda g: _pairs_within(g, ["band", "bucket"]),
+                    batch_format="pandas"))
+
+    dropped: set[int] = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        dropped.update(b.column("doc_b").to_pylist())
+    drop_ref = ray.put(np.array(sorted(dropped), dtype=np.int64))
+
+    # stage 4: final survivors → token counts (shuffle-free)
+    def finalize(batch: pa.Table) -> pa.Table:
+        dr = ray.get(drop_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(~np.isin(ids, dr)))
+        toks = pc.split_pattern(sub.column("text").fill_null(""), " ")
+        return pa.table({
+            "doc_id": sub.column("doc_id"),
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+        })
+
+    return kept.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

@@ -544,3 +544,30 @@ class TestGlobalRank:
         want = df[df["rn"] % 100 == 0][["o_orderkey", "rn"]].reset_index(drop=True)
         assert list(got["o_orderkey"]) == list(want["o_orderkey"])
         assert list(got["rn"]) == list(want["rn"])
+
+
+class TestPrepCorpus:
+    def test_prep_pipeline_stages_fire(self):
+        import hashlib as _h
+
+        from sidecar.ops.dedup import minhash_lsh_pairs
+        from sidecar.ops.prep import prep_corpus
+
+        got = prep_corpus(SF, min_chars=50).to_pandas()
+        docs = _docs()
+        # stage-by-stage single-threaded oracle
+        gated = [(d, t or "") for d, t in docs if len(t or "") >= 50]
+        by_fp: dict[str, int] = {}
+        for d, t in gated:
+            fp = _h.md5(t.encode()).hexdigest()
+            by_fp[fp] = min(by_fp.get(fp, d), d)
+        kept = {d for d, t in gated if d in set(by_fp.values())}
+        pairs = minhash_lsh_pairs(SF).to_pandas()
+        drop = {b for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+                if a in kept and b in kept}
+        want_ids = kept - drop
+        assert set(got["doc_id"]) == want_ids
+        assert len(got) < len(docs)          # something was removed
+        for d, t in gated:
+            if d in want_ids:
+                assert got.set_index("doc_id").loc[d, "n_tokens"] == len(t.split(" "))
