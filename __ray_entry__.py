@@ -36,6 +36,16 @@ mh AS (SELECT doc_id, p, min(md5(p::VARCHAR || '|' || s)) AS mh
 """
 
 
+def _image_rows_only(batch):
+    """Keep only decodable image rows (png/ppm/b16) of an IMAGES batch."""
+    import pyarrow as pa
+    import pyarrow.compute as pc_
+
+    mask = pc_.is_in(batch.column("fmt"),
+                     value_set=pa.array(["png", "ppm", "b16"]))
+    return batch.filter(mask)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0.
 
@@ -200,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": dedup.embedding_near_dup_lsh,  # rows-only (approx)
         "dedup_lsh_components": dedup.lsh_components,
         "prep_corpus": prep.prep_corpus,
+        "prep_images": lambda sf_dir: prep.prep_images(
+            images_dataset(sf_dir).map_batches(
+                _image_rows_only, batch_format="pyarrow", zero_copy_batch=True)),
         # --- similarity search (embeddings) ------------------------------
         "sim_ann_topk": similarity.ann_topk,
         "sim_ann_ivf": similarity.ann_topk_ivf,               # rows-only (approx)

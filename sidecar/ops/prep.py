@@ -45,6 +45,64 @@ from sidecar.ops.dedup import (
 from sidecar.ops.text import read_documents
 
 
+def prep_images(images_ds: "rd.Dataset", max_dist: int = 7) -> "rd.Dataset":
+    """image_id, phash, w, h, fmt — the image-side prep flow: decode-validate
+    → exact payload dedup (sha1 digest, keep min image_id) → perceptual
+    near-dup sweep (banded phash pairs, drop the lexicographically larger id
+    of each pair) — the multimodal mirror of :func:`prep_corpus`.
+
+    Payload bytes never shuffle: decode+phash happens in the actor pool
+    (`multimodal.image_decode_stats`), after which everything downstream is
+    (id, hash)-sized.  Driver state is id/digest sets only (broadcast;
+    hash-semi-join at larger scale).  Near-dup semantics are the pigeonhole-
+    exact ≤``max_dist``-bit banding of ``multimodal.phash_neardup``."""
+    from sidecar.ops.multimodal import image_decode_stats, phash_neardup
+
+    # stage 1+2: digest per payload, survivors = min image_id per digest
+    def digest_rows(batch: pa.Table) -> pa.Table:
+        sha1 = hashlib.sha1
+        d = [sha1(v or b"").hexdigest() for v in batch.column("bytes").to_pylist()]
+        return pa.table({"digest": pa.array(d, pa.string()),
+                         "image_id": batch.column("image_id")})
+
+    from ray.data.aggregate import Min
+
+    survivors: set[str] = set()
+    for b in (images_ds.map_batches(digest_rows, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+              .groupby("digest").aggregate(Min("image_id", alias_name="keep"))
+              .iter_batches(batch_format="pyarrow")):
+        survivors.update(b.column("keep").to_pylist())
+    surv_ref = ray.put(survivors)
+
+    def keep_survivors(batch: pa.Table) -> pa.Table:
+        sv = ray.get(surv_ref)
+        keep = [i in sv for i in batch.column("image_id").to_pylist()]
+        return batch.filter(pa.array(keep))
+
+    kept = images_ds.map_batches(keep_survivors, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    # stage 3: perceptual near-dup over the survivors; drop larger id
+    pairs = phash_neardup(kept, max_dist=max_dist)
+    dropped: set[str] = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        dropped.update(b.column("id_b").to_pylist())
+    drop_ref = ray.put(dropped)
+
+    # stage 4: final stats (decode once more on the survivors — at scale the
+    # phash table from stage 3 would be reused via a semi-join instead)
+    stats = image_decode_stats(kept)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        dr = ray.get(drop_ref)
+        keep = [i not in dr for i in batch.column("image_id").to_pylist()]
+        return batch.filter(pa.array(keep)).select(
+            ["image_id", "phash", "w", "h", "fmt"])
+
+    return stats.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def prep_corpus(sf_dir: str, min_chars: int = 50) -> "rd.Dataset":
     """doc_id, n_tokens — the surviving documents of the full prep flow."""
 

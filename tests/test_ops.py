@@ -571,3 +571,47 @@ class TestPrepCorpus:
         for d, t in gated:
             if d in want_ids:
                 assert got.set_index("doc_id").loc[d, "n_tokens"] == len(t.split(" "))
+
+
+class TestPrepImages:
+    def test_image_prep_stages_fire(self, images_table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray.data as rd
+
+        from sidecar import codecs
+        from sidecar.ops.prep import prep_images
+
+        img_only = images_table.filter(
+            pc.is_in(images_table.column("fmt"),
+                     value_set=pa.array(["png", "ppm", "b16"]))).slice(0, 40)
+        rows = img_only.to_pylist()
+        extra = []
+        for r in rows[:10]:          # exact duplicates under new ids
+            d = dict(r)
+            d["image_id"] = r["image_id"] + "~copy"
+            extra.append(d)
+        for r in rows[10:20]:        # lossy re-encodes (perceptual near-dups)
+            px = codecs.decode(r["bytes"], r["fmt"])
+            d = dict(r)
+            d["image_id"] = r["image_id"] + "~b16"
+            d["bytes"] = codecs.encode(px, "b16")
+            d["fmt"] = "b16"
+            extra.append(d)
+        full = pa.Table.from_pylist(rows + extra, schema=img_only.schema)
+        got = prep_images(rd.from_arrow(full)).to_pandas()
+        ids = set(got["image_id"])
+        # exact copies: the min id (original, no suffix) survives
+        for r in rows[:10]:
+            assert r["image_id"] in ids and r["image_id"] + "~copy" not in ids
+        # near-dups: of (original, ~b16) with hamming <= 7 the larger id drops
+        from sidecar.detect.phash import phash64
+        for r in rows[10:20]:
+            px = codecs.decode(r["bytes"], r["fmt"])
+            ph0 = phash64(px)
+            ph1 = phash64(codecs.decode(codecs.encode(px, "b16"), "b16"))
+            if bin(ph0 ^ ph1).count("1") <= 7:
+                assert r["image_id"] + "~b16" not in ids
+                assert r["image_id"] in ids
+        assert len(got) < full.num_rows
