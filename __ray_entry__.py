@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sim_ann_topk": similarity.ann_topk,
         "sim_ann_ivf": similarity.ann_topk_ivf,               # rows-only (approx)
         "sim_kmeans": similarity.kmeans,                      # rows-only (iterative)
+        "sim_quantize_int8": similarity.quantize_int8,        # rows-only (round ties)
         # --- relational core (groupby/join/sort/window) ------------------
         "rel_pricing_summary": relational.pricing_summary,
         "rel_top_revenue_orders": relational.top_revenue_orders,

@@ -77,6 +77,32 @@ def ann_topk(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
     )
 
 
+def quantize_int8(sf_dir: str) -> "rd.Dataset":
+    """vec_id, scale_x1e9, q — per-vector symmetric int8 quantization of the
+    embedding column (q = round(127·x/‖x‖∞), scale = ‖x‖∞/127 as an exact
+    nanounit int64): the 4-8x memory-compression step that makes a 100 TB
+    ANN index fit worker heaps.  Shuffle-free; all outputs integer so the
+    result is hash-stable.  Reconstruction error / recall preserved is
+    asserted in tests (rows-only driver check — round() tie semantics differ
+    between numpy and SQL engines, so no bit-exact SQL oracle)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id")
+        E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        s = np.abs(E).max(axis=1)
+        s[s == 0] = 1.0
+        q = np.round(E / s[:, None] * 127).astype(np.int8)
+        return pa.table({
+            "vec_id": ids,
+            "scale_x1e9": pa.array(np.round(s / 127 * 1e9).astype(np.int64)),
+            "q": pa.array(q.tolist(), pa.list_(pa.int8())),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+        .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 KMEANS_SCALE = np.int64(1) << 24  # fixed-point accumulator scale
 
 

@@ -615,3 +615,26 @@ class TestPrepImages:
                 assert r["image_id"] + "~b16" not in ids
                 assert r["image_id"] in ids
         assert len(got) < full.num_rows
+
+
+class TestQuantize:
+    def test_int8_quantization_preserves_neighbors(self):
+        from sidecar.ops.similarity import quantize_int8
+
+        got = quantize_int8(SF).to_pandas()
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        got = got.set_index("vec_id").loc[ids]
+        Q = np.array(got["q"].tolist(), dtype=np.float64)
+        S = got["scale_x1e9"].to_numpy() / 1e9
+        R = Q * S[:, None]
+        # reconstruction error small relative to vector norm
+        err = np.linalg.norm(R - E, axis=1) / np.maximum(np.linalg.norm(E, axis=1), 1e-9)
+        assert (err < 0.02).all()
+        # top-10 cosine neighbors of query 0 mostly preserved under int8
+        def topk(M, k=10):
+            N = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            s = N @ N[0]
+            return set(ids[np.argsort(-s)[1:k + 1]])
+        assert len(topk(E) & topk(R)) >= 8
