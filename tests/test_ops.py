@@ -638,3 +638,27 @@ class TestQuantize:
             s = N @ N[0]
             return set(ids[np.argsort(-s)[1:k + 1]])
         assert len(topk(E) & topk(R)) >= 8
+
+
+class TestJaccardPrefixFilter:
+    def test_prefix_filter_complete_vs_bruteforce(self):
+        """Completeness of the prefix-filtered similarity join: every pair
+        with true jaccard >= t is found (the prefix-length theorem)."""
+        from sidecar.ops.dedup import ngram_jaccard_pairs
+
+        got = {(a, b): j for a, b, j in
+               ngram_jaccard_pairs(SF, threshold=0.5).to_pandas()
+               .itertuples(index=False)}
+        docs = _docs()
+        want = {}
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                (da, ta), (db, tb) = docs[i], docs[j]
+                A, B = _shingles(ta), _shingles(tb)
+                if not A or not B:
+                    continue
+                inter = len(A & B)
+                jac = inter / (len(A) + len(B) - inter)
+                if jac >= 0.5:
+                    want[(min(da, db), max(da, db))] = jac
+        assert got == want and want
