@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_orders_lineitem_join": relational.orders_lineitem_join,
         "rel_left_join_order_counts": relational.customers_order_counts_left,
         "rel_global_rank_sample": relational.global_rank_sample,
+        "rel_small_qty_lineitems": relational.small_qty_lineitems,
         "rel_distinct_count": relational.distinct_count_custkey,
         "rel_approx_distinct": relational.approx_distinct_custkey,  # rows-only (sketch)
         # --- crawl/sidecar engine (rows-only: synthesized payload path) --
@@ -568,6 +569,17 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(coalesce(text, ''),
                        '\b(customer|value)\b'))::BIGINT AS n_masked
             FROM documents
+        """,
+        "rel_small_qty_lineitems": """
+            SELECT l.l_orderkey, l.l_linenumber::BIGINT AS l_linenumber,
+                   l.l_partkey,
+                   round(l.l_quantity * 100)::BIGINT AS l_quantity_cents
+            FROM lineitem l
+            JOIN (SELECT l_partkey, count(*)::DOUBLE AS n,
+                         sum(l_quantity) AS s
+                  FROM lineitem GROUP BY 1) p
+              ON p.l_partkey = l.l_partkey
+            WHERE l.l_quantity * 5.0 * p.n < p.s
         """,
         "rel_global_rank_sample": """
             WITH r AS (SELECT o_orderkey,

@@ -602,6 +602,59 @@ def semi_join_big_orders(sf_dir: str, min_qty: float = 47.0) -> "rd.Dataset":
         .map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def small_qty_lineitems(sf_dir: str) -> "rd.Dataset":
+    """TPC-H Q17 shape: lineitems whose quantity is below 20% of their
+    part's average quantity — the correlated-aggregate filter, as the
+    two-phase broadcast plan: per-part (count, sum) aggregates first
+    (partial per batch, tiny groupby), broadcast via ray.put, then one
+    shuffle-free filtering pass.
+
+    The predicate is evaluated CROSS-MULTIPLIED in exact arithmetic —
+    ``qty·5·n_part < sum_qty_part`` instead of ``qty < 0.2·avg`` — because
+    avg differs in the last ulp between engines (sum order, division) and
+    would flip boundary rows; quantities are integer-valued doubles, so
+    both products are exact in float64 and the comparison is bit-stable."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("l_partkey", as_index=False).agg(
+            p_n=("l_quantity", "size"), p_s=("l_quantity", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats: dict[int, tuple[float, float]] = {}
+    for b in (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_partkey", "l_quantity"])
+              .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("l_partkey")
+              .aggregate(Sum("p_n", alias_name="n"), Sum("p_s", alias_name="s"))
+              .iter_batches(batch_format="pyarrow")):
+        for k, n, s in zip(b.column("l_partkey").to_pylist(),
+                           b.column("n").to_pylist(), b.column("s").to_pylist()):
+            stats[k] = (float(n), float(s))
+    stats_ref = ray.put(stats)
+
+    def small(batch: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        n = np.array([st[k][0] for k in pk])
+        s = np.array([st[k][1] for k in pk])
+        keep = qty * 5.0 * n < s
+        return pa.table({
+            "l_orderkey": pa.array(ok[keep], pa.int64()),
+            "l_linenumber": pa.array(ln[keep].astype(np.int64), pa.int64()),
+            "l_partkey": pa.array(pk[keep], pa.int64()),
+            "l_quantity_cents": _cents(pa.array(qty[keep])),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_linenumber", "l_partkey",
+                                    "l_quantity"]) \
+        .map_batches(small, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def global_rank_sample(sf_dir: str, every: int = 1000) -> "rd.Dataset":
     """o_orderkey, rn — every ``every``-th order in GLOBAL
     (o_orderdate, o_orderkey) sort order, with its global rank.

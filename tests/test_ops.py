@@ -662,3 +662,21 @@ class TestJaccardPrefixFilter:
                 if jac >= 0.5:
                     want[(min(da, db), max(da, db))] = jac
         assert got == want and want
+
+
+class TestSmallQty:
+    def test_q17_shape_matches_pandas(self):
+        from sidecar.ops.relational import small_qty_lineitems
+
+        got = small_qty_lineitems(SF).to_pandas()
+        li = pq.read_table(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_linenumber", "l_partkey",
+                                    "l_quantity"]).to_pandas()
+        g = li.groupby("l_partkey")["l_quantity"].agg(["count", "sum"])
+        n = g["count"].reindex(li["l_partkey"]).to_numpy()
+        s = g["sum"].reindex(li["l_partkey"]).to_numpy()
+        keep = li["l_quantity"].to_numpy() * 5.0 * n < s
+        want = li[keep]
+        assert len(got) == keep.sum() and len(got) > 0
+        assert (set(zip(got["l_orderkey"], got["l_linenumber"]))
+                == set(zip(want["l_orderkey"], want["l_linenumber"].astype("int64"))))
