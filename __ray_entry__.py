@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": dedup.embedding_near_dup,
         "dedup_embedding_lsh": dedup.embedding_near_dup_lsh,  # rows-only (approx)
         "dedup_lsh_components": dedup.lsh_components,
+        "dedup_minhash_estimates": dedup.minhash_jaccard_estimates,
         "prep_corpus": prep.prep_corpus,
         "prep_images": lambda sf_dir: prep.prep_images(
             images_dataset(sf_dir).map_batches(
@@ -610,6 +611,23 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "dedup_minhash_estimates": f"""
+            WITH {_MINHASH_CTE},
+            sig AS (SELECT doc_id, p, mh FROM mh),
+            bands AS (SELECT doc_id, b, md5(string_agg(mh, '|' ORDER BY p)) AS bucket
+                      FROM mh, unnest(generate_series(0, 3)) AS t(b)
+                      WHERE p // 2 = b GROUP BY doc_id, b),
+            pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM bands a JOIN bands b
+                        ON a.b = b.b AND a.bucket = b.bucket
+                       AND a.doc_id < b.doc_id)
+            SELECT p.doc_a, p.doc_b,
+                   sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::BIGINT AS n_agree
+            FROM pairs p
+            JOIN sig sa ON sa.doc_id = p.doc_a
+            JOIN sig sb ON sb.doc_id = p.doc_b AND sb.p = sa.p
+            GROUP BY 1, 2
         """,
         "dedup_lsh_components": f"""
             WITH RECURSIVE {_MINHASH_CTE},

@@ -509,3 +509,40 @@ def lsh_pairs_iter(sf_dir: str):
     """Stream the distinct LSH candidate pairs as Arrow batches (edge list
     only — never the document text)."""
     yield from minhash_lsh_pairs(sf_dir).iter_batches(batch_format="pyarrow")
+
+
+def minhash_jaccard_estimates(sf_dir: str) -> "rd.Dataset":
+    """doc_a, doc_b, n_agree, est_x8 — MinHash jaccard ESTIMATES for the LSH
+    candidate pairs: the fraction of agreeing signature permutations
+    estimates jaccard without touching document text — the verification
+    shortcut production near-dup pipelines use when exact set intersection
+    per candidate is too expensive.  n_agree ∈ [0, NUM_PERMS] is an exact
+    int (est = n_agree/NUM_PERMS left to consumers), so the DuckDB oracle
+    (join the signature table onto the pair list, count matching columns)
+    hashes bit-equal.
+
+    Plan: signatures broadcast once via ray.put (NUM_PERMS md5 strings per
+    doc; at broadcast-breaking scale this becomes a double hash-join of the
+    pair list against the signature table on doc_a then doc_b — same
+    semantics); the pair list streams through one vectorized map."""
+    sigs: dict[int, list[str]] = {}
+    for b in minhash_signatures(sf_dir).iter_batches(batch_format="pyarrow"):
+        cols = [b.column(f"mh{p}").to_pylist() for p in range(NUM_PERMS)]
+        for i, doc_id in enumerate(b.column("doc_id").to_pylist()):
+            sigs[doc_id] = [cols[p][i] for p in range(NUM_PERMS)]
+    sigs_ref = ray.put(sigs)
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        sg = ray.get(sigs_ref)
+        a = batch.column("doc_a").to_pylist()
+        b = batch.column("doc_b").to_pylist()
+        agree = [sum(x == y for x, y in zip(sg[x_], sg[y_]))
+                 for x_, y_ in zip(a, b)]
+        return pa.table({
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "n_agree": pa.array(agree, pa.int64()),
+        })
+
+    return minhash_lsh_pairs(sf_dir).map_batches(
+        estimate, batch_format="pyarrow", zero_copy_batch=True)

@@ -680,3 +680,19 @@ class TestSmallQty:
         assert len(got) == keep.sum() and len(got) > 0
         assert (set(zip(got["l_orderkey"], got["l_linenumber"]))
                 == set(zip(want["l_orderkey"], want["l_linenumber"].astype("int64"))))
+
+
+class TestMinhashEstimates:
+    def test_estimates_track_true_jaccard(self):
+        from sidecar.ops.dedup import NUM_PERMS, minhash_jaccard_estimates
+
+        got = minhash_jaccard_estimates(SF).to_pandas()
+        docs = dict(_docs())
+        assert len(got) > 0
+        for row in got.itertuples(index=False):
+            A, B = _shingles(docs[row.doc_a]), _shingles(docs[row.doc_b])
+            true_j = len(A & B) / len(A | B)
+            est = row.n_agree / NUM_PERMS
+            assert 0 <= row.n_agree <= NUM_PERMS
+            # 8 permutations: estimate within a generous band of truth
+            assert abs(est - true_j) <= 0.5
