@@ -1,0 +1,197 @@
+"""Command-line parity with the reference's three user-facing tools, on the
+Ray engine:
+
+    python -m sidecar.cli sidecar <archive_dir> <warc_file> [--operator ..]
+        ≈ ``warc_metadata_sidecar.py main()`` (:306-331): WARC/ARC text in,
+        sidecar WARC out at <archive_dir>/<sidecar_name(warc)>, returns
+        (path, records_read, records_written) as JSON.
+    python -m sidecar.cli cdxj <sidecar_file> <archive_dir>
+        ≈ ``sidecar2cdxj.py main()``: sidecar WARC → SURT-keyed CDXJ lines
+        at <archive_dir>/<cdxj_name>.
+    python -m sidecar.cli merge <metadata_cdxj> <warc_cdxj> <cdxj_dir>
+        ≈ ``merge_cdxj.py main()``: left-outer enrichment of the original
+        CDXJ, original line order preserved, at
+        <cdxj_dir>/<merged_cdxj_name>.
+
+A user of the reference can run the same three-step lifecycle unchanged in
+shape; each step is the corresponding Ray Data pipeline (streamed, no
+whole-file driver materialization except the small CDXJ build side).
+Only this CLI owns a Ray session (guarded init, like sidecar.crawl).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from sidecar import pipeline, warc
+from sidecar.canon import surt
+from sidecar.cdxj import cdxj_line, merge_cdxj, parse_cdxj_lines
+
+
+def payload_to_json(payload: str) -> str:
+    """F12 conformance (convert_payload_to_json, sidecar2cdxj.py:18-29):
+    each 'Title: value' line parsed with a JSON fallback to the raw string;
+    the trailing ':' of the Title is stripped."""
+    d: dict = {}
+    for line in payload.split("\n"):
+        if not line.strip():
+            continue
+        key, _, value = line.partition(": ")
+        try:
+            d[key.rstrip(":")] = json.loads(value)
+        except (json.JSONDecodeError, ValueError):
+            d[key.rstrip(":")] = value
+    return json.dumps(d)
+
+
+def records_to_images(records_ds: "rd.Dataset", *, source_is_warc: bool = True
+                      ) -> "rd.Dataset":
+    """WARC record rows → extraction input (the reference's record loop
+    filters, columnar): F1 keep response/resource, F2 drop ``dns:`` URIs,
+    F3 (empty payloads) applied inside extraction; F4 header projection
+    keeps WARC-Date as ts14 (+ record id for Concurrent-ID parity)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids, urls, tss, blobs, rec_ids = [], [], [], [], []
+        for row in batch.to_pylist():
+            if row["rec_type"] not in ("response", "resource"):
+                continue
+            if row["url"].startswith("dns:"):
+                continue
+            ids.append(row["url"])
+            urls.append(row["url"])
+            tss.append(row["ts"])
+            blobs.append(row["payload"].encode("utf-8", "replace"))
+            rec_ids.append(row["headers"].get("WARC-Record-ID", ""))
+        n = len(ids)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "ts": pa.array(tss, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "caption": pa.array([""] * n, pa.string()),
+            "concurrent_id": pa.array(rec_ids, pa.string()),
+        })
+
+    return records_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cmd_sidecar(archive_dir: str, warc_file: str, operator: str | None = None,
+                publisher: str | None = None) -> dict:
+    os.makedirs(archive_dir, exist_ok=True)
+    src = warc_file if os.path.isabs(warc_file) else os.path.join(archive_dir, warc_file)
+    name = os.path.basename(warc_file)
+    is_warc = not warc.is_arc_name(name)
+    records = warc.read_warc_text(src)
+    total_read = records.count()
+    sidecar_ds = pipeline.sidecar_dataset(records_to_images(records))
+    out_path = os.path.join(archive_dir, warc.sidecar_name(name))
+    written = warc.write_sidecar_warc(
+        sidecar_ds, out_path, filename=warc.sidecar_name(name),
+        operator=operator, publisher=publisher, source_is_warc=is_warc)
+    return {"meta_file_path": out_path, "total_records_read": total_read,
+            "records_written": written}
+
+
+def cmd_cdxj(sidecar_file: str, archive_dir: str) -> dict:
+    os.makedirs(archive_dir, exist_ok=True)
+    records = warc.read_warc_text(sidecar_file)
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        lines = []
+        for row in batch.to_pylist():
+            if row["rec_type"] == "warcinfo":  # S5 skip (sidecar2cdxj.py:58-59)
+                continue
+            lines.append(cdxj_line(surt(row["url"]), row["ts"],
+                                   payload_to_json(row["payload"])))
+        return pa.table({"line": pa.array(lines, pa.string())})
+
+    out_path = os.path.join(archive_dir,
+                            warc.cdxj_name_from_sidecar(sidecar_file))
+    n = 0
+    with open(out_path, "w") as f:
+        for b in records.map_batches(to_lines, batch_format="pyarrow",
+                                     zero_copy_batch=True).iter_batches(
+                                         batch_format="pyarrow"):
+            for line in b.column("line").to_pylist():
+                f.write(line)
+                n += 1
+    return {"cdxj_path": out_path, "lines": n}
+
+
+def cmd_merge(metadata_cdxj: str, warc_cdxj: str, cdxj_dir: str) -> dict:
+    os.makedirs(cdxj_dir, exist_ok=True)
+    meta = parse_cdxj_lines(rd.read_text(metadata_cdxj))
+
+    # the original index is read serially on the driver: line ORDER is part
+    # of the output contract (merged lines in original-file order), and a
+    # parallel read_text cannot assign global line numbers safely; the
+    # reference reads this file serially too (merge_cdxj.py:126-130)
+    with open(warc_cdxj) as f:
+        orig_lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    surts, tss, js = [], [], []
+    for ln in orig_lines:
+        s, t, j = ln.split(" ", 2)
+        surts.append(s)
+        tss.append(t)
+        js.append(j)
+    original = rd.from_arrow(pa.table({
+        "surt": pa.array(surts, pa.string()),
+        "ts": pa.array(tss, pa.string()),
+        "json": pa.array(js, pa.string()),
+        "lineno": pa.array(range(len(surts)), pa.int64()),
+    }))
+    merged = merge_cdxj(meta, original)
+    rows = sorted(merged.take_all(), key=lambda r: r["lineno"])
+    out_path = os.path.join(cdxj_dir, warc.merged_cdxj_name(warc_cdxj))
+    edited = 0
+    with open(out_path, "w") as f:
+        for r in rows:
+            f.write(cdxj_line(r["surt"], r["ts"], r["json"]))
+            edited += int(r["matched"])
+    return {"merged_path": out_path, "edited": edited,
+            "non_edited": len(rows) - edited}
+
+
+def main(argv: list[str] | None = None) -> dict:
+    import argparse
+
+    p = argparse.ArgumentParser(prog="sidecar.cli",
+                                description="reference-lifecycle CLI on Ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    ps = sub.add_parser("sidecar")
+    ps.add_argument("archive_dir")
+    ps.add_argument("warc_file")
+    ps.add_argument("--operator", default=None)
+    ps.add_argument("--publisher", default=None)
+    pc = sub.add_parser("cdxj")
+    pc.add_argument("sidecar_file")
+    pc.add_argument("archive_dir")
+    pm = sub.add_parser("merge")
+    pm.add_argument("metadata_cdxj")
+    pm.add_argument("warc_cdxj")
+    pm.add_argument("cdxj_dir")
+    args = p.parse_args(argv)
+
+    if not ray.is_initialized():
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False)
+    if args.cmd == "sidecar":
+        res = cmd_sidecar(args.archive_dir, args.warc_file,
+                          args.operator, args.publisher)
+    elif args.cmd == "cdxj":
+        res = cmd_cdxj(args.sidecar_file, args.archive_dir)
+    else:
+        res = cmd_merge(args.metadata_cdxj, args.warc_cdxj, args.cdxj_dir)
+    print(json.dumps(res))
+    return res
+
+
+if __name__ == "__main__":
+    main()

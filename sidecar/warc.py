@@ -171,12 +171,35 @@ def read_warc_text(paths: str | list[str]) -> "rd.Dataset":
     One file per read task (WARC is not splittable without an index);
     record splitting happens inside the flat_map."""
 
+    import glob as _glob
+
+    if isinstance(paths, str):
+        paths = [paths]
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            files.extend(sorted(
+                f for f in _glob.glob(os.path.join(p, "**", "*"), recursive=True)
+                if os.path.isfile(f)))
+        else:
+            files.append(p)
+
+    # bytes are read INSIDE the task and compression comes from MAGIC BYTES,
+    # not the filename: the reference corpus has a '.gz'-named sidecar that
+    # is actually uncompressed (its own tests note this), our writer
+    # reproduces that quirk, and extension-based inference (what
+    # read_binary_files does for '.gz' paths) fails on exactly those files
     def split_file(row: dict) -> list[dict]:
-        text = row["bytes"].decode("utf-8", "replace")
+        with open(row["path"], "rb") as f:
+            raw = f.read()
+        if raw[:2] == b"\x1f\x8b":  # actual gzip content
+            import gzip as _gzip
+
+            raw = _gzip.decompress(raw)
+        text = raw.decode("utf-8", "replace")
         return [{"path": row["path"], **r} for r in parse_warc_text(text)]
 
-    files = rd.read_binary_files(paths, include_paths=True)
-    return files.flat_map(split_file)
+    return rd.from_items([{"path": f} for f in files]).flat_map(split_file)
 
 
 # ---------------------------------------------------------------------------

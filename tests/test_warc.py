@@ -89,3 +89,70 @@ def test_arc_source_header_absence(images_table):
     for r in arc_recs:
         assert "WARC-Concurrent-ID" not in r["headers"]
         assert "WARC-Warcinfo-ID" not in r["headers"]
+
+
+class TestCliLifecycle:
+    """The reference's three-command lifecycle end-to-end through
+    python -m sidecar.cli: sidecar → cdxj → merge."""
+
+    def _write_source_warc(self, path):
+        from sidecar.warc import _record_text, warcinfo_record_text
+
+        recs = [warcinfo_record_text("src.warc")]
+
+        def resp(url, date, payload):
+            return _record_text(
+                [("WARC-Type", "response"), ("WARC-Target-URI", url),
+                 ("WARC-Date", date), ("WARC-Record-ID", f"<urn:uuid:{url[-6:]}>"),
+                 ("Content-Type", "application/http")], payload)
+
+        recs.append(resp("https://example.com/a", "2021-03-01T10:00:00Z",
+                         "<!DOCTYPE html><html><body>the page about cats and dogs"
+                         " in the garden</body></html>"))
+        recs.append(resp("https://example.com/b", "2021-03-01T11:00:00Z",
+                         "plain text content with several simple words here"))
+        recs.append(resp("dns:example.com", "2021-03-01T12:00:00Z", "1.2.3.4"))
+        recs.append(_record_text(
+            [("WARC-Type", "revisit"), ("WARC-Target-URI", "https://example.com/a"),
+             ("WARC-Date", "2021-03-02T10:00:00Z")], "dup"))
+        with open(path, "w") as f:
+            f.writelines(recs)
+
+    def test_three_command_lifecycle(self, tmp_path):
+        import json
+
+        from sidecar import cli
+
+        adir = str(tmp_path)
+        self._write_source_warc(tmp_path / "src.warc")
+
+        # 1. sidecar: response records extracted; dns/revisit/warcinfo skipped
+        s = cli.cmd_sidecar(adir, "src.warc", operator="tester")
+        assert s["records_written"] == 2
+        assert s["total_records_read"] == 5
+        assert s["meta_file_path"].endswith("src.warc.meta.gz")
+        meta_text = open(s["meta_file_path"]).read()
+        assert "Identified-Payload-Type:" in meta_text
+        assert "tester" in meta_text  # operator in warcinfo
+
+        # 2. cdxj: one SURT line per metadata record, warcinfo skipped
+        c = cli.cmd_cdxj(s["meta_file_path"], adir)
+        assert c["lines"] == 2
+        lines = open(c["cdxj_path"]).read().splitlines()
+        assert lines[0].startswith("com,example)/")
+        obj = json.loads(lines[0].split(" ", 2)[2])
+        assert "Identified-Payload-Type" in obj
+
+        # 3. merge: enrich an original index; unmatched rows pass through
+        orig = tmp_path / "src_1.cdxj"
+        surt_a = lines[0].split(" ", 2)[0]
+        ts_a = lines[0].split(" ", 2)[1]
+        with open(orig, "w") as f:
+            f.write(f'{surt_a} {ts_a} {{"url": "https://example.com/a"}}\n')
+            f.write('zzz,unmatched)/ 20210101000000 {"url": "http://zzz"}\n')
+        m = cli.cmd_merge(c["cdxj_path"], str(orig), adir)
+        assert m["edited"] == 1 and m["non_edited"] == 1
+        out = open(m["merged_path"]).read().splitlines()
+        assert len(out) == 2
+        assert "mime-detected" in out[0]       # enriched first line
+        assert out[1].endswith('{"url": "http://zzz"}')  # pass-through, order kept
