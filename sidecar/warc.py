@@ -166,6 +166,46 @@ def parse_warc_text(text: str) -> list[dict]:
     return out
 
 
+def parse_arc_text(text: str) -> list[dict]:
+    """S1's ``arc2warc=True`` analog: split ARC v1 text into WARC-shaped
+    record dicts.  ARC v1 layout: a ``filedesc://`` version block first,
+    then per record one header line ``<url> <ip> <YYYYMMDDhhmmss> <mime>
+    <length>`` followed by exactly ``length`` payload bytes.  Records are
+    emitted as ``rec_type='response'`` (the rewrite the reference's
+    ArchiveIterator does on the fly, warc_metadata_sidecar.py:205); the
+    filedesc block maps to ``rec_type='warcinfo'`` so downstream filters
+    behave identically on both formats."""
+    out = []
+    i = 0
+    n = len(text)
+    while i < n:
+        # skip blank separation
+        while i < n and text[i] in "\r\n":
+            i += 1
+        if i >= n:
+            break
+        line_end = text.find("\n", i)
+        if line_end < 0:
+            break
+        header = text[i:line_end].rstrip("\r")
+        parts = header.split(" ")
+        if len(parts) < 5:
+            break
+        url, _ip, ts, _mime, ln_s = parts[0], parts[1], parts[2], parts[3], parts[-1]
+        ln = int(ln_s)
+        body_start = line_end + 1
+        payload = text[body_start : body_start + ln]
+        out.append({
+            "rec_type": "warcinfo" if url.startswith("filedesc://") else "response",
+            "url": url,
+            "ts": "".join(c for c in ts if c.isdigit())[:14],
+            "headers": {"ARC-Header": header},
+            "payload": payload,
+        })
+        i = body_start + ln
+    return out
+
+
 def read_warc_text(paths: str | list[str]) -> "rd.Dataset":
     """S1 analog: a directory/file(s) of WARC text → Dataset of records.
     One file per read task (WARC is not splittable without an index);
@@ -197,7 +237,11 @@ def read_warc_text(paths: str | list[str]) -> "rd.Dataset":
 
             raw = _gzip.decompress(raw)
         text = raw.decode("utf-8", "replace")
-        return [{"path": row["path"], **r} for r in parse_warc_text(text)]
+        # ARC-vs-WARC by CONTENT (an ARC file opens with its filedesc://
+        # version block) — complements the filename sniff (is_arc_name)
+        parse = parse_arc_text if text.lstrip().startswith("filedesc://") \
+            else parse_warc_text
+        return [{"path": row["path"], **r} for r in parse(text)]
 
     return rd.from_items([{"path": f} for f in files]).flat_map(split_file)
 

@@ -156,3 +156,27 @@ class TestCliLifecycle:
         assert len(out) == 2
         assert "mime-detected" in out[0]       # enriched first line
         assert out[1].endswith('{"url": "http://zzz"}')  # pass-through, order kept
+
+
+class TestArcInput:
+    def test_arc_lifecycle_no_concurrent_id(self, tmp_path):
+        """ARC v1 in: records rewritten as responses (arc2warc analog),
+        sidecar records carry NO WARC-Concurrent-ID (header-absence parity,
+        reference tests :188-197)."""
+        from sidecar import cli
+
+        body = "the quick brown fox jumps over the lazy dog again and again"
+        arc = (
+            "filedesc://src.arc 0.0.0.0 20210301000000 text/plain 10\n"
+            "1 0 ARCv1\n\n"
+            f"http://example.com/x 1.2.3.4 20210301100000 text/plain {len(body)}\n"
+            f"{body}\n\n"
+        )
+        (tmp_path / "src.arc").write_text(arc)
+        s = cli.cmd_sidecar(str(tmp_path), "src.arc")
+        assert s["records_written"] == 1
+        assert s["meta_file_path"].endswith("src.warc.meta.gz")
+        meta = open(s["meta_file_path"]).read()
+        assert "WARC-Concurrent-ID" not in meta  # ARC-source header absence
+        assert "Identified-Payload-Type:" in meta
+        assert "example.com/x" in meta
