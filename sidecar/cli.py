@@ -85,6 +85,9 @@ def records_to_images(records_ds: "rd.Dataset", *, source_is_warc: bool = True
 def cmd_sidecar(archive_dir: str, warc_file: str, operator: str | None = None,
                 publisher: str | None = None) -> dict:
     os.makedirs(archive_dir, exist_ok=True)
+    import time as _time
+
+    t0 = _time.perf_counter()
     src = warc_file if os.path.isabs(warc_file) else os.path.join(archive_dir, warc_file)
     name = os.path.basename(warc_file)
     is_warc = not warc.is_arc_name(name)
@@ -95,6 +98,14 @@ def cmd_sidecar(archive_dir: str, warc_file: str, operator: str | None = None,
     written = warc.write_sidecar_warc(
         sidecar_ds, out_path, filename=warc.sidecar_name(name),
         operator=operator, publisher=publisher, source_is_warc=is_warc)
+    # S9 log-sink parity (sidecar.log in the archive dir,
+    # warc_metadata_sidecar.py:173-179,295-302): run header, per-run counts,
+    # elapsed — appended like the reference's logging.basicConfig file
+    with open(os.path.join(archive_dir, "sidecar.log"), "a") as lg:
+        lg.write(f"INFO Logging WARC metadata record information for {name}\n")
+        lg.write(f"INFO {total_read} records read\n")
+        lg.write(f"INFO Meta records written: {written}\n")
+        lg.write(f"INFO Elapsed: {_time.perf_counter() - t0:.3f}s\n")
     return {"meta_file_path": out_path, "total_records_read": total_read,
             "records_written": written}
 
@@ -155,6 +166,11 @@ def cmd_merge(metadata_cdxj: str, warc_cdxj: str, cdxj_dir: str) -> dict:
         for r in rows:
             f.write(cdxj_line(r["surt"], r["ts"], r["json"]))
             edited += int(r["matched"])
+    # S9 log-sink parity (cdxj_merge.log, merge_cdxj.py:116-122,134-138)
+    with open(os.path.join(cdxj_dir, "cdxj_merge.log"), "a") as lg:
+        lg.write(f"INFO Merging {os.path.basename(metadata_cdxj)} into "
+                 f"{os.path.basename(warc_cdxj)}\n")
+        lg.write(f"INFO Edited: {edited} Non-edited: {len(rows) - edited}\n")
     return {"merged_path": out_path, "edited": edited,
             "non_edited": len(rows) - edited}
 

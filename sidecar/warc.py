@@ -96,14 +96,26 @@ def write_sidecar_warc(sidecar_ds, path: str, *, filename: str | None = None,
                        operator: str | None = None,
                        publisher: str | None = None,
                        source_is_warc: bool = True,
-                       warcinfo_id: str | None = None) -> int:
+                       warcinfo_id: str | None = None,
+                       compress: bool = False) -> int:
     """Write a sidecar WARC text file: warcinfo first, then the metadata
     records (streamed).  Returns the number of metadata records written;
     zero-record files still carry the warcinfo (S4 analog: the reference
-    rewrites with '0 metadata sidecar records' in the description)."""
+    rewrites with '0 metadata sidecar records' in the description).
+
+    ``compress=True`` writes actual gzip (the reference's WARCWriter
+    gzip=True); the default plain-text-with-.gz-name reproduces the
+    reference corpus quirk (its golden ``warc.warc.meta.gz`` is
+    uncompressed) — ``read_warc_text`` sniffs magic bytes, so both forms
+    round-trip."""
+    import gzip as _gzip
+
+    def opener():
+        return _gzip.open(path, "wt", encoding="utf-8") if compress \
+            else open(path, "w")
+
     n = 0
-    with open(path, "w") as f:
-        pos = f.tell()
+    with opener() as f:
         f.write(warcinfo_record_text(filename or os.path.basename(path),
                                      operator, publisher))
         for batch in sidecar_to_warc_text(
@@ -114,14 +126,13 @@ def write_sidecar_warc(sidecar_ds, path: str, *, filename: str | None = None,
             for rec in col.to_pylist():
                 f.write(rec)
                 n += 1
-        if n == 0:  # S4: rewrite warcinfo with the zero-record marker
-            f.seek(pos)
-            f.truncate()
-            info = create_warcinfo_payload(filename or os.path.basename(path),
-                                           operator, publisher)
-            info["description"] = info.get("description", "") + \
-                "; 0 metadata sidecar records"
-            payload = "".join(f"{k}: {v}\r\n" for k, v in info.items())
+    if n == 0:  # S4: rewrite holding only the zero-record-marker warcinfo
+        info = create_warcinfo_payload(filename or os.path.basename(path),
+                                       operator, publisher)
+        info["description"] = info.get("description", "") + \
+            "; 0 metadata sidecar records"
+        payload = "".join(f"{k}: {v}\r\n" for k, v in info.items())
+        with opener() as f:
             f.write(_record_text([("WARC-Type", "warcinfo"),
                                   ("WARC-Filename", filename or os.path.basename(path)),
                                   ("Content-Type", "application/warc-fields")], payload))

@@ -180,3 +180,27 @@ class TestArcInput:
         assert "WARC-Concurrent-ID" not in meta  # ARC-source header absence
         assert "Identified-Payload-Type:" in meta
         assert "example.com/x" in meta
+
+
+def test_gzip_sidecar_roundtrip(tmp_path, images_table):
+    """compress=True writes REAL gzip (reference WARCWriter gzip=True);
+    the reader sniffs magic bytes so both forms round-trip identically."""
+    import gzip
+
+    import ray.data as rd
+
+    from sidecar import pipeline, warc
+
+    ds = pipeline.sidecar_dataset(rd.from_arrow(images_table.slice(0, 12)))
+    p_plain = str(tmp_path / "a.warc.meta.gz")
+    p_gz = str(tmp_path / "b.warc.meta.gz")
+    n1 = warc.write_sidecar_warc(ds, p_plain)
+    n2 = warc.write_sidecar_warc(ds, p_gz, compress=True)
+    assert n1 == n2 > 0
+    assert open(p_gz, "rb").read(2) == b"\x1f\x8b"       # actually gzip
+    assert open(p_plain, "rb").read(2) != b"\x1f\x8b"    # quirk preserved
+    r1 = [r for r in warc.read_warc_text(p_plain).take_all()
+          if r["rec_type"] == "metadata"]
+    r2 = [r for r in warc.read_warc_text(p_gz).take_all()
+          if r["rec_type"] == "metadata"]
+    assert [r["payload"] for r in r1] == [r["payload"] for r in r2]
