@@ -110,6 +110,82 @@ def cmd_sidecar(archive_dir: str, warc_file: str, operator: str | None = None,
             "records_written": written}
 
 
+def cmd_sidecar_all(archive_dir: str, operator: str | None = None,
+                    publisher: str | None = None) -> dict:
+    """Batch mode — the 100 TB shape of the sidecar step: EVERY WARC/ARC in
+    the directory through ONE distributed pipeline, one sidecar file per
+    source (the reference's one-file-per-invocation CLI, parallelized as
+    the sharded-files pattern it implies, SURVEY.md §4.1).
+
+    Records keep their source ``path`` through extraction; a
+    ``groupby(path)`` routes each file's sidecar rows to one task, which
+    serializes and writes that file's sidecar WORKER-SIDE (no driver
+    bottleneck).  Files whose sidecar already exists are skipped before
+    any read — the resumability unit is the source file."""
+    import glob as _glob
+
+    import pandas as pd
+
+    all_files = sorted(
+        f for f in _glob.glob(os.path.join(archive_dir, "*"))
+        if f.endswith((".warc", ".warc.gz", ".arc", ".arc.gz")))
+    todo = [f for f in all_files
+            if not os.path.exists(os.path.join(
+                archive_dir, warc.sidecar_name(os.path.basename(f))))]
+    if not todo:
+        return {"files": len(all_files), "processed": 0, "skipped": len(all_files)}
+
+    records = warc.read_warc_text(todo)
+
+    # records_to_images' filters, with the source path kept as the routing key
+    def f(batch: pa.Table) -> pa.Table:
+        ids, urls, tss, blobs, paths = [], [], [], [], []
+        for row in batch.to_pylist():
+            if row["rec_type"] not in ("response", "resource"):
+                continue
+            if row["url"].startswith("dns:"):
+                continue
+            ids.append(row["url"])
+            urls.append(row["url"])
+            tss.append(row["ts"])
+            blobs.append(row["payload"].encode("utf-8", "replace"))
+            paths.append(row["path"])
+        n = len(ids)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "ts": pa.array(tss, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "caption": pa.array([""] * n, pa.string()),
+            "part": pa.array(paths, pa.string()),  # rides through extraction
+        })
+
+    sidecar_ds = pipeline.sidecar_dataset(
+        records.map_batches(f, batch_format="pyarrow", zero_copy_batch=True))
+
+    def write_one(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["part"].iloc[0]
+        name = os.path.basename(src)
+        out_path = os.path.join(archive_dir, warc.sidecar_name(name))
+        is_warc = not warc.is_arc_name(name)
+        n = 0
+        with open(out_path, "w") as fh:
+            fh.write(warc.warcinfo_record_text(warc.sidecar_name(name),
+                                               operator, publisher))
+            for row in g.drop(columns=["part"]).to_dict("records"):
+                if pipeline.sidecar_row_to_payload(row):
+                    fh.write(warc.metadata_record_text(
+                        row, source_is_warc=is_warc))
+                    n += 1
+        return pd.DataFrame({"path": [src], "records_written": [n]})
+
+    per_file = sidecar_ds.groupby("part").map_groups(
+        write_one, batch_format="pandas").to_pandas()
+    return {"files": len(all_files), "processed": len(per_file),
+            "skipped": len(all_files) - len(todo),
+            "records_written": int(per_file["records_written"].sum())}
+
+
 def cmd_cdxj(sidecar_file: str, archive_dir: str) -> dict:
     os.makedirs(archive_dir, exist_ok=True)
     records = warc.read_warc_text(sidecar_file)
@@ -186,6 +262,10 @@ def main(argv: list[str] | None = None) -> dict:
     ps.add_argument("warc_file")
     ps.add_argument("--operator", default=None)
     ps.add_argument("--publisher", default=None)
+    pa_ = sub.add_parser("sidecar-all")
+    pa_.add_argument("archive_dir")
+    pa_.add_argument("--operator", default=None)
+    pa_.add_argument("--publisher", default=None)
     pc = sub.add_parser("cdxj")
     pc.add_argument("sidecar_file")
     pc.add_argument("archive_dir")
@@ -201,6 +281,8 @@ def main(argv: list[str] | None = None) -> dict:
     if args.cmd == "sidecar":
         res = cmd_sidecar(args.archive_dir, args.warc_file,
                           args.operator, args.publisher)
+    elif args.cmd == "sidecar-all":
+        res = cmd_sidecar_all(args.archive_dir, args.operator, args.publisher)
     elif args.cmd == "cdxj":
         res = cmd_cdxj(args.sidecar_file, args.archive_dir)
     else:

@@ -204,3 +204,36 @@ def test_gzip_sidecar_roundtrip(tmp_path, images_table):
     r2 = [r for r in warc.read_warc_text(p_gz).take_all()
           if r["rec_type"] == "metadata"]
     assert [r["payload"] for r in r1] == [r["payload"] for r in r2]
+
+
+class TestSidecarAll:
+    def test_batch_mode_one_sidecar_per_file_and_resume(self, tmp_path):
+        """sidecar-all: every WARC in the dir through one pipeline, one
+        sidecar per source file; a second run skips all finished files."""
+        from sidecar import cli
+        from sidecar.warc import _record_text, warcinfo_record_text
+
+        def resp(url, date, payload):
+            return _record_text(
+                [("WARC-Type", "response"), ("WARC-Target-URI", url),
+                 ("WARC-Date", date)], payload)
+
+        for k in range(3):
+            with open(tmp_path / f"f{k}.warc", "w") as f:
+                f.write(warcinfo_record_text(f"f{k}.warc"))
+                for j in range(2 + k):
+                    f.write(resp(f"https://h{k}.com/p{j}", "2021-03-01T10:00:00Z",
+                                 f"some simple text content number {j} of file {k}"))
+
+        r1 = cli.cmd_sidecar_all(str(tmp_path))
+        assert r1["processed"] == 3 and r1["skipped"] == 0
+        assert r1["records_written"] == 2 + 3 + 4
+        for k in range(3):
+            recs = [x for x in __import__("sidecar.warc", fromlist=["warc"])
+                    .parse_warc_text(open(tmp_path / f"f{k}.warc.meta.gz").read())
+                    if x["rec_type"] == "metadata"]
+            assert len(recs) == 2 + k
+            assert all(f"h{k}.com" in r["url"] for r in recs)
+
+        r2 = cli.cmd_sidecar_all(str(tmp_path))  # resume: nothing to do
+        assert r2["processed"] == 0 and r2["skipped"] == 3
