@@ -212,6 +212,50 @@ def cmd_cdxj(sidecar_file: str, archive_dir: str) -> dict:
     return {"cdxj_path": out_path, "lines": n}
 
 
+def cmd_cdxj_all(archive_dir: str) -> dict:
+    """Batch CDXJ: every sidecar in the directory through one pipeline,
+    one ``.cdxj`` per sidecar (same sharded-files plan as sidecar-all;
+    finished outputs skipped before any read)."""
+    import glob as _glob
+
+    import pandas as pd
+
+    all_files = sorted(_glob.glob(os.path.join(archive_dir, "*.warc.meta.gz")))
+    todo = [f for f in all_files
+            if not os.path.exists(os.path.join(
+                archive_dir, warc.cdxj_name_from_sidecar(f)))]
+    if not todo:
+        return {"files": len(all_files), "processed": 0, "skipped": len(all_files)}
+
+    records = warc.read_warc_text(todo)
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        paths, lines = [], []
+        for row in batch.to_pylist():
+            if row["rec_type"] == "warcinfo":
+                continue
+            paths.append(row["path"])
+            lines.append(cdxj_line(surt(row["url"]), row["ts"],
+                                   payload_to_json(row["payload"])))
+        return pa.table({"part": pa.array(paths, pa.string()),
+                         "line": pa.array(lines, pa.string())})
+
+    def write_one(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["part"].iloc[0]
+        out_path = os.path.join(archive_dir, warc.cdxj_name_from_sidecar(src))
+        with open(out_path, "w") as fh:
+            fh.writelines(g["line"])
+        return pd.DataFrame({"path": [src], "lines": [len(g)]})
+
+    per_file = (records.map_batches(to_lines, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                .groupby("part").map_groups(write_one, batch_format="pandas")
+                .to_pandas())
+    return {"files": len(all_files), "processed": len(per_file),
+            "skipped": len(all_files) - len(todo),
+            "lines": int(per_file["lines"].sum())}
+
+
 def cmd_merge(metadata_cdxj: str, warc_cdxj: str, cdxj_dir: str) -> dict:
     os.makedirs(cdxj_dir, exist_ok=True)
     meta = parse_cdxj_lines(rd.read_text(metadata_cdxj))
@@ -269,6 +313,8 @@ def main(argv: list[str] | None = None) -> dict:
     pc = sub.add_parser("cdxj")
     pc.add_argument("sidecar_file")
     pc.add_argument("archive_dir")
+    pca = sub.add_parser("cdxj-all")
+    pca.add_argument("archive_dir")
     pm = sub.add_parser("merge")
     pm.add_argument("metadata_cdxj")
     pm.add_argument("warc_cdxj")
@@ -283,6 +329,8 @@ def main(argv: list[str] | None = None) -> dict:
                           args.operator, args.publisher)
     elif args.cmd == "sidecar-all":
         res = cmd_sidecar_all(args.archive_dir, args.operator, args.publisher)
+    elif args.cmd == "cdxj-all":
+        res = cmd_cdxj_all(args.archive_dir)
     elif args.cmd == "cdxj":
         res = cmd_cdxj(args.sidecar_file, args.archive_dir)
     else:

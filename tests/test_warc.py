@@ -237,3 +237,28 @@ class TestSidecarAll:
 
         r2 = cli.cmd_sidecar_all(str(tmp_path))  # resume: nothing to do
         assert r2["processed"] == 0 and r2["skipped"] == 3
+
+
+def test_cdxj_all_batch(tmp_path):
+    """cdxj-all follows sidecar-all: one .cdxj per sidecar, resumable."""
+    from sidecar import cli
+    from sidecar.warc import _record_text, warcinfo_record_text
+
+    def resp(url, date, payload):
+        return _record_text(
+            [("WARC-Type", "response"), ("WARC-Target-URI", url),
+             ("WARC-Date", date)], payload)
+
+    for k in range(2):
+        with open(tmp_path / f"g{k}.warc", "w") as f:
+            f.write(warcinfo_record_text(f"g{k}.warc"))
+            f.write(resp(f"https://g{k}.com/x", "2021-03-01T10:00:00Z",
+                         f"content words for file number {k} right here"))
+    cli.cmd_sidecar_all(str(tmp_path))
+    r = cli.cmd_cdxj_all(str(tmp_path))
+    assert r["processed"] == 2 and r["lines"] == 2
+    for k in range(2):
+        lines = open(tmp_path / f"g{k}.cdxj").read().splitlines()
+        assert len(lines) == 1 and lines[0].startswith(f"com,g{k})/")
+    r2 = cli.cmd_cdxj_all(str(tmp_path))
+    assert r2["processed"] == 0 and r2["skipped"] == 2
