@@ -26,7 +26,6 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from sidecar import schemas
 from sidecar.canon import surt
 from sidecar.pipeline import _lang_struct_to_ref
 
