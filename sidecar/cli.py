@@ -181,9 +181,26 @@ def cmd_sidecar_all(archive_dir: str, operator: str | None = None,
 
     per_file = sidecar_ds.groupby("part").map_groups(
         write_one, batch_format="pandas").to_pandas()
-    return {"files": len(all_files), "processed": len(per_file),
+
+    # a source that yields ZERO sidecar rows (only warcinfo/dns/revisit
+    # records, or all-empty payloads) produces no group above — write its
+    # S4 zero-record warcinfo sidecar here so the output exists (and resume
+    # skipping doesn't re-read the file forever)
+    done_paths = set(per_file["path"]) if len(per_file) else set()
+    zero = 0
+    for src in todo:
+        if src in done_paths:
+            continue
+        name = os.path.basename(src)
+        out_path = os.path.join(archive_dir, warc.sidecar_name(name))
+        warc.write_zero_record_sidecar(out_path,
+                                       filename=warc.sidecar_name(name),
+                                       operator=operator, publisher=publisher)
+        zero += 1
+    return {"files": len(all_files), "processed": len(per_file) + zero,
             "skipped": len(all_files) - len(todo),
-            "records_written": int(per_file["records_written"].sum())}
+            "records_written": int(per_file["records_written"].sum())
+            if len(per_file) else 0}
 
 
 def cmd_cdxj(sidecar_file: str, archive_dir: str) -> dict:
@@ -251,9 +268,20 @@ def cmd_cdxj_all(archive_dir: str) -> dict:
                                     zero_copy_batch=True)
                 .groupby("part").map_groups(write_one, batch_format="pandas")
                 .to_pandas())
-    return {"files": len(all_files), "processed": len(per_file),
+
+    # a sidecar holding only its warcinfo yields no lines, hence no group —
+    # write its (empty) cdxj here, matching cmd_cdxj's behavior on the same
+    # input, so resume skipping sees the file as done
+    done_paths = set(per_file["path"]) if len(per_file) else set()
+    zero = 0
+    for src in todo:
+        if src not in done_paths:
+            open(os.path.join(archive_dir,
+                              warc.cdxj_name_from_sidecar(src)), "w").close()
+            zero += 1
+    return {"files": len(all_files), "processed": len(per_file) + zero,
             "skipped": len(all_files) - len(todo),
-            "lines": int(per_file["lines"].sum())}
+            "lines": int(per_file["lines"].sum()) if len(per_file) else 0}
 
 
 def cmd_merge(metadata_cdxj: str, warc_cdxj: str, cdxj_dir: str) -> dict:

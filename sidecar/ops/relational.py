@@ -89,7 +89,7 @@ def pricing_summary(sf_dir: str) -> "rd.Dataset":
 NUM_AGG_PARTS = 64  # coarse shuffle partitions for high-cardinality groupbys
 
 
-def top_revenue_orders(sf_dir: str, k: int = 20) -> "rd.Dataset":
+def top_revenue_orders(sf_dir: str, k: int = 20) -> "pd.DataFrame":
     """Top-k orders by lineitem revenue, enriched with customer segment.
 
     Coarse-partition aggregate + post-top-k enrichment: per-order sums need a

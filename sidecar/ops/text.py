@@ -204,7 +204,7 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> "rd.Dataset":
                                               zero_copy_batch=True)
 
 
-def bigram_topk(sf_dir: str, k: int = 100) -> "rd.Dataset":
+def bigram_topk(sf_dir: str, k: int = 100) -> "pd.DataFrame":
     """s, n — the corpus's k most frequent word bigrams (with multiplicity).
     Per-batch partial counts collapse each block to its distinct bigrams
     before the vocab-keyed groupby; a per-block partial top-k then feeds a

@@ -198,8 +198,12 @@ def extract_sidecar_batch(batch: pa.Table) -> pa.Table:
             "caption": caption,
         }
     )
-    if "part" in batch.column_names:  # fetch-partition id rides through
-        out = out.append_column("part", batch.column("part"))
+    # pass-through columns: fetch-partition id, and the source record id
+    # (WARC-Concurrent-ID parity — the reference copies the source record's
+    # WARC-Record-ID, warc_metadata_sidecar.py:223)
+    for passthru in ("part", "concurrent_id"):
+        if passthru in batch.column_names:
+            out = out.append_column(passthru, batch.column(passthru))
     # F10/:270-271 — a record with no metadata at all is skipped entirely;
     # with a non-empty payload we always have a mime, so only empty payloads drop.
     return out.filter(pa.array(nonempty))
@@ -335,6 +339,10 @@ def sidecar_dataset_dedup_digest(images_ds, *, batch_size: int = 1024,
             "is_text": pa.array(is_text),
             "caption": cap_kept,
         })
+        for passthru in ("part", "concurrent_id"):
+            if passthru in batch.column_names:
+                out = out.append_column(
+                    passthru, batch.column(passthru).filter(pa.array(keep)))
         return out
 
     return images_ds.map_batches(assemble, batch_format="pyarrow",

@@ -127,16 +127,32 @@ def write_sidecar_warc(sidecar_ds, path: str, *, filename: str | None = None,
                 f.write(rec)
                 n += 1
     if n == 0:  # S4: rewrite holding only the zero-record-marker warcinfo
-        info = create_warcinfo_payload(filename or os.path.basename(path),
-                                       operator, publisher)
-        info["description"] = info.get("description", "") + \
-            "; 0 metadata sidecar records"
-        payload = "".join(f"{k}: {v}\r\n" for k, v in info.items())
-        with opener() as f:
-            f.write(_record_text([("WARC-Type", "warcinfo"),
-                                  ("WARC-Filename", filename or os.path.basename(path)),
-                                  ("Content-Type", "application/warc-fields")], payload))
+        write_zero_record_sidecar(path, filename=filename, operator=operator,
+                                  publisher=publisher, compress=compress)
     return n
+
+
+def write_zero_record_sidecar(path: str, *, filename: str | None = None,
+                              operator: str | None = None,
+                              publisher: str | None = None,
+                              compress: bool = False) -> None:
+    """The S4 zero-record sidecar: only the warcinfo, with the
+    '0 metadata sidecar records' marker appended to the description
+    (the reference rewrites the file this way when nothing was extracted).
+    Used directly by batch mode for sources whose groupby produced no rows."""
+    import gzip as _gzip
+
+    info = create_warcinfo_payload(filename or os.path.basename(path),
+                                   operator, publisher)
+    info["description"] = info.get("description", "") + \
+        "; 0 metadata sidecar records"
+    payload = "".join(f"{k}: {v}\r\n" for k, v in info.items())
+    opener = (lambda: _gzip.open(path, "wt", encoding="utf-8")) if compress \
+        else (lambda: open(path, "w"))
+    with opener() as f:
+        f.write(_record_text([("WARC-Type", "warcinfo"),
+                              ("WARC-Filename", filename or os.path.basename(path)),
+                              ("Content-Type", "application/warc-fields")], payload))
 
 
 def parse_warc_text(text: str) -> list[dict]:
@@ -185,8 +201,17 @@ def parse_arc_text(text: str) -> list[dict]:
     emitted as ``rec_type='response'`` (the rewrite the reference's
     ArchiveIterator does on the fly, warc_metadata_sidecar.py:205); the
     filedesc block maps to ``rec_type='warcinfo'`` so downstream filters
-    behave identically on both formats."""
+    behave identically on both formats.
+
+    Robustness: ARC URLs are not guaranteed space-free, so the header is
+    parsed from the RIGHT (last four fields are ip/date/mime/length; the
+    url is whatever precedes them).  A header whose length or date field
+    does not validate is logged and skipped to the next blank-line
+    boundary instead of silently truncating the rest of the archive."""
+    import logging
+
     out = []
+    malformed = 0
     i = 0
     n = len(text)
     while i < n:
@@ -200,10 +225,17 @@ def parse_arc_text(text: str) -> list[dict]:
             break
         header = text[i:line_end].rstrip("\r")
         parts = header.split(" ")
-        if len(parts) < 5:
-            break
-        url, _ip, ts, _mime, ln_s = parts[0], parts[1], parts[2], parts[3], parts[-1]
-        ln = int(ln_s)
+        ok = (len(parts) >= 5 and parts[-1].isdigit()
+              and parts[-3].isdigit() and len(parts[-3]) >= 8)
+        if not ok:
+            malformed += 1
+            nxt = text.find("\n\n", line_end)
+            if nxt < 0:
+                break
+            i = nxt + 2
+            continue
+        url = " ".join(parts[:-4])
+        ts, ln = parts[-3], int(parts[-1])
         body_start = line_end + 1
         payload = text[body_start : body_start + ln]
         out.append({
@@ -214,6 +246,9 @@ def parse_arc_text(text: str) -> list[dict]:
             "payload": payload,
         })
         i = body_start + ln
+    if malformed:
+        logging.getLogger("sidecar.warc").warning(
+            "parse_arc_text: skipped %d malformed ARC header(s)", malformed)
     return out
 
 

@@ -133,3 +133,19 @@ def test_canonicalization_port_and_path_rules():
     assert cu("http://ex.com/a%2fb") == "http://ex.com/a%2Fb"  # canon uppercases hex
     assert canonical_url("http://ex.com/p#frag") == "http://ex.com/p"
     assert host_of("http://ex.com:8080/x") == "ex.com"
+
+
+def test_alpha3_full_table_merge():
+    """The merge CLI accepts arbitrary Languages-cld2 codes — the full
+    ISO-639-1 table converts (reference langcodes path, merge_cdxj.py:12-27),
+    not just the five codes the in-repo detector emits."""
+    from sidecar.cdxj import ALPHA3, get_alpha3_language_codes, get_sidecar_fields
+
+    assert ALPHA3["ja"] == "jpn" and ALPHA3["ko"] == "kor" and ALPHA3["ru"] == "rus"
+    assert len(ALPHA3) > 150
+    assert get_alpha3_language_codes(
+        [{"code": "ja"}, {"code": "xx"}, {"code": "sv"}]) == "jpn,swe"
+    enriched = get_sidecar_fields(
+        {"url": "http://x"},
+        {"Languages-cld2": {"languages": [{"code": "ja"}]}})
+    assert enriched["languages"] == "jpn"

@@ -262,3 +262,88 @@ def test_cdxj_all_batch(tmp_path):
         assert len(lines) == 1 and lines[0].startswith(f"com,g{k})/")
     r2 = cli.cmd_cdxj_all(str(tmp_path))
     assert r2["processed"] == 0 and r2["skipped"] == 2
+
+
+def test_concurrent_id_source_record_id(tmp_path):
+    """WARC-Concurrent-ID carries the SOURCE record's WARC-Record-ID through
+    extraction (reference warc_metadata_sidecar.py:223), not the synthetic
+    urn fallback."""
+    from sidecar import cli
+    from sidecar.warc import _record_text, warcinfo_record_text
+
+    with open(tmp_path / "src.warc", "w") as f:
+        f.write(warcinfo_record_text("src.warc"))
+        f.write(_record_text(
+            [("WARC-Type", "response"),
+             ("WARC-Target-URI", "https://example.com/cid"),
+             ("WARC-Date", "2021-03-01T10:00:00Z"),
+             ("WARC-Record-ID", "<urn:uuid:deadbeef-1234>"),
+             ("Content-Type", "application/http")],
+            "plain text words in the body of this page"))
+    s = cli.cmd_sidecar(str(tmp_path), "src.warc")
+    assert s["records_written"] == 1
+    metas = [r for r in warc.parse_warc_text(open(s["meta_file_path"]).read())
+             if r["rec_type"] == "metadata"]
+    assert metas[0]["headers"]["WARC-Concurrent-ID"] == "<urn:uuid:deadbeef-1234>"
+
+
+def test_sidecar_all_zero_record_source(tmp_path):
+    """Batch mode writes the S4 zero-record warcinfo sidecar for a source
+    that yields no sidecar rows, so resume skipping sees it as finished."""
+    from sidecar import cli
+    from sidecar.warc import _record_text, warcinfo_record_text
+
+    # file with content + file with only dns/revisit records (no extractable rows)
+    with open(tmp_path / "a.warc", "w") as f:
+        f.write(warcinfo_record_text("a.warc"))
+        f.write(_record_text(
+            [("WARC-Type", "response"), ("WARC-Target-URI", "https://a.com/x"),
+             ("WARC-Date", "2021-03-01T10:00:00Z")], "words and more words"))
+    with open(tmp_path / "b.warc", "w") as f:
+        f.write(warcinfo_record_text("b.warc"))
+        f.write(_record_text(
+            [("WARC-Type", "response"), ("WARC-Target-URI", "dns:b.com"),
+             ("WARC-Date", "2021-03-01T10:00:00Z")], "1.2.3.4"))
+        f.write(_record_text(
+            [("WARC-Type", "revisit"), ("WARC-Target-URI", "https://b.com/x"),
+             ("WARC-Date", "2021-03-01T10:00:00Z")], "dup"))
+
+    r1 = cli.cmd_sidecar_all(str(tmp_path))
+    assert r1["processed"] == 2
+    zero = open(tmp_path / "b.warc.meta.gz").read()
+    assert "0 metadata sidecar records" in zero
+    r2 = cli.cmd_sidecar_all(str(tmp_path))  # resume: b not re-processed
+    assert r2["processed"] == 0 and r2["skipped"] == 2
+
+    # cdxj-all on the pair: b's sidecar has no lines -> empty cdxj, resumable
+    c1 = cli.cmd_cdxj_all(str(tmp_path))
+    assert c1["processed"] == 2 and c1["lines"] == 1
+    assert open(tmp_path / "b.cdxj").read() == ""
+    c2 = cli.cmd_cdxj_all(str(tmp_path))
+    assert c2["processed"] == 0 and c2["skipped"] == 2
+
+
+def test_arc_malformed_header_and_space_url():
+    """A malformed ARC header mid-file skips to the next record instead of
+    silently truncating; URLs containing spaces parse (fields from the right)."""
+    body1 = "first record body text"
+    body2 = "second record body text"
+    body3 = "third record body after the bad one"
+    arc = (
+        "filedesc://src.arc 0.0.0.0 20210301000000 text/plain 10\n"
+        "1 0 ARCv1\n\n"
+        f"http://example.com/a b.html 1.2.3.4 20210301100000 text/plain {len(body1)}\n"
+        f"{body1}\n\n"
+        "garbage-header-line\n"
+        "not a record\n\n"
+        f"http://example.com/c 1.2.3.4 20210301110000 text/plain {len(body2)}\n"
+        f"{body2}\n\n"
+        f"http://example.com/d 1.2.3.4 20210301120000 text/plain {len(body3)}\n"
+        f"{body3}\n\n"
+    )
+    recs = warc.parse_arc_text(arc)
+    urls = [r["url"] for r in recs]
+    assert "http://example.com/a b.html" in urls  # space-containing URL kept
+    assert "http://example.com/c" in urls
+    assert "http://example.com/d" in urls         # records after the bad header survive
+    assert [r for r in recs if r["rec_type"] == "warcinfo"]
