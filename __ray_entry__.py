@@ -36,6 +36,107 @@ mh AS (SELECT doc_id, p, min(md5(p::VARCHAR || '|' || s)) AS mh
 """
 
 
+def _synth_url_ts(doc_ids) -> tuple[list[str], list[str]]:
+    """doc_id → (url, ts14) with SURT-exercising features (mixed case, www
+    prefix, non-default port, unsorted query); SQL-reproducible."""
+    urls = [
+        f"https://{'www.' if x % 8 == 0 else ''}Example{x % 10}.COM"
+        f"{':8080' if x % 9 == 0 else ''}/Path/{x}?b=2&a=1"
+        for x in doc_ids
+    ]
+    tss = [str(20210301000000 + int(x)) for x in doc_ids]
+    return urls, tss
+
+
+def _synth_cdxj_sidecar(batch, *, only_meta: bool = False):
+    """doc_id → deterministic SIDECAR-shaped rows exercising every CDXJ
+    serialization/merge quirk (present-if-found keys, magic-preferred mime,
+    charset truthy-skip, alpha-3 skip of codes with no 3-letter form,
+    soft-404 0.0 dropped at merge).  Field rules are pure doc_id arithmetic
+    so the DuckDB oracle can rebuild the exact JSON strings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sidecar import schemas
+
+    d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    if only_meta:  # rows the meta CDXJ covers; x%7==0 stays unmatched
+        d = d[(d % 7) != 0]
+    urls, tss = _synth_url_ts(d)
+    en = {"name": "ENGLISH", "code": "en", "text_covered": 99, "score": 1200.0}
+    xx = {"name": "UNKNOWN", "code": "xx", "text_covered": 1, "score": 10.0}
+    ja = {"name": "Japanese", "code": "ja", "text_covered": 95, "score": 800.0}
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "ts": pa.array(tss, pa.string()),
+        "mime_fido": pa.array(
+            ["text/html" if x % 3 == 0 else None for x in d], pa.string()),
+        "mime_magic": pa.array(
+            ["text/plain" if x % 2 == 0 else None for x in d], pa.string()),
+        "puid": pa.array(
+            [f"fmt/{x % 50}" if x % 4 != 0 else None for x in d], pa.string()),
+        "charset": pa.array(
+            [{"encoding": "utf-8", "confidence": 0.5} if x % 2 == 0 else None
+             for x in d], type=schemas.CHARSET_T),
+        "languages": pa.array(
+            [{"reliable": True, "text_bytes": 100 + int(x % 7),
+              "languages": [en, xx] if x % 6 == 0 else [ja]}
+             if x % 3 == 0 else None for x in d], type=schemas.LANGUAGES_T),
+        "soft404": pa.array(
+            [0.0 if x % 5 == 0 else (0.5 if x % 5 == 1 else None) for x in d],
+            pa.float64()),
+    })
+
+
+def _synth_meta_sidecar(batch):
+    return _synth_cdxj_sidecar(batch, only_meta=True)
+
+
+# Shared SQL prefix rebuilding _synth_url_ts + the SURT of those urls.
+_SYNTH_URL_CTE = """
+u AS (SELECT doc_id AS x,
+             'https://' || CASE WHEN doc_id % 8 = 0 THEN 'www.' ELSE '' END
+               || 'Example' || (doc_id % 10)::VARCHAR || '.COM'
+               || CASE WHEN doc_id % 9 = 0 THEN ':8080' ELSE '' END
+               || '/Path/' || doc_id::VARCHAR || '?b=2&a=1' AS url,
+             'com,example' || (doc_id % 10)::VARCHAR
+               || CASE WHEN doc_id % 9 = 0 THEN ':8080' ELSE '' END
+               || ')/path/' || doc_id::VARCHAR || '?a=1&b=2' AS surt,
+             (20210301000000 + doc_id)::VARCHAR AS ts
+      FROM documents)
+"""
+
+# The CDXJ JSON fragments of _synth_cdxj_sidecar, serialized exactly as
+# sidecar_row_to_cdxj_json / json.dumps does (key order, ', ' separators).
+_SYNTH_FRAG_CTE = _SYNTH_URL_CTE + """,
+frag AS (SELECT x, url, surt, ts,
+    CASE WHEN x % 3 = 0 AND x % 2 = 0 THEN
+           '"Identified-Payload-Type": {"fido": "text/html", "python-magic": "text/plain"}'
+         WHEN x % 3 = 0 THEN '"Identified-Payload-Type": {"fido": "text/html"}'
+         WHEN x % 2 = 0 THEN '"Identified-Payload-Type": {"python-magic": "text/plain"}'
+    END AS f_ipt,
+    CASE WHEN x % 4 <> 0 THEN
+           '"Preservation-Identifier": "fmt/' || (x % 50)::VARCHAR || '"'
+    END AS f_puid,
+    CASE WHEN x % 2 = 0 THEN
+           '"Charset-Detected": {"encoding": "utf-8", "confidence": 0.5}'
+    END AS f_cs,
+    CASE WHEN x % 6 = 0 THEN
+           '"Languages-cld2": {"reliable": true, "text-bytes": '
+             || (100 + x % 7)::VARCHAR
+             || ', "languages": [{"name": "ENGLISH", "code": "en", "text-covered": 99, "score": 1200.0}, {"name": "UNKNOWN", "code": "xx", "text-covered": 1, "score": 10.0}]}'
+         WHEN x % 3 = 0 THEN
+           '"Languages-cld2": {"reliable": true, "text-bytes": '
+             || (100 + x % 7)::VARCHAR
+             || ', "languages": [{"name": "Japanese", "code": "ja", "text-covered": 95, "score": 800.0}]}'
+    END AS f_lang,
+    CASE WHEN x % 5 = 0 THEN '"Soft-404-Detected": 0.0'
+         WHEN x % 5 = 1 THEN '"Soft-404-Detected": 0.5'
+    END AS f_s404
+    FROM u)
+"""
+
+
 def _image_rows_only(batch):
     """Keep only decodable image rows (png/ppm/b16) of an IMAGES batch."""
     import pyarrow as pa
@@ -187,6 +288,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(original_lines, batch_format="pyarrow", zero_copy_batch=True))
         return merge_cdxj(meta, original)
 
+    def cdxj_project_exact(sf_dir: str):
+        """The real cdxj_from_sidecar projection (S5/S6 + F13 + F12 JSON
+        serialization) over deterministic SQL-reproducible sidecar rows —
+        the hash-exact twin of the rows-only cdxj_project (which runs over
+        live detector output)."""
+        import ray.data as rd
+
+        from sidecar.cdxj import cdxj_from_sidecar
+
+        side = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"]).map_batches(
+            _synth_cdxj_sidecar, batch_format="pyarrow", zero_copy_batch=True)
+        return cdxj_from_sidecar(side)
+
+    def cdxj_merge_exact(sf_dir: str):
+        """The real merge_cdxj left-outer enrichment (J1 + merge_cdxj.py:30-56
+        quirks) with both sides deterministic: meta = projected synthetic
+        sidecar rows (doc_id%7!=0 only), original = all docs.  Exercises
+        magic-preferred mime, alpha-3 conversion + skip, charset encoding,
+        soft-404-0.0-dropped, and unmatched passthrough — hash-exact."""
+        import json as _json
+
+        import pyarrow as pa
+        import pyarrow.compute as pc_
+
+        import ray.data as rd
+
+        from sidecar.canon import surt as _surt
+        from sidecar.cdxj import cdxj_from_sidecar, merge_cdxj
+
+        docs = f"{sf_dir}/documents.parquet"
+        meta = cdxj_from_sidecar(
+            rd.read_parquet(docs, columns=["doc_id"]).map_batches(
+                _synth_meta_sidecar, batch_format="pyarrow",
+                zero_copy_batch=True))
+
+        def original(batch: pa.Table) -> pa.Table:
+            d = batch.column("doc_id").to_pylist()
+            urls, tss = _synth_url_ts(d)
+            return pa.table({
+                "surt": pa.array([_surt(u) for u in urls], pa.string()),
+                "ts": pa.array(tss, pa.string()),
+                "json": pa.array(
+                    [_json.dumps({"url": u, "status": "200"}) for u in urls],
+                    pa.string()),
+            })
+
+        orig = rd.read_parquet(docs, columns=["doc_id"]).map_batches(
+            original, batch_format="pyarrow", zero_copy_batch=True)
+
+        def cast_matched(batch: pa.Table) -> pa.Table:
+            i = batch.schema.get_field_index("matched")
+            return batch.set_column(
+                i, "matched", pc_.cast(batch.column("matched"), pa.int64()))
+
+        return merge_cdxj(meta, orig).map_batches(
+            cast_matched, batch_format="pyarrow", zero_copy_batch=True)
+
     return {
         # --- text analysis (documents) -----------------------------------
         "text_token_count": text.token_count,
@@ -247,7 +406,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sidecar_extract": sidecar_extract,
         "sidecar_extract_dedup": sidecar_extract_dedup,
         "cdxj_project": cdxj_project,
+        "cdxj_project_exact": cdxj_project_exact,
         "cdxj_merge": cdxj_merge_demo,
+        "cdxj_merge_exact": cdxj_merge_exact,
         "multimodal_image_stats": mm_image_stats,
         "multimodal_phash_neardup": mm_phash_neardup,
         "multimodal_audio_features": mm_audio_features,
@@ -644,6 +805,44 @@ def oracle_sql() -> dict[str, str]:
                                   JOIN edges e ON r.b = e.a)
             SELECT a AS doc_id, least(a, min(b)) AS component_id
             FROM reach GROUP BY a
+        """,
+        "cdxj_project_exact": f"""
+            WITH {_SYNTH_FRAG_CTE}
+            SELECT surt, ts,
+                   '{{' || array_to_string(
+                       list_filter([f_ipt, f_puid, f_cs, f_lang, f_s404],
+                                   f -> f IS NOT NULL), ', ') || '}}'
+                       AS "json"
+            FROM frag
+        """,
+        "cdxj_merge_exact": f"""
+            WITH {_SYNTH_FRAG_CTE},
+            enrich AS (SELECT x, url, surt, ts, (x % 7 <> 0) AS m,
+                CASE WHEN x % 7 <> 0 AND x % 2 = 0 THEN '"mime-detected": "text/plain"'
+                     WHEN x % 7 <> 0 AND x % 3 = 0 THEN '"mime-detected": "text/html"'
+                END AS e_mime,
+                CASE WHEN x % 7 <> 0 AND x % 4 <> 0 THEN
+                       '"puid": "fmt/' || (x % 50)::VARCHAR || '"'
+                END AS e_puid,
+                CASE WHEN x % 7 <> 0 AND x % 2 = 0 THEN '"charset": "utf-8"'
+                END AS e_cs,
+                CASE WHEN x % 7 <> 0 AND x % 6 = 0 THEN '"languages": "eng"'
+                     WHEN x % 7 <> 0 AND x % 3 = 0 THEN '"languages": "jpn"'
+                END AS e_lang,
+                CASE WHEN x % 7 <> 0 AND x % 5 = 1 THEN '"soft-404-detected": 0.5'
+                END AS e_s404
+                FROM frag),
+            fr AS (SELECT surt, ts, url, m,
+                          list_filter([e_mime, e_puid, e_cs, e_lang, e_s404],
+                                      f -> f IS NOT NULL) AS fs
+                   FROM enrich)
+            SELECT surt, ts,
+                   '{{"url": "' || url || '", "status": "200"'
+                     || CASE WHEN len(fs) > 0
+                             THEN ', ' || array_to_string(fs, ', ')
+                             ELSE '' END || '}}' AS "json",
+                   m::BIGINT AS matched
+            FROM fr
         """,
         "rel_supplier_part_join": """
             SELECT l.l_suppkey, l.l_partkey,
