@@ -255,10 +255,13 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     Stages: (1) shingle document frequencies (per-batch partial Counter →
     driver merge → ray.put — the df table is vocab-sized); (2) prefix rows
     (shingle, doc) → coarse-partition groupby → within-group candidate
-    pairs, deduped; (3) verify candidates exactly against broadcast per-doc
-    shingle SETS (sets ship once; a candidate verify is one set
-    intersection).  jaccard = i/(|A|+|B|-i) as an exact int-ratio double,
-    bit-equal to the DuckDB oracle.
+    pairs, deduped; (3) exact verification via TWO hash-partitioned joins:
+    the pair list joins per-doc shingle sets on doc_a, then re-partitions on
+    doc_b and joins again — shingle sets are shuffled ONLY for docs that
+    appear in a candidate pair (the driver holds candidate doc_ids, never a
+    shingle set; nothing corpus-sized is materialized or broadcast).
+    jaccard = i/(|A|+|B|-i) as an exact int-ratio double, bit-equal to the
+    DuckDB oracle.
 
     ``max_df`` additionally drops ultra-hot shingles from the index (the
     production knob for adversarial corpora; None = exact, for the oracle —
@@ -287,26 +290,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
             df_counts[s] += n
     df_ref = ray.put(dict(df_counts))
 
-    # stage 2: per-doc shingle sets (broadcast for verification) + sizes
-    sets: dict[int, frozenset] = {}
-    def set_rows(batch: pa.Table) -> pa.Table:
-        out_ids, out_sets = [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            out_ids.append(doc_id)
-            out_sets.append(_shingles(text))
-        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
-                         "sh": pa.array(out_sets, pa.list_(pa.string()))})
-
-    for b in docs.map_batches(set_rows, batch_format="pyarrow",
-                              zero_copy_batch=True).iter_batches(
-                                  batch_format="pyarrow"):
-        for doc_id, sh in zip(b.column("doc_id").to_pylist(),
-                              b.column("sh").to_pylist()):
-            sets[doc_id] = frozenset(sh)
-    sets_ref = ray.put(sets)
-
-    # stage 3: prefix rows only — rarest-df-first order, tie-broken by the
+    # stage 2: prefix rows only — rarest-df-first order, tie-broken by the
     # shingle string (a total order shared by every task)
     import math
 
@@ -335,26 +319,122 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         .groupby("part")
         .map_groups(lambda g: _pairs_within(g, ["s"]), batch_format="pandas"))
 
-    # stage 4: exact verification against the broadcast shingle sets
-    def verify(batch: pa.Table) -> pa.Table:
-        st = ray.get(sets_ref)
+    # stage 3: exact verification — the ONLY driver-held state is the set of
+    # candidate doc_ids (int64, bounded by candidate count); shingle sets are
+    # re-derived shuffle-side and ship only for those docs, through two
+    # hash-partitioned joins (doc_a, then doc_b).
+    candidates = candidates.materialize()  # small: surviving pairs only
+    cand_ids: set[int] = set()
+    for b in candidates.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b.column("doc_a").to_pylist())
+        cand_ids.update(b.column("doc_b").to_pylist())
+    cid_ref = ray.put(np.fromiter(sorted(cand_ids), dtype=np.int64,
+                                  count=len(cand_ids)))
+
+    sh_list_t = pa.list_(pa.string())
+
+    def cand_set_rows(batch: pa.Table) -> pa.Table:
+        """(doc_id, shingles) rows for candidate docs only (np.isin filter)."""
+        cids = ray.get(cid_ref)
+        ids_np = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.isin(ids_np, cids)
+        ids_l, shs = [], []
+        for doc_id, text, k in zip(batch.column("doc_id").to_pylist(),
+                                   batch.column("text").to_pylist(), keep):
+            if k:
+                ids_l.append(doc_id)
+                shs.append(_shingles(text))
+        return pa.table({"doc_id": pa.array(ids_l, pa.int64()),
+                         "sh": pa.array(shs, sh_list_t)})
+
+    set_rows_ds = docs.map_batches(cand_set_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    # union-tagged join rows share one schema: (jpart, doc_a, doc_b, sh, side)
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "jpart": pa.array(a % NUM_SHUFFLE_PARTS, pa.int64()),
+            "doc_a": batch.column("doc_a"),
+            "doc_b": batch.column("doc_b"),
+            "sh": pa.nulls(n, sh_list_t),
+            "side": pa.array(["p"] * n, pa.string()),
+        })
+
+    def tag_sets(key_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "jpart": pa.array(ids % NUM_SHUFFLE_PARTS, pa.int64()),
+                "doc_a": batch.column("doc_id") if key_col == "doc_a"
+                         else pa.nulls(n, pa.int64()),
+                "doc_b": batch.column("doc_id") if key_col == "doc_b"
+                         else pa.nulls(n, pa.int64()),
+                "sh": batch.column("sh"),
+                "side": pa.array(["s"] * n, pa.string()),
+            })
+        return f
+
+    def join_on_a(g: pa.Table) -> pa.Table:
+        """Attach sh_a to each pair; re-key on doc_b's partition."""
+        sides = g.column("side").to_pylist()
+        aa = g.column("doc_a").to_pylist()
+        bb = g.column("doc_b").to_pylist()
+        shs = g.column("sh").to_pylist()
+        built = {a: s for a, s, sd in zip(aa, shs, sides) if sd == "s"}
+        out_a, out_b, out_sh = [], [], []
+        for a, b, sd in zip(aa, bb, sides):
+            if sd == "p":
+                out_a.append(a)
+                out_b.append(b)
+                out_sh.append(built[a])
+        return pa.table({
+            "jpart": pa.array([b % NUM_SHUFFLE_PARTS for b in out_b], pa.int64()),
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "sh": pa.array(out_sh, sh_list_t),
+            "side": pa.array(["p"] * len(out_a), pa.string()),
+        })
+
+    def join_on_b(g: pa.Table) -> pa.Table:
+        """Intersect sh_a (riding with the pair) against sh_b (set rows)."""
+        sides = g.column("side").to_pylist()
+        aa = g.column("doc_a").to_pylist()
+        bb = g.column("doc_b").to_pylist()
+        shs = g.column("sh").to_pylist()
+        built = {b: frozenset(s) for b, s, sd in zip(bb, shs, sides) if sd == "s"}
         out_a, out_b, out_j = [], [], []
-        for x, y in zip(a, b):
-            A, B = st[x], st[y]
+        for a, b, s, sd in zip(aa, bb, shs, sides):
+            if sd != "p":
+                continue
+            A, B = frozenset(s), built[b]
             i = len(A & B)
             jac = i / (len(A) + len(B) - i)
             if jac >= threshold:
-                out_a.append(x)
-                out_b.append(y)
+                out_a.append(a)
+                out_b.append(b)
                 out_j.append(jac)
         return pa.table({"doc_a": pa.array(out_a, pa.int64()),
                          "doc_b": pa.array(out_b, pa.int64()),
                          "jaccard": pa.array(out_j, pa.float64())})
 
-    return candidates.map_batches(verify, batch_format="pyarrow",
-                                  zero_copy_batch=True)
+    half = (
+        set_rows_ds.map_batches(tag_sets("doc_a"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+        .union(candidates.map_batches(tag_pairs, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+        .groupby("jpart")
+        .map_groups(join_on_a, batch_format="pyarrow")
+    )
+    return (
+        set_rows_ds.map_batches(tag_sets("doc_b"), batch_format="pyarrow",
+                                zero_copy_batch=True)
+        .union(half)
+        .groupby("jpart")
+        .map_groups(join_on_b, batch_format="pyarrow")
+    )
 
 
 # ------------------------------------------------- embedding-cosine near-dup
@@ -521,12 +601,31 @@ def minhash_jaccard_estimates(sf_dir: str) -> "rd.Dataset":
     (join the signature table onto the pair list, count matching columns)
     hashes bit-equal.
 
-    Plan: signatures broadcast once via ray.put (NUM_PERMS md5 strings per
-    doc; at broadcast-breaking scale this becomes a double hash-join of the
-    pair list against the signature table on doc_a then doc_b — same
-    semantics); the pair list streams through one vectorized map."""
+    Plan: the pair list is materialized first (small — surviving candidates
+    only), its distinct doc_ids broadcast (int64s, bounded by candidate
+    count), and ONLY those docs' signatures are collected into the probe
+    dict — the corpus-wide signature table never lands on the driver.  At a
+    scale where even the candidate docs' signatures outgrow a broadcast,
+    the same double hash-join plan as ngram_jaccard_pairs applies (join on
+    doc_a, re-partition, join on doc_b)."""
+    pairs = minhash_lsh_pairs(sf_dir).materialize()
+    cand_ids: set[int] = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        cand_ids.update(b.column("doc_a").to_pylist())
+        cand_ids.update(b.column("doc_b").to_pylist())
+    cid_ref = ray.put(np.fromiter(sorted(cand_ids), dtype=np.int64,
+                                  count=len(cand_ids)))
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        cids = ray.get(cid_ref)
+        keep = np.isin(batch.column("doc_id").to_numpy(zero_copy_only=False),
+                       cids)
+        return batch.filter(pa.array(keep))
+
     sigs: dict[int, list[str]] = {}
-    for b in minhash_signatures(sf_dir).iter_batches(batch_format="pyarrow"):
+    for b in minhash_signatures(sf_dir).map_batches(
+            sig_rows, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
         cols = [b.column(f"mh{p}").to_pylist() for p in range(NUM_PERMS)]
         for i, doc_id in enumerate(b.column("doc_id").to_pylist()):
             sigs[doc_id] = [cols[p][i] for p in range(NUM_PERMS)]
@@ -544,5 +643,5 @@ def minhash_jaccard_estimates(sf_dir: str) -> "rd.Dataset":
             "n_agree": pa.array(agree, pa.int64()),
         })
 
-    return minhash_lsh_pairs(sf_dir).map_batches(
+    return pairs.map_batches(
         estimate, batch_format="pyarrow", zero_copy_batch=True)
