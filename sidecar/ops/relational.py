@@ -345,8 +345,8 @@ def except_customers(sf_dir: str, min_bal: float = 5000.0,
 
     side = pq_.read_table(f"{sf_dir}/customer.parquet",
                           columns=["c_custkey", "c_mktsegment"])
-    seg = set(side.filter(pc.equal(side.column("c_mktsegment"), segment))
-              .column("c_custkey").to_pylist())
+    seg = np.unique(side.filter(pc.equal(side.column("c_mktsegment"), segment))
+                    .column("c_custkey").to_numpy(zero_copy_only=False))
     seg_ref = ray.put(seg)
 
     def anti(batch: pa.Table) -> pa.Table:
@@ -354,7 +354,7 @@ def except_customers(sf_dir: str, min_bal: float = 5000.0,
         keep_bal = pc.greater(batch.column("c_acctbal"), min_bal)
         sub = batch.filter(keep_bal)
         vals = sub.column("c_custkey").to_numpy(zero_copy_only=False)
-        keep = np.array([v not in s for v in vals], dtype=bool)
+        keep = ~np.isin(vals, s)
         return pa.table({"c_custkey": pa.array(vals[keep], pa.int64())})
 
     return rd.read_parquet(f"{sf_dir}/customer.parquet",
@@ -565,26 +565,29 @@ def nation_acctbal_quantiles(sf_dir: str) -> "rd.Dataset":
 
 def semi_join_big_orders(sf_dir: str, min_qty: float = 47.0) -> "rd.Dataset":
     """Semi-join (EXISTS): orders having at least one lineitem with
-    l_quantity >= min_qty.  The existence side reduces to a distinct-key set
-    (per-batch partial distinct, then a driver-side union — at most
-    |matching orders| keys, no row data), broadcast once via ray.put; the
-    probe side streams through a vectorized membership filter.  The same
+    l_quantity >= min_qty.  The existence side reduces to a distinct-key
+    ARRAY (per-batch partial distinct, then one driver-side np.unique over
+    the concatenated partials — at most |matching orders| int64s, no row
+    data, no per-row Python), broadcast once via ray.put; the probe side
+    streams through a vectorized np.isin filter.  The same
     broadcast-semi-join plan as the seen-set anti-join (SURVEY.md J3), with
-    polarity flipped."""
+    polarity flipped; at a scale where even the key array outgrows a
+    broadcast, co-partition both sides on the key like
+    orders_lineitem_join."""
 
     def distinct_keys(batch: pa.Table) -> pa.Table:
         m = pc.greater_equal(batch.column("l_quantity"), min_qty)
         keys = batch.filter(m).column("l_orderkey").to_numpy(zero_copy_only=False)
         return pa.table({"k": pa.array(np.unique(keys), pa.int64())})
 
-    keys: set[int] = set()
-    for b in (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                              columns=["l_orderkey", "l_quantity"])
-              .map_batches(distinct_keys, batch_format="pyarrow",
-                           zero_copy_batch=True)
-              .iter_batches(batch_format="pyarrow")):
-        keys.update(b.column("k").to_pylist())
-    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+    chunks = [b.column("k").to_numpy(zero_copy_only=False)
+              for b in (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                        columns=["l_orderkey", "l_quantity"])
+                        .map_batches(distinct_keys, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+                        .iter_batches(batch_format="pyarrow"))]
+    keys_ref = ray.put(np.unique(np.concatenate(chunks)) if chunks
+                       else np.array([], dtype=np.int64))
 
     def semi(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
@@ -621,26 +624,34 @@ def small_qty_lineitems(sf_dir: str) -> "rd.Dataset":
             p_n=("l_quantity", "size"), p_s=("l_quantity", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    stats: dict[int, tuple[float, float]] = {}
+    # the per-part aggregate stays distributed; the driver only concatenates
+    # its (key, n, sum) Arrow columns into sorted numpy arrays — no per-row
+    # Python dict building — and broadcasts the object ref once
+    kc, nc, sc = [], [], []
     for b in (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                               columns=["l_partkey", "l_quantity"])
               .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
               .groupby("l_partkey")
               .aggregate(Sum("p_n", alias_name="n"), Sum("p_s", alias_name="s"))
               .iter_batches(batch_format="pyarrow")):
-        for k, n, s in zip(b.column("l_partkey").to_pylist(),
-                           b.column("n").to_pylist(), b.column("s").to_pylist()):
-            stats[k] = (float(n), float(s))
-    stats_ref = ray.put(stats)
+        kc.append(b.column("l_partkey").to_numpy(zero_copy_only=False))
+        nc.append(b.column("n").to_numpy(zero_copy_only=False))
+        sc.append(b.column("s").to_numpy(zero_copy_only=False))
+    k_all = np.concatenate(kc)
+    order = np.argsort(k_all)
+    stats_ref = ray.put((k_all[order],
+                         np.concatenate(nc)[order].astype(np.float64),
+                         np.concatenate(sc)[order].astype(np.float64)))
 
     def small(batch: pa.Table) -> pa.Table:
-        st = ray.get(stats_ref)
+        k_sorted, n_arr, s_arr = ray.get(stats_ref)
         pk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
         ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
         ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False)
         qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
-        n = np.array([st[k][0] for k in pk])
-        s = np.array([st[k][1] for k in pk])
+        idx = np.searchsorted(k_sorted, pk)  # every partkey is present
+        n = n_arr[idx]
+        s = s_arr[idx]
         keep = qty * 5.0 * n < s
         return pa.table({
             "l_orderkey": pa.array(ok[keep], pa.int64()),
@@ -729,21 +740,31 @@ def customers_order_counts_left(sf_dir: str) -> "rd.Dataset":
         return pa.table({"o_custkey": pa.array(u, pa.int64()),
                          "p_n": pa.array(c.astype(np.int64), pa.int64())})
 
-    counts: dict[int, int] = {}
+    kc, nc = [], []
     for b in (rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
               .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
               .groupby("o_custkey").aggregate(Sum("p_n", alias_name="n"))
               .iter_batches(batch_format="pyarrow")):
-        counts.update(zip(b.column("o_custkey").to_pylist(),
-                          b.column("n").to_pylist()))
-    counts_ref = ray.put(counts)
+        kc.append(b.column("o_custkey").to_numpy(zero_copy_only=False))
+        nc.append(b.column("n").to_numpy(zero_copy_only=False))
+    k_all = np.concatenate(kc) if kc else np.array([], dtype=np.int64)
+    order = np.argsort(k_all)
+    counts_ref = ray.put((k_all[order],
+                          (np.concatenate(nc)[order] if kc
+                           else np.array([], dtype=np.int64)).astype(np.int64)))
 
     def left_join(batch: pa.Table) -> pa.Table:
-        cnt = ray.get(counts_ref)
+        k_sorted, n_arr = ray.get(counts_ref)
         keys = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k_sorted, keys)
+        idx_c = np.minimum(idx, max(len(k_sorted) - 1, 0))
+        hit = (idx < len(k_sorted)) & (k_sorted[idx_c] == keys) \
+            if len(k_sorted) else np.zeros(len(keys), dtype=bool)
         return pa.table({
             "c_custkey": pa.array(keys, pa.int64()),
-            "n_orders": pa.array([cnt.get(k, 0) for k in keys], pa.int64()),
+            "n_orders": pa.array(np.where(hit, n_arr[idx_c] if len(k_sorted)
+                                          else 0, 0).astype(np.int64),
+                                 pa.int64()),
         })
 
     return rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]) \
@@ -780,21 +801,41 @@ HLL_P = 8                      # 2^8 = 256 registers
 HLL_M = 1 << HLL_P
 
 
-def _hll_registers(keys: np.ndarray) -> np.ndarray:
-    """Register maxima for a batch of int64 keys (md5-based 64-bit hash —
-    deterministic across processes, like every hash in this repo)."""
-    import hashlib as _hl
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a public-domain 64-bit mixer with
+    full avalanche; deterministic across processes (unlike builtin hash)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
 
+
+def _bitlen64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (binary-search shifts — exact,
+    no float log)."""
+    x = x.copy()
+    r = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(s))
+        r[big] += s
+        x = np.where(big, x >> np.uint64(s), x)
+    return r + (x > 0)
+
+
+def _hll_registers(keys: np.ndarray) -> np.ndarray:
+    """Register maxima for a batch of int64 keys — fully vectorized
+    (splitmix64 hash, shift-based register index, binary-search bit length,
+    np.maximum.at merge); no per-key Python."""
     regs = np.zeros(HLL_M, dtype=np.int8)
-    md5 = _hl.md5
-    for k in keys.tolist():
-        h = int.from_bytes(md5(str(k).encode()).digest()[:8], "big")
-        j = h >> (64 - HLL_P)
-        rest = (h << HLL_P) & ((1 << 64) - 1)
-        # rank = leading zeros of the remaining 56-bit suffix + 1
-        rank = (64 - rest.bit_length()) + 1 if rest else (64 - HLL_P) + 1
-        if rank > regs[j]:
-            regs[j] = rank
+    if len(keys) == 0:
+        return regs
+    h = _splitmix64(keys.astype(np.uint64))
+    j = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = h << np.uint64(HLL_P)  # uint64 shift drops the top HLL_P bits
+    # rank = leading zeros of the 64-bit suffix + 1; all-zero suffix caps
+    # at (64 - HLL_P) + 1 as in the scalar definition
+    rank = np.where(rest > 0, (64 - _bitlen64(rest)) + 1, (64 - HLL_P) + 1)
+    np.maximum.at(regs, j, rank.astype(np.int8))
     return regs
 
 
