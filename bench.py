@@ -167,9 +167,9 @@ def run_scaling_crawl() -> dict:
         "from sidecar.crawl import CrawlConfig, run_crawl\n"
         "t0 = time.perf_counter()\n"
         "res = run_crawl(CrawlConfig(n_seeds=30000, n_hosts=300, budget_per_host=250,"
-        " max_epochs=2, out_dir=tempfile.mkdtemp(dir='/tmp')), collect_order=False)\n"
+        " max_epochs=2, out_dir=tempfile.mkdtemp(dir='/tmp')), collect_order=False, collect_seen=False)\n"
         "dt = time.perf_counter() - t0\n"
-        "print(json.dumps({'sec': round(dt, 1), 'urls': len(res['seen'])}))\n"
+        "print(json.dumps({'sec': round(dt, 1), 'urls': res['seen_count']}))\n"
         "ray.shutdown()\n"
     )
     results = {}

@@ -72,6 +72,21 @@ class SeenShard:
         self.delta = []
         return out
 
+    def write_delta(self, path: str) -> int:
+        """Write this shard's delta log to ``path`` SHARD-SIDE (atomic tmp +
+        rename) and clear it; returns the key count.  The driver handles
+        only paths and counts — at the 10^10-URL target a driver-side
+        concat of all shards' deltas is an OOM (VERDICT r1 #3)."""
+        import os
+
+        out = np.array(sorted(self.delta), dtype=np.uint64)
+        self.delta = []
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            np.save(f, out)
+        os.replace(tmp, path)
+        return len(out)
+
     def restore(self, keys: np.ndarray) -> int:
         return self.add_many(keys)
 

@@ -144,6 +144,21 @@ def _epoch_dir(cfg: CrawlConfig, epoch: int) -> str:
     return os.path.join(cfg.out_dir, "_ckpt", f"epoch={epoch}")
 
 
+@ray.remote(num_cpus=0)
+def _restore_delta_file(path: str, shards: list, num_shards: int) -> int:
+    """Scatter one epoch-delta shard file back into the live seen shards —
+    runs as a task so the driver never concatenates delta arrays (the file
+    was written under a possibly different shard count, so keys re-route by
+    the current ``url_hash % num_shards``)."""
+    delta = np.load(path)
+    if len(delta) == 0:
+        return 0
+    so = delta % np.uint64(num_shards)
+    ray.get([shards[s].restore.remote(delta[so == s])
+             for s in range(num_shards) if (so == s).any()])
+    return len(delta)
+
+
 def _find_resume_epoch(cfg: CrawlConfig) -> int:
     """Last epoch with a complete manifest, or -1."""
     e = -1
@@ -152,8 +167,16 @@ def _find_resume_epoch(cfg: CrawlConfig) -> int:
     return e
 
 
-def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = True) -> dict:
-    """Run the crawl; returns {crawl_order, seen, metrics, epochs_run}."""
+def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
+              collect_order: bool = True, collect_seen: bool = True) -> dict:
+    """Run the crawl; returns {crawl_order, seen, seen_count, metrics,
+    epochs_run}.
+
+    ``collect_order`` / ``collect_seen`` are TEST-ONLY conveniences that
+    materialize the global crawl order / final seen-set on the driver for
+    bit-for-bit oracle comparison; production runs (``main``, bench) pass
+    False — the seen set lives in the shards and on disk as per-shard
+    epoch-delta files, and the driver reports only ``seen_count``."""
     os.makedirs(cfg.out_dir, exist_ok=True)
     shards = make_seen_shards(cfg.num_seen_shards)
     policies = make_host_policies(
@@ -171,18 +194,24 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
     if resume:
         last = _find_resume_epoch(cfg)
         if last >= 0:
+            restore_futs = []
             for e in range(last + 1):
                 man = json.load(open(os.path.join(_epoch_dir(cfg, e), "manifest.json")))
                 assert man["lineage_id"] == cfg.lineage_id(), "config/lineage mismatch"
-                delta = np.load(os.path.join(_epoch_dir(cfg, e), "seen_delta.npy"))
-                if len(delta):
-                    shard_of = delta % np.uint64(cfg.num_seen_shards)
-                    ray.get([
-                        shards[s].restore.remote(delta[shard_of == s])
-                        for s in range(cfg.num_seen_shards)
-                    ])
+                ddir = os.path.join(_epoch_dir(cfg, e), "seen_delta")
+                legacy = os.path.join(_epoch_dir(cfg, e), "seen_delta.npy")
+                if os.path.isdir(ddir):  # per-shard delta files: one scatter
+                    # task per file — the driver touches paths only
+                    restore_futs.extend(
+                        _restore_delta_file.remote(
+                            os.path.join(ddir, fn), shards, cfg.num_seen_shards)
+                        for fn in sorted(os.listdir(ddir)))
+                elif os.path.exists(legacy):  # pre-r2 single-file layout
+                    restore_futs.append(_restore_delta_file.remote(
+                        legacy, shards, cfg.num_seen_shards))
                 crawl_order.append(man["crawl_order"])
                 metrics.append(man["metrics"])
+            ray.get(restore_futs)
             start_epoch = last + 1
             fdir = os.path.join(_epoch_dir(cfg, last), "next_frontier")
             fpath = fdir + ".parquet"   # legacy single-file layout
@@ -417,10 +446,14 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
         _lap("leftover_count")
         m["links"] = nf_rows - m["leftover"]
 
-        # seen-set delta + manifest (lineage: config → epoch → partitions)
-        deltas = ray.get([s.drain_delta.remote() for s in shards])
-        delta = np.sort(np.concatenate([d for d in deltas])) if deltas else np.array([], np.uint64)
-        np.save(os.path.join(edir, "seen_delta.npy"), delta)
+        # seen-set delta: each shard writes ITS OWN file (the driver sees
+        # counts + paths only — never the concatenated key arrays)
+        delta_dir = os.path.join(edir, "seen_delta")
+        os.makedirs(delta_dir, exist_ok=True)
+        delta_counts = ray.get([
+            s.write_delta.remote(os.path.join(delta_dir, f"shard={i}.npy"))
+            for i, s in enumerate(shards)])
+        m["seen_delta_rows"] = int(sum(delta_counts))
         pol_metrics = ray.get([p.metrics.remote() for p in policies])
         m["robots_denied_total"] = sum(p["denied_robots"] for p in pol_metrics)
         _write_ckpt(
@@ -439,7 +472,12 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
         frontier_src = nf_dir if nf_rows else None
         frontier_rows = nf_rows
 
-    seen = np.sort(np.concatenate(ray.get([s.snapshot.remote() for s in shards])))
+    seen_count = int(sum(ray.get([s.size.remote() for s in shards])))
+    if collect_seen:  # test-only: full snapshot for bit-for-bit oracles
+        seen = np.sort(np.concatenate(
+            ray.get([s.snapshot.remote() for s in shards])))
+    else:
+        seen = np.array([], dtype=np.uint64)
     # release the state actors' CPU reservations — leaked actors accumulate
     # across runs in one session and starve later pipelines of slots
     for a in shards + policies:
@@ -447,6 +485,7 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False, collect_order: bool = T
     return {
         "crawl_order": crawl_order,
         "seen": [int(x) for x in seen],
+        "seen_count": seen_count,
         "metrics": metrics,
         "epochs_run": len(metrics),
     }
@@ -503,10 +542,11 @@ def main(argv: list[str] | None = None) -> dict:
     merged = dict(file_cfg)
     merged.update({k: v for k, v in cli.items() if v != defaults[k]})
     cfg = CrawlConfig(**{**cli, **merged})
-    result = run_crawl(cfg, resume=args.resume, collect_order=False)
+    result = run_crawl(cfg, resume=args.resume, collect_order=False,
+                       collect_seen=False)
     summary = {
         "epochs_run": result["epochs_run"],
-        "urls_seen": len(result["seen"]),
+        "urls_seen": result["seen_count"],
         "metrics": result["metrics"],
         "out_dir": cfg.out_dir,
         "lineage_id": cfg.lineage_id(),
