@@ -323,6 +323,110 @@ def cmd_merge(metadata_cdxj: str, warc_cdxj: str, cdxj_dir: str) -> dict:
             "non_edited": len(rows) - edited}
 
 
+def cmd_merge_all(meta_dir: str, warc_cdxj_dir: str, cdxj_dir: str) -> dict:
+    """Batch merge — the third lifecycle step's batch twin (sidecar-all /
+    cdxj-all / merge-all): every ``<name>.cdxj`` original index in
+    ``warc_cdxj_dir`` is enriched with the same-named metadata CDXJ from
+    ``meta_dir`` through ONE distributed pipeline, one ``<name>_merged.cdxj``
+    per pair (merge_cdxj.py:104-138 semantics per pair; parity-plus — the
+    reference is per-file-per-invocation, :141-165).
+
+    Plan: each file reads in its own task (per-file linenos assigned
+    serially inside the task — line order is part of the output contract);
+    a groupby(pair) lands each pair's meta+original rows in one task, which
+    merges (get_sidecar_fields quirks intact) and writes that pair's merged
+    file WORKER-SIDE, returning counters only.  Pairs whose output exists
+    are skipped before any read — the resumability unit is the file pair.
+    The per-pair group assumes one file's index fits one task, the same
+    bound the reference's in-memory dict has."""
+    import glob as _glob
+
+    import pandas as pd
+
+    os.makedirs(cdxj_dir, exist_ok=True)
+    pairs: list[tuple[str, str, str]] = []
+    for f in sorted(_glob.glob(os.path.join(warc_cdxj_dir, "*.cdxj"))):
+        name = os.path.basename(f)
+        if name.endswith("_merged.cdxj"):
+            continue
+        meta = os.path.join(meta_dir, name)
+        if os.path.exists(meta) and os.path.abspath(meta) != os.path.abspath(f):
+            pairs.append((name, meta, f))
+    todo = [p for p in pairs
+            if not os.path.exists(os.path.join(cdxj_dir,
+                                               warc.merged_cdxj_name(p[2])))]
+    if not todo:
+        return {"pairs": len(pairs), "processed": 0, "skipped": len(pairs)}
+
+    items = ([{"pair": n, "path": m, "side": "m"} for n, m, _ in todo]
+             + [{"pair": n, "path": o, "side": "o"} for n, _, o in todo])
+
+    def read_file(row: dict) -> list[dict]:
+        out = []
+        with open(row["path"]) as fh:
+            i = 0
+            for ln in fh:
+                ln = ln.rstrip("\n")
+                if not ln.strip():
+                    continue
+                s, t, j = ln.split(" ", 2)
+                out.append({"pair": row["pair"], "side": row["side"],
+                            "surt": s, "ts": t, "json": j, "lineno": i})
+                i += 1
+        return out
+
+    from sidecar.cdxj import get_sidecar_fields
+
+    def merge_one(g: pd.DataFrame) -> pd.DataFrame:
+        name = g["pair"].iloc[0]
+        metas = g[g["side"] == "m"]
+        origs = g[g["side"] == "o"].sort_values("lineno")
+        build = {s + " " + t: j for s, t, j in
+                 zip(metas["surt"], metas["ts"], metas["json"])}
+        out_path = os.path.join(cdxj_dir, warc.merged_cdxj_name(name))
+        edited = 0
+        with open(out_path, "w") as fh:
+            for s, t, j in zip(origs["surt"], origs["ts"], origs["json"]):
+                mj = build.get(s + " " + t)
+                if mj is not None:
+                    j = json.dumps(get_sidecar_fields(json.loads(j),
+                                                      json.loads(mj)))
+                    edited += 1
+                fh.write(cdxj_line(s, t, j))
+        return pd.DataFrame({"pair": [name], "edited": [edited],
+                             "non_edited": [len(origs) - edited]})
+
+    per_pair = (rd.from_items(items).flat_map(read_file)
+                .groupby("pair").map_groups(merge_one, batch_format="pandas")
+                .to_pandas().sort_values("pair"))
+
+    # a pair whose files are both empty yields no group — write the (empty)
+    # merged output so resume skipping sees the pair as done
+    done = set(per_pair["pair"]) if len(per_pair) else set()
+    import pandas as _pd
+
+    extra = []
+    for name, _, orig in todo:
+        if name not in done:
+            open(os.path.join(cdxj_dir, warc.merged_cdxj_name(orig)),
+                 "w").close()
+            extra.append({"pair": name, "edited": 0, "non_edited": 0})
+    if extra:
+        per_pair = _pd.concat([per_pair, _pd.DataFrame(extra)],
+                              ignore_index=True).sort_values("pair")
+
+    # S9 log-sink parity, one block per pair (merge_cdxj.py:116-122,134-138)
+    with open(os.path.join(cdxj_dir, "cdxj_merge.log"), "a") as lg:
+        for row in per_pair.itertuples(index=False):
+            lg.write(f"INFO Merging {row.pair} into {row.pair}\n")
+            lg.write(f"INFO Edited: {row.edited} "
+                     f"Non-edited: {row.non_edited}\n")
+    return {"pairs": len(pairs), "processed": len(per_pair),
+            "skipped": len(pairs) - len(todo),
+            "edited": int(per_pair["edited"].sum()),
+            "non_edited": int(per_pair["non_edited"].sum())}
+
+
 def main(argv: list[str] | None = None) -> dict:
     import argparse
 
@@ -347,6 +451,10 @@ def main(argv: list[str] | None = None) -> dict:
     pm.add_argument("metadata_cdxj")
     pm.add_argument("warc_cdxj")
     pm.add_argument("cdxj_dir")
+    pma = sub.add_parser("merge-all")
+    pma.add_argument("meta_dir")
+    pma.add_argument("warc_cdxj_dir")
+    pma.add_argument("cdxj_dir")
     args = p.parse_args(argv)
 
     if not ray.is_initialized():
@@ -361,6 +469,8 @@ def main(argv: list[str] | None = None) -> dict:
         res = cmd_cdxj_all(args.archive_dir)
     elif args.cmd == "cdxj":
         res = cmd_cdxj(args.sidecar_file, args.archive_dir)
+    elif args.cmd == "merge-all":
+        res = cmd_merge_all(args.meta_dir, args.warc_cdxj_dir, args.cdxj_dir)
     else:
         res = cmd_merge(args.metadata_cdxj, args.warc_cdxj, args.cdxj_dir)
     print(json.dumps(res))

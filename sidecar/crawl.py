@@ -90,6 +90,9 @@ def make_fetcher(seen_shards: list, num_shards: int, seed: int):
     round-trips overlap the fetch+extract compute; the mutation still
     completes before the batch (and hence the epoch barrier) finishes.
     """
+    from sidecar.detect import protocol as proto
+
+    registry = proto.snapshot()  # driver-time detector registry (§2.9)
 
     def fetch_extract(batch: pa.Table) -> pa.Table:
         hashes = batch.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -116,7 +119,7 @@ def make_fetcher(seen_shards: list, num_shards: int, seed: int):
         images = pa.Table.from_pylist(rows, schema=schema)
         if "part" in batch.column_names:  # fetch-partition id, row-aligned
             images = images.append_column("part", batch.column("part"))
-        out = pipeline.extract_sidecar_batch(images)
+        out = pipeline.extract_sidecar_batch(images, registry=registry)
         ray.get(futures)  # seen-set mutation is part of the fetch transaction
         return out
 

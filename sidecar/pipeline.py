@@ -31,13 +31,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from sidecar import codecs, schemas
+from sidecar import schemas
 from sidecar.canon import iso_to_ts14  # noqa: F401  (re-exported for pipelines)
-from sidecar.detect import mime as mime_mod
-from sidecar.detect.charset import find_character_set_batch
 from sidecar.detect.language import find_language_batch
-from sidecar.detect.phash import phash64
-from sidecar.detect.soft404 import soft404_batch
 
 _TEXT_RE = r"(text|html|xml)"  # reference TEXT_FORMAT_MIMES (:33)
 
@@ -69,8 +65,20 @@ def _lang_dict_to_struct(d: dict | None) -> dict | None:
     }
 
 
-def extract_sidecar_batch(batch: pa.Table) -> pa.Table:
-    """The core per-batch transform (pyarrow in / pyarrow out)."""
+def extract_sidecar_batch(batch: pa.Table, registry=None) -> pa.Table:
+    """The core per-batch transform (pyarrow in / pyarrow out).
+
+    Detectors are resolved THROUGH the §2.9 registry
+    (sidecar/detect/protocol.py): the five built-ins run under their
+    canonical names (replaceable without editing this module), then any
+    user-registered extras append their columns.  ``registry`` is the
+    driver-time snapshot a pipeline ships in its closure (None = this
+    process's registry — correct for direct calls and built-ins-only)."""
+    from sidecar.detect import protocol as proto
+
+    if registry is None:
+        registry = proto.snapshot()
+
     n = batch.num_rows
     payload = batch.column("bytes").combine_chunks()
     caption = batch.column("caption").combine_chunks()
@@ -85,119 +93,75 @@ def extract_sidecar_batch(batch: pa.Table) -> pa.Table:
 
     # F3: empty-payload filter (reference :213-215)
     nonempty = pc.greater(pc.binary_length(payload), 0).to_numpy(zero_copy_only=False)
+    ctx = proto.DetectCtx(payload=payload, caption=caption.fill_null(""),
+                          nonempty=nonempty, status=status)
 
-    # F5: mime + puid
-    mime_fido, mime_magic, puid = mime_mod.sniff_batch(payload)
+    # F5: mime + puid (runs first; populates ctx.mime_*)
+    mime_det = registry["mime"]
+    mime_cols = mime_det.run(ctx, mime_det.applies_to(ctx))
 
     # F6: text gate over the joined mime strings (reference :250,255)
     joined = np.array(
-        [" ".join(x for x in (f, m) if x) for f, m in zip(mime_fido, mime_magic)],
+        [" ".join(x for x in (f, m) if x)
+         for f, m in zip(ctx.mime_fido, ctx.mime_magic)],
         dtype=object,
     )
-    is_text = (
+    ctx.mime_joined = joined
+    ctx.is_text = (
         pc.match_substring_regex(pa.array(joined, type=pa.string()), _TEXT_RE)
         .to_numpy(zero_copy_only=False)
         .astype(bool)
     ) & nonempty
-
-    # F7: charset on payload bytes, text rows only
-    enc, conf = find_character_set_batch(payload, mask=is_text)
-
-    # F8: language — on the decoded payload for text rows (reference :259-260),
-    # and on the caption for image rows (north_star generalization)
-    text_strs = pa.array(
+    ctx.html = np.array(["html" in j for j in joined], dtype=bool)
+    # decoded payload text for text rows (reference :259-260)
+    ctx.text = pa.array(
         [
-            (payload[i].as_py() or b"").decode("utf-8", "replace") if is_text[i] else ""
+            (payload[i].as_py() or b"").decode("utf-8", "replace")
+            if ctx.is_text[i] else ""
             for i in range(n)
         ],
         type=pa.string(),
     )
-    languages = find_language_batch(text_strs, mask=is_text)
-    cap_mask = (
-        ~is_text
-        & nonempty
-        & pc.greater(pc.utf8_length(caption.fill_null("")), 0).to_numpy(zero_copy_only=False)
-    )
-    caption_languages = find_language_batch(caption.fill_null(""), mask=cap_mask)
+    ctx.digests = _digest_batch(payload)
 
-    # F9: soft-404 on html + HTTP 200 (reference :262-265)
-    html_mask = np.array(["html" in j for j in joined], dtype=bool)
-    s404_mask = is_text & html_mask & (status == 200)
-    soft404 = soft404_batch(text_strs, mask=s404_mask)
+    def run(name: str) -> dict:
+        det = registry[name]
+        return det.run(ctx, det.applies_to(ctx))
 
-    # ST8: decode + phash for image rows (within-batch digest memo = A3)
-    w = np.zeros(n, dtype=np.int32)
-    h = np.zeros(n, dtype=np.int32)
-    ph = np.zeros(n, dtype=np.int64)
-    fmt = np.full(n, "", dtype=object)
-    digests = _digest_batch(payload)
-    memo: dict[str, tuple[int, int, int, str]] = {}
-    fmt_by_mime = {
-        "image/png": "png",
-        "image/x-portable-pixmap": "ppm",
-        "application/octet-stream": "b16",
-    }
-    for i in range(n):
-        if not nonempty[i] or is_text[i]:
-            fmt[i] = "html" if html_mask[i] else ("text" if is_text[i] else "")
-            continue
-        d = digests[i]
-        hit = memo.get(d)
-        if hit is not None:
-            w[i], h[i], ph[i], fmt[i] = hit
-            continue
-        f = fmt_by_mime.get(mime_magic[i] or "")
-        if f is None:
-            continue
-        try:
-            pixels = codecs.decode(payload[i].as_py(), f)
-        except Exception:
-            continue
-        hh, ww = pixels.shape[:2]
-        p = np.int64(np.uint64(phash64(pixels))).item()
-        w[i], h[i], ph[i], fmt[i] = ww, hh, p, f
-        memo[d] = (ww, hh, p, f)
+    charset_cols = run("charset")    # F7
+    lang_cols = run("language")      # F8 (+ caption generalization)
+    s404_cols = run("soft404")       # F9
+    image_cols = run("image")        # ST8 (within-batch digest memo = A3)
 
     out = pa.table(
         {
             "image_id": image_id,
             "url": url,
             "ts": ts,
-            "mime_fido": pa.array(mime_fido, type=pa.string()),
-            "mime_magic": pa.array(mime_magic, type=pa.string()),
-            "puid": pa.array(puid, type=pa.string()),
-            "charset": pa.array(
-                [
-                    {"encoding": enc[i], "confidence": None if np.isnan(conf[i]) else conf[i]}
-                    if enc[i] is not None
-                    else None
-                    for i in range(n)
-                ],
-                type=schemas.CHARSET_T,
-            ),
-            "languages": pa.array(
-                [_lang_dict_to_struct(languages[i]) for i in range(n)],
-                type=schemas.LANGUAGES_T,
-            ),
-            "caption_languages": pa.array(
-                [_lang_dict_to_struct(caption_languages[i]) for i in range(n)],
-                type=schemas.LANGUAGES_T,
-            ),
-            "soft404": pa.array(
-                [None if np.isnan(soft404[i]) else soft404[i] for i in range(n)],
-                type=pa.float64(),
-            ),
-            "phash": pa.array(ph, type=pa.int64()),
-            "w": pa.array(w, type=pa.int32()),
-            "h": pa.array(h, type=pa.int32()),
-            "fmt": pa.array(fmt, type=pa.string()),
-            "payload_digest": pa.array(digests, type=pa.string()),
-            "is_text": pa.array(is_text),
+            "mime_fido": mime_cols["mime_fido"],
+            "mime_magic": mime_cols["mime_magic"],
+            "puid": mime_cols["puid"],
+            "charset": charset_cols["charset"],
+            "languages": lang_cols["languages"],
+            "caption_languages": lang_cols["caption_languages"],
+            "soft404": s404_cols["soft404"],
+            "phash": image_cols["phash"],
+            "w": image_cols["w"],
+            "h": image_cols["h"],
+            "fmt": image_cols["fmt"],
+            "payload_digest": pa.array(ctx.digests, type=pa.string()),
+            "is_text": pa.array(ctx.is_text),
             # caption rides along so the per-row caption-equality invariant
             # (input_hint) is checkable on the engine's own output
             "caption": caption,
         }
     )
+    # user-registered extra detectors (§2.9): columns appended as returned
+    for nm, det in registry.items():
+        if nm in proto.BUILTIN_NAMES:
+            continue
+        for cname, col in det.run(ctx, det.applies_to(ctx)).items():
+            out = out.append_column(cname, col)
     # pass-through columns: fetch-partition id, and the source record id
     # (WARC-Concurrent-ID parity — the reference copies the source record's
     # WARC-Record-ID, warc_metadata_sidecar.py:223)
@@ -216,11 +180,18 @@ def sidecar_dataset(images_ds, *, batch_size: int = 1024, concurrency=None):
     batch_size is small because rows carry image payloads (memory-aware,
     SURVEY.md §4.2).
     """
+    from sidecar.detect import protocol as proto
+
+    reg = proto.snapshot()  # ship the DRIVER's registry to the workers
+
+    def extract_with_registry(batch: pa.Table) -> pa.Table:
+        return extract_sidecar_batch(batch, registry=reg)
+
     kwargs = {}
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
     return images_ds.map_batches(
-        extract_sidecar_batch,
+        extract_with_registry,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
@@ -289,7 +260,13 @@ def sidecar_dataset_dedup_digest(images_ds, *, batch_size: int = 1024,
         .groupby("dpart")
         .map_groups(keep_first, batch_format="pandas")
     )
-    meta = uniq.map_batches(extract_sidecar_batch, batch_format="pyarrow",
+    reg = __import__("sidecar.detect.protocol",
+                     fromlist=["protocol"]).snapshot()
+
+    def extract_with_registry(b: pa.Table) -> pa.Table:
+        return extract_sidecar_batch(b, registry=reg)
+
+    meta = uniq.map_batches(extract_with_registry, batch_format="pyarrow",
                             batch_size=batch_size, zero_copy_batch=True)
 
     lookup: dict[str, dict] = {}

@@ -119,3 +119,89 @@ def test_codec_roundtrip(fmt):
         assert np.array_equal(px, back)
     else:
         assert codecs.psnr(px, back) >= 40.0  # input_hint PSNR bound
+
+
+class TestDetectorProtocol:
+    def test_builtins_registered(self):
+        from sidecar.detect import protocol as proto
+
+        for name in proto.BUILTIN_NAMES:
+            assert isinstance(proto.get(name), proto.Detector)
+
+    def test_register_toy_detector_without_editing_pipeline(self):
+        """SURVEY §2.9: a user detector registers through the protocol and
+        its column appears in the extraction output — no pipeline.py edit."""
+        import numpy as np
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from sidecar import pipeline, synth
+        from sidecar.detect import protocol as proto
+
+        class ByteLenDetector:
+            name = "byte_len"
+
+            def applies_to(self, ctx):
+                return ctx.nonempty
+
+            def run(self, ctx, mask):
+                import pyarrow.compute as pc
+
+                ln = pc.binary_length(ctx.payload).to_numpy(
+                    zero_copy_only=False)
+                return {"byte_len": pa.array(
+                    np.where(mask, ln, 0).astype(np.int64), pa.int64())}
+
+        proto.register(ByteLenDetector())
+        try:
+            imgs = pa.Table.from_pylist([
+                {"image_id": "a", "bytes": b"hello world of words here",
+                 "w": 0, "h": 0, "fmt": "", "caption": "", "phash": 0},
+            ], schema=synth.IMAGES_SCHEMA)
+            out = pipeline.sidecar_dataset(rd.from_arrow(imgs)).take_all()
+            assert out[0]["byte_len"] == 25
+        finally:
+            proto.unregister("byte_len")
+        # after unregister the column is gone
+        imgs = pa.Table.from_pylist([
+            {"image_id": "a", "bytes": b"hello", "w": 0, "h": 0,
+             "fmt": "", "caption": "", "phash": 0},
+        ], schema=synth.IMAGES_SCHEMA)
+        out = pipeline.sidecar_dataset(rd.from_arrow(imgs)).take_all()
+        assert "byte_len" not in out[0]
+
+    def test_replace_builtin_detector(self):
+        """Replacing a built-in (here: charset) changes the pipeline's
+        output without editing pipeline.py, and restores cleanly."""
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from sidecar import pipeline, schemas, synth
+        from sidecar.detect import protocol as proto
+
+        class FixedCharset:
+            name = "charset"
+
+            def applies_to(self, ctx):
+                return ctx.is_text
+
+            def run(self, ctx, mask):
+                return {"charset": pa.array(
+                    [{"encoding": "x-custom", "confidence": 1.0}
+                     if m else None for m in mask],
+                    type=schemas.CHARSET_T)}
+
+        original = proto.get("charset")
+        proto.register(FixedCharset())
+        try:
+            imgs = pa.Table.from_pylist([
+                {"image_id": "a",
+                 "bytes": b"plain text content with several words",
+                 "w": 0, "h": 0, "fmt": "", "caption": "", "phash": 0},
+            ], schema=synth.IMAGES_SCHEMA)
+            out = pipeline.sidecar_dataset(rd.from_arrow(imgs)).take_all()
+            assert out[0]["charset"]["encoding"] == "x-custom"
+        finally:
+            proto.register(original)

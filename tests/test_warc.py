@@ -347,3 +347,47 @@ def test_arc_malformed_header_and_space_url():
     assert "http://example.com/c" in urls
     assert "http://example.com/d" in urls         # records after the bad header survive
     assert [r for r in recs if r["rec_type"] == "warcinfo"]
+
+
+def test_merge_all_batch(tmp_path):
+    """merge-all: one merged cdxj per (meta, original) pair through one
+    pipeline; original line order preserved; quirks applied; log parity;
+    resumable; empty pairs still produce output."""
+    import json
+
+    from sidecar import cli
+
+    meta_dir = tmp_path / "meta"
+    warc_dir = tmp_path / "warc"
+    out_dir = tmp_path / "merged"
+    meta_dir.mkdir()
+    warc_dir.mkdir()
+
+    for k in range(2):
+        with open(meta_dir / f"f{k}.cdxj", "w") as f:
+            f.write(f'com,h{k})/a 20210101000000 '
+                    '{"Identified-Payload-Type": {"fido": "text/html", '
+                    '"python-magic": "text/plain"}, "Soft-404-Detected": 0.0}\n')
+        with open(warc_dir / f"f{k}.cdxj", "w") as f:
+            f.write(f'com,h{k})/a 20210101000000 {{"url": "http://h{k}.com/a"}}\n')
+            f.write(f'com,h{k})/b 20210101000000 {{"url": "http://h{k}.com/b"}}\n')
+    # an empty pair must still produce (empty) output for resume skipping
+    open(meta_dir / "empty.cdxj", "w").close()
+    open(warc_dir / "empty.cdxj", "w").close()
+
+    r = cli.cmd_merge_all(str(meta_dir), str(warc_dir), str(out_dir))
+    assert r["processed"] == 3 and r["edited"] == 2 and r["non_edited"] == 2
+    for k in range(2):
+        lines = open(out_dir / f"f{k}_merged.cdxj").read().splitlines()
+        assert len(lines) == 2
+        obj0 = json.loads(lines[0].split(" ", 2)[2])
+        assert obj0["mime-detected"] == "text/plain"   # magic preferred
+        assert "soft-404-detected" not in obj0         # 0.0 dropped quirk
+        assert lines[1].endswith(f'{{"url": "http://h{k}.com/b"}}')  # order
+    assert open(out_dir / "empty_merged.cdxj").read() == ""
+    log = open(out_dir / "cdxj_merge.log").read()
+    assert "INFO Merging f0.cdxj into f0.cdxj" in log
+    assert "INFO Edited: 1 Non-edited: 1" in log
+
+    r2 = cli.cmd_merge_all(str(meta_dir), str(warc_dir), str(out_dir))
+    assert r2["processed"] == 0 and r2["skipped"] == 3
