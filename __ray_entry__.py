@@ -266,26 +266,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         import pyarrow as pa
 
-        from sidecar.cdxj import merge_cdxj, parse_cdxj_lines
+        from sidecar.cdxj import merge_cdxj
         from sidecar.canon import surt
 
         meta = cdxj_project(sf_dir)
 
-        def original_lines(batch: pa.Table) -> pa.Table:
-            lines = []
-            for i, (doc_id, _) in enumerate(zip(batch.column("doc_id").to_pylist(),
-                                                batch.column("text").to_pylist())):
-                s = surt(f"https://example.com/doc/{doc_id}")
-                obj = _json.dumps({"url": f"https://example.com/doc/{doc_id}",
-                                   "status": "200"})
-                lines.append(f"{s} 20210101000000 {obj}")
-            return pa.table({"line": pa.array(lines, pa.string())})
+        def original_rows(batch: pa.Table) -> pa.Table:
+            # CDXJ columns built directly (no line-serialize + re-parse
+            # round trip); doc_id is the only column read
+            ids = batch.column("doc_id").to_pylist()
+            urls = [f"https://example.com/doc/{x}" for x in ids]
+            return pa.table({
+                "surt": pa.array([surt(u) for u in urls], pa.string()),
+                "ts": pa.array(["20210101000000"] * len(ids), pa.string()),
+                "json": pa.array(
+                    [_json.dumps({"url": u, "status": "200"}) for u in urls],
+                    pa.string()),
+            })
 
         import ray.data as rd
 
-        original = parse_cdxj_lines(
-            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-            .map_batches(original_lines, batch_format="pyarrow", zero_copy_batch=True))
+        original = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+            original_rows, batch_format="pyarrow", zero_copy_batch=True)
         return merge_cdxj(meta, original)
 
     def cdxj_project_exact(sf_dir: str):

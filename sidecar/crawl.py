@@ -269,10 +269,18 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
 
         import pyarrow.compute as pc
 
+        P = cfg.num_fetch_partitions
+
+        def split_sel(t: pa.Table) -> pa.Table:
+            """selected rows + their fetch partition (part = url_hash % P) in
+            ONE pass, so `selected` materializes exactly once per epoch."""
+            t = t.filter(pc.equal(t["selected"], True)).drop_columns(["selected"])
+            h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return t.append_column(
+                "part", pa.array((h % np.uint64(P)).astype(np.int64)))
+
         selected = flagged.map_batches(
-            lambda t: t.filter(pc.equal(t["selected"], True)).drop_columns(["selected"]),
-            batch_format="pyarrow",
-        ).materialize()
+            split_sel, batch_format="pyarrow").materialize()
         _lap("split_selected")
         leftover = flagged.map_batches(
             lambda t: t.filter(pc.equal(t["selected"], False)).drop_columns(["selected"]),
@@ -302,23 +310,15 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
         _lap("politeness")
 
         # ---- sub-epoch fetch partitions (north_rule per-partition ckpt) ---
-        # part = url_hash % P partitions the fetch deterministically; each
-        # completed part gets a manifest (lineage: config → epoch → part),
-        # so a crashed epoch resumes fetching ONLY the unfinished parts
-        # (determinism makes re-selection identical; re-marking seen is
-        # idempotent).
-        P = cfg.num_fetch_partitions
+        # part = url_hash % P (computed in split_sel) partitions the fetch
+        # deterministically; each completed part gets a manifest (lineage:
+        # config → epoch → part), so a crashed epoch resumes fetching ONLY
+        # the unfinished parts (determinism makes re-selection identical;
+        # re-marking seen is idempotent).
         edir = _epoch_dir(cfg, epoch)
         parts_dir = os.path.join(edir, "parts")
         sidecar_path = os.path.join(cfg.out_dir, "sidecar", f"epoch={epoch}")
 
-        def add_part(t: pa.Table) -> pa.Table:
-            h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-            return t.append_column(
-                "part", pa.array((h % np.uint64(P)).astype(np.int64)))
-
-        selected = selected.map_batches(add_part, batch_format="pyarrow",
-                                        zero_copy_batch=True).materialize()
         done_parts: set[int] = set()
         if os.path.isdir(parts_dir):
             done_parts = {int(fn.split("=")[1].split(".")[0])
@@ -445,8 +445,9 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
         next_frontier.write_parquet(nf_dir)
         nf_rows = _parquet_rows(nf_dir)
         _lap("next_frontier")
-        m["leftover"] = leftover.count()
-        _lap("leftover_count")
+        # leftover count by arithmetic — NOT leftover.count(), which would
+        # re-execute the filter pipeline just for a metric (VERDICT r1 #4)
+        m["leftover"] = m["after_budget_pool"] - m["selected"]
         m["links"] = nf_rows - m["leftover"]
 
         # seen-set delta: each shard writes ITS OWN file (the driver sees

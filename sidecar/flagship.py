@@ -32,8 +32,11 @@ def _docs_to_images(batch: pa.Table) -> pa.Table:
 
 
 def images_dataset(sf_dir: str, *, batch_size: int = 256):
-    """documents.parquet → IMAGES-shaped Dataset (column-pruned read)."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    """documents.parquet → IMAGES-shaped Dataset (column-pruned read;
+    schema metadata stripped so downstream rebatching hashes schemas)."""
+    from sidecar.storage import read_parquet_clean
+
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(
         _docs_to_images, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )

@@ -145,7 +145,11 @@ def _dedup_pairs(pairs_ds: "rd.Dataset", a: str = "doc_a", b: str = "doc_b",
         else:
             part = np.array([crc32(f"{x}|{y}".encode()) % NUM_SHUFFLE_PARTS
                              for x, y in zip(aa, bb)], dtype=np.int64)
-        return batch.append_column("part", pa.array(part, pa.int64()))
+        # upstream groups arrive as pandas blocks whose arrow conversion
+        # carries unhashable b'pandas' schema metadata — strip it so the
+        # downstream shuffle's schema dedup works (storage.strip_schema_metadata)
+        return batch.replace_schema_metadata(None).append_column(
+            "part", pa.array(part, pa.int64()))
 
     def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates([a, b])[keep_cols]

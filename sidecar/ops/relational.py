@@ -56,7 +56,7 @@ def pricing_summary(sf_dir: str) -> "rd.Dataset":
             p_disc=("disc_price", "sum"),
             p_cnt=("l_quantity", "size"),
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -160,7 +160,7 @@ def events_windowed(sf_dir: str, window_s: int = 3600) -> "rd.Dataset":
         df["win"] = (us // (window_s * 1_000_000)) * window_s  # epoch-s window start
         g = df.groupby(["event_type", "win"], as_index=False).agg(
             p_n=("value", "size"), p_sum=("value", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -231,7 +231,7 @@ def supplier_part_join(sf_dir: str) -> "rd.Dataset":
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         g = df.groupby(["l_suppkey", "l_partkey"], as_index=False)["l_quantity"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def enrich(batch: pa.Table) -> pa.Table:
         s2n_, p2b_ = ray.get(side)
@@ -446,7 +446,7 @@ def events_sliding(sf_dir: str, window_s: int = 3600, slide_s: int = 1800) -> "r
         allf = pd.concat(frames)
         g = allf.groupby(["event_type", "win_start"], as_index=False).size()
         g = g.rename(columns={"size": "p_n"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return (
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
@@ -506,7 +506,7 @@ def group_topk_orders(sf_dir: str, k: int = 3) -> "rd.Dataset":
               .groupby("o_custkey", sort=False).head(k))
         return pa.Table.from_pandas(
             df[["o_custkey", "o_orderkey", "o_totalprice_cents"]],
-            preserve_index=False)
+            preserve_index=False).replace_schema_metadata(None)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_totalprice_cents", "o_orderkey"],
@@ -622,7 +622,7 @@ def small_qty_lineitems(sf_dir: str) -> "rd.Dataset":
         df = batch.to_pandas()
         g = df.groupby("l_partkey", as_index=False).agg(
             p_n=("l_quantity", "size"), p_s=("l_quantity", "sum"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     # the per-part aggregate stays distributed; the driver only concatenates
     # its (key, n, sum) Arrow columns into sorted numpy arrays — no per-row
@@ -943,7 +943,7 @@ def pricing_rollup(sf_dir: str) -> "pd.DataFrame":
         df = batch.to_pandas()
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             p_qty=("l_quantity", "sum"), p_cnt=("l_quantity", "size"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     finest = (
         rd.read_parquet(f"{sf_dir}/lineitem.parquet",

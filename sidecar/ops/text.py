@@ -20,7 +20,9 @@ from sidecar.detect.language import find_language_batch
 
 
 def read_documents(sf_dir: str, columns=("doc_id", "text")):
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    from sidecar.storage import read_parquet_clean
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 def token_count(sf_dir: str) -> "rd.Dataset":
@@ -226,7 +228,7 @@ def bigram_topk(sf_dir: str, k: int = 100) -> "pd.DataFrame":
         import pandas as pd
 
         df = batch.to_pandas().sort_values(["n", "s"], ascending=[False, True]).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     merged = (
         read_documents(sf_dir)

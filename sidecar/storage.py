@@ -26,6 +26,23 @@ except ImportError:
 FORMAT = "lance" if HAVE_LANCE else "parquet"
 
 
+def strip_schema_metadata(batch: pa.Table) -> pa.Table:
+    """Drop schema-level metadata (zero-copy).  Parquet files written by
+    pandas/pyarrow carry a ``b'pandas'`` metadata blob that makes the Arrow
+    schema UNHASHABLE (pyarrow hashes metadata as a dict) — every downstream
+    rebatch/unify then logs 'Failed to hash the schemas (for deduplication)'
+    per batch and skips Ray's early-exit schema dedup.  Chain this right
+    after a read (it fuses with the read tasks)."""
+    return batch.replace_schema_metadata(None)
+
+
+def read_parquet_clean(path: str, columns: list[str] | None = None,
+                       **kwargs) -> "rd.Dataset":
+    """``read_parquet`` with schema metadata stripped at the read boundary."""
+    return rd.read_parquet(path, columns=columns, **kwargs).map_batches(
+        strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def read_images(path: str, columns: list[str] | None = None,
                 override_num_blocks: int | None = None) -> "rd.Dataset":
     """Read an IMAGES-shaped table (input_hint schema) as a Dataset with
