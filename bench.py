@@ -116,18 +116,21 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None,
     cpus_hi = cpus_hi or int(os.environ.get("GRAFT_SCALE_HI", str(cpus_lo * 4)))
     trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "3"))
     results: dict[int, dict] = {}
-    for n in (cpus_lo, cpus_hi):
-        best = None
-        for _ in range(trials):
+    # trials INTERLEAVED across the two levels (lo,hi,lo,hi,...): the shared
+    # sandbox's background load drifts on minute scales, and running all lo
+    # trials then all hi trials would let that drift bias the RATIO; adjacent
+    # pairs see the same machine
+    for _ in range(trials):
+        for n in (cpus_lo, cpus_hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env, capture_output=True, text=True, timeout=3600,
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            best = results.get(n)
             if best is None or r["headline_urls_per_sec"] > best["headline_urls_per_sec"]:
-                best = r
-        results[n] = best
+                results[n] = r
     thr_lo = results[cpus_lo]["headline_urls_per_sec"]
     thr_hi = results[cpus_hi]["headline_urls_per_sec"]
     eff = (thr_hi / thr_lo) / (cpus_hi / cpus_lo)
@@ -172,17 +175,19 @@ def run_scaling_crawl() -> dict:
         "print(json.dumps({'sec': round(dt, 1), 'urls': res['seen_count']}))\n"
         "ray.shutdown()\n"
     )
-    results = {}
-    for n in (cpus_lo, cpus_hi):
-        best = None
-        for _ in range(trials):  # best-of: the shared sandbox shows up to
-            # 2-3x run-to-run interference on identical runs
+    results: dict[int, dict] = {}
+    # best-of-N with trials interleaved across levels (lo,hi,lo,hi,...): the
+    # shared sandbox shows up to 2-3x interference on identical runs and its
+    # background load drifts on minute scales — adjacent pairs see the same
+    # machine, so the RATIO is less biased than lo-phase-then-hi-phase
+    for _ in range(trials):
+        for n in (cpus_lo, cpus_hi):
             out = subprocess.run([sys.executable, "-c", code, str(n)],
                                  capture_output=True, text=True, timeout=3600)
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            best = results.get(n)
             if best is None or r["sec"] < best["sec"]:
-                best = r
-        results[n] = best
+                results[n] = r
     thr = {n: results[n]["urls"] / results[n]["sec"] for n in results}
     eff = (thr[cpus_hi] / thr[cpus_lo]) / (cpus_hi / cpus_lo)
     return {

@@ -126,13 +126,29 @@ def make_fetcher(seen_shards: list, num_shards: int, seed: int):
     return fetch_extract
 
 
-def _parquet_rows(d: str) -> int:
-    """Row count from parquet footers — no read execution."""
+def _parquet_rows_by_file(d: str) -> dict[str, int]:
+    """Per-file row counts from parquet footers — no read execution.  The
+    footer opens run in a thread pool: a partitioned epoch write produces
+    blocks × partitions files, and a serial scan of ~1000 footers was a
+    driver-side constant that grew WITH cluster size (more blocks → more
+    files), eating the crawl loop's scaling."""
     import glob as _glob
+    from concurrent.futures import ThreadPoolExecutor
 
-    return sum(pq.ParquetFile(f).metadata.num_rows
-               for f in _glob.glob(os.path.join(d, "**", "*.parquet"),
-                                   recursive=True))
+    files = _glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+    if not files:
+        return {}
+
+    def rows(f: str) -> tuple[str, int]:
+        return f, pq.ParquetFile(f).metadata.num_rows
+
+    with ThreadPoolExecutor(min(32, max(4, len(files)))) as ex:
+        return dict(ex.map(rows, files))
+
+
+def _parquet_rows(d: str) -> int:
+    """Total row count from parquet footers — no read execution."""
+    return sum(_parquet_rows_by_file(d).values())
 
 
 def _write_ckpt(path: str, obj: dict) -> None:
@@ -370,11 +386,14 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
         # fetch (marks seen) + sidecar extraction in ONE elastic task stage
         # → partitioned parquet.  The unit of map parallelism is the BLOCK:
         # re-split the (small, metadata-only) selected set so the stage fans
-        # out across every CPU, with enough blocks for load balance but not
-        # so many that per-task overhead dominates a small epoch.
-        cpus = int(ray.cluster_resources().get("CPU", 8))
+        # out across every CPU.  The block count is sized by DATA (rows /
+        # per-task quantum), NOT by cluster size — a cpus-proportional plan
+        # produces different task shapes (and different output-file counts)
+        # at different cluster sizes, which skews scaling and makes runs
+        # non-comparable; 128 blocks keeps tasks uniform at any parallelism
+        # (the same fixed-plan rule the headline benchmark uses).
         n_remaining_est = m["selected"] - m.get("resumed_rows", 0)
-        n_blocks = max(1, min(cpus * 4, n_remaining_est // 256 + 1))
+        n_blocks = max(1, min(128, n_remaining_est // 256 + 1))
         to_fetch = to_fetch.repartition(n_blocks)
         sidecar_ds = to_fetch.map_batches(
             make_fetcher(shards, cfg.num_seen_shards, cfg.seed),
@@ -390,8 +409,12 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
             if n_remaining > 0:
                 sidecar_ds.write_parquet(sidecar_path, partition_cols=["part"])
             # one manifest per completed part: the north_rule lineage unit
-            # (config lineage → frontier epoch → fetch partition)
+            # (config lineage → frontier epoch → fetch partition).  One
+            # threaded footer scan serves both the per-part manifests and
+            # the epoch total.
             os.makedirs(parts_dir, exist_ok=True)
+            rows_by_file = _parquet_rows_by_file(sidecar_path) \
+                if os.path.isdir(sidecar_path) else {}
             if os.path.isdir(sidecar_path):
                 for d in sorted(os.listdir(sidecar_path)):
                     if not d.startswith("part="):
@@ -404,10 +427,11 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
                         "lineage_id": cfg.lineage_id(),
                         "epoch": epoch,
                         "part": k,
-                        "rows": _parquet_rows(pdir),
+                        "rows": sum(n for f, n in rows_by_file.items()
+                                    if f.startswith(pdir + os.sep)),
                         "files": sorted(os.listdir(pdir)),
                     })
-            m["sidecar_rows"] = _parquet_rows(sidecar_path)
+            m["sidecar_rows"] = sum(rows_by_file.values())
         _lap("fetch_sidecar_write")
 
         # deterministic crawl order for the epoch (total order, §2.6)
