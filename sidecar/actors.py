@@ -27,50 +27,80 @@ from sidecar.state import BloomFilter, CuckooFilter
 # of state shards always schedule even on tiny clusters (a 0.25 reservation
 # deadlocked fetch actors blocked on shard RPCs at num_cpus=4)
 class SeenShard:
-    def __init__(self, shard_id: int, n_buckets: int = 1 << 16, bloom_bits: int = 1 << 20):
+    """Exact membership lives in a sorted uint64 array plus a small sorted
+    ``pending`` buffer (merged when it outgrows ``merge_threshold``) — every
+    shard op is a numpy kernel, never a per-key Python loop.  The shard is
+    single-threaded, so at high fetch concurrency its per-RPC service time is
+    the crawl's serial fraction; the r1 per-key loops (7.3 us/key measured)
+    capped scaling and are why this is array-based."""
+
+    def __init__(self, shard_id: int, n_buckets: int = 1 << 16, bloom_bits: int = 1 << 20,
+                 merge_threshold: int = 1 << 16):
         self.shard_id = shard_id
         self.cuckoo = CuckooFilter(n_buckets=n_buckets)
-        self.exact: set[int] = set()  # correctness backstop (watch-list #4)
-        self.delta: list[int] = []  # appended since last checkpoint
+        self._merged = np.empty(0, dtype=np.uint64)   # sorted, bulk of keys
+        self._pending = np.empty(0, dtype=np.uint64)  # sorted, recent adds
+        self._merge_threshold = merge_threshold
+        self.delta: list[np.ndarray] = []  # arrays appended since last checkpoint
         self.bloom_bits = bloom_bits
+
+    def _known(self, h: np.ndarray) -> np.ndarray:
+        """Vectorized exact membership against merged + pending."""
+        out = np.zeros(len(h), dtype=bool)
+        for arr in (self._merged, self._pending):
+            if len(arr):
+                pos = np.searchsorted(arr, h)
+                pos[pos == len(arr)] = 0
+                out |= arr[pos] == h
+        return out
 
     def contains_many(self, hashes: np.ndarray) -> np.ndarray:
         """Membership: cuckoo answers 'maybe'; positives verified exactly."""
         if len(hashes) == 0:
             return np.zeros(0, dtype=bool)
-        maybe = self.cuckoo.contains_many(np.asarray(hashes, dtype=np.uint64))
-        out = np.zeros(len(hashes), dtype=bool)
-        for i in np.flatnonzero(maybe):
-            out[i] = int(hashes[i]) in self.exact
+        h = np.asarray(hashes, dtype=np.uint64)
+        maybe = self.cuckoo.contains_many(h)
+        out = np.zeros(len(h), dtype=bool)
+        idx = np.flatnonzero(maybe)
+        if len(idx):
+            out[idx] = self._known(h[idx])
         return out
 
     def add_many(self, hashes: np.ndarray) -> int:
         """Idempotent insert; returns number of genuinely-new keys."""
-        added = 0
-        for h in np.asarray(hashes, dtype=np.uint64):
-            hi = int(h)
-            if hi not in self.exact:
-                self.exact.add(hi)
-                self.cuckoo.add(hi)
-                self.delta.append(hi)
-                added += 1
-        return added
+        h = np.unique(np.asarray(hashes, dtype=np.uint64))
+        if len(h) == 0:
+            return 0
+        new = h[~self._known(h)]
+        if len(new):
+            self.cuckoo.add_many(new)
+            self.delta.append(new)
+            self._pending = np.union1d(self._pending, new)
+            if len(self._pending) >= self._merge_threshold:
+                self._merged = np.union1d(self._merged, self._pending)
+                self._pending = np.empty(0, dtype=np.uint64)
+        return len(new)
 
     def bloom_summary(self) -> bytes:
         """Serialized bloom over this shard's keys (worker-side pre-filter)."""
         bf = BloomFilter(n_bits=self.bloom_bits)
-        if self.exact:
-            bf.add_many(np.fromiter(self.exact, dtype=np.uint64))
+        for arr in (self._merged, self._pending):
+            if len(arr):
+                bf.add_many(arr)
         return bf.serialize()
 
     def snapshot(self) -> np.ndarray:
-        return np.sort(np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)))
+        return np.union1d(self._merged, self._pending)
+
+    def _drain(self) -> np.ndarray:
+        out = (np.sort(np.concatenate(self.delta)) if self.delta
+               else np.empty(0, dtype=np.uint64))
+        self.delta = []
+        return out
 
     def drain_delta(self) -> np.ndarray:
         """Keys added since the last drain (checkpoint delta log)."""
-        out = np.array(sorted(self.delta), dtype=np.uint64)
-        self.delta = []
-        return out
+        return self._drain()
 
     def write_delta(self, path: str) -> int:
         """Write this shard's delta log to ``path`` SHARD-SIDE (atomic tmp +
@@ -79,8 +109,7 @@ class SeenShard:
         concat of all shards' deltas is an OOM (VERDICT r1 #3)."""
         import os
 
-        out = np.array(sorted(self.delta), dtype=np.uint64)
-        self.delta = []
+        out = self._drain()
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             np.save(f, out)
@@ -91,7 +120,7 @@ class SeenShard:
         return self.add_many(keys)
 
     def size(self) -> int:
-        return len(self.exact)
+        return len(self._merged) + len(self._pending)
 
 
 @ray.remote(num_cpus=0)  # pure state actor: zero CPU reservation so pools
@@ -119,6 +148,19 @@ class HostPolicy:
             out.append(bad)
         return out
 
+    def rules_snapshot(self) -> dict:
+        """The cached robots rules, for epoch-level replication: the driver
+        ``ray.put``s this once and workers evaluate locally — per-row
+        evaluation inside the (fixed-count) policy actors was a crawl-loop
+        serial fraction that didn't shrink with cluster size.  The actor
+        stays the cache OWNER (it would fetch/refresh robots.txt in a live
+        crawl); workers hold a read-only epoch snapshot."""
+        return self._robots
+
+    def note_denied(self, n: int) -> None:
+        """Fold worker-side robots denials back into this cache's metrics."""
+        self.denied_robots += int(n)
+
     def grant(self, host: str, epoch: int, n: int) -> int:
         """Deterministic token bucket: ``budget`` tokens per (host, epoch).
         Returns how many of the n requests are granted."""
@@ -128,6 +170,20 @@ class HostPolicy:
         self.tokens[key] = remaining - take
         self.granted += take
         return take
+
+    def grant_many(self, hosts: list[str], epoch: int, ns: list[int]) -> int:
+        """Batched ``grant``: ONE RPC per (actor, epoch) instead of one per
+        host — the per-host remote-call fan-out was a per-epoch driver
+        constant proportional to host count."""
+        total = 0
+        for host, n in zip(hosts, ns):
+            key = (host, epoch)
+            remaining = self.tokens.get(key, self.budget)
+            take = min(remaining, n)
+            self.tokens[key] = remaining - take
+            total += take
+        self.granted += total
+        return total
 
     def metrics(self) -> dict:
         return {"granted": self.granted, "denied_robots": self.denied_robots}

@@ -243,6 +243,10 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
 
     import time as _time
 
+    # robots snapshot, replicated ONCE per crawl (rules are static here; a
+    # live crawl would re-snapshot per epoch as the actors refresh caches)
+    robots_ref = ray.put(ray.get(policies[0].rules_snapshot.remote()))
+
     frontier_src: str | None = None  # parquet dir once epochs hand off
     frontier_rows = frontier_tbl.num_rows if frontier_tbl is not None else 0
 
@@ -277,7 +281,8 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
         ds = fr.filter_unseen(
             ds, shards, bloom.serialize() if any_seen else None, cfg.num_seen_shards
         )
-        ds = fr.filter_robots(ds, policies, cfg.num_policy_actors)
+        ds = fr.filter_robots(ds, policies, cfg.num_policy_actors,
+                              rules_ref=robots_ref)
         flagged = fr.select_budget(ds, cfg.budget_per_host, dedup=True,
                                    size_hint=frontier_rows).materialize()
         m["after_budget_pool"] = flagged.count()
@@ -317,9 +322,15 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
             for hh, nn in zip(b.column("host").to_pylist(), b.column("n").to_pylist()):
                 host_counts[hh] = host_counts.get(hh, 0) + nn
         m["selected"] = sum(host_counts.values())
+        by_actor: dict[int, tuple[list[str], list[int]]] = {}
+        for hh, nn in sorted(host_counts.items()):
+            hs, ns = by_actor.setdefault(
+                host_shard(hh, cfg.num_policy_actors), ([], []))
+            hs.append(hh)
+            ns.append(nn)
         grant_futures = [
-            policies[host_shard(hh, cfg.num_policy_actors)].grant.remote(hh, epoch, nn)
-            for hh, nn in sorted(host_counts.items())
+            policies[a].grant_many.remote(hs, epoch, ns)
+            for a, (hs, ns) in by_actor.items()
         ]
         granted = sum(ray.get(grant_futures)) if grant_futures else 0
         assert granted == m["selected"], "budget invariant violated"

@@ -131,33 +131,78 @@ def filter_unseen(frontier: "rd.Dataset", seen_shards: list, bloom_blob: bytes |
                                 zero_copy_batch=True)
 
 
-def filter_robots(frontier: "rd.Dataset", host_policies: list, num_actors: int) -> "rd.Dataset":
-    """Drop rows disallowed by the (actor-cached) robots rules; batched one
-    RPC per policy shard per batch."""
+def filter_robots(frontier: "rd.Dataset", host_policies: list, num_actors: int,
+                  rules_ref=None) -> "rd.Dataset":
+    """Drop rows disallowed by the robots rules.
+
+    The HostPolicy actors OWN the robots cache (they'd fetch/refresh
+    robots.txt in a live crawl); each epoch the driver replicates a read-only
+    snapshot via ``ray.put`` (``rules_ref``) and workers evaluate locally —
+    per-row evaluation inside the fixed-count actor pool was a serial
+    fraction that capped crawl-loop scaling.  Denial COUNTS (not rows) are
+    folded back per batch with one O(1) ``note_denied`` RPC, so the actors'
+    metrics stay authoritative.  Falls back to in-actor evaluation when no
+    snapshot is provided (legacy path, used by tests that probe the actors).
+    """
     handles = list(host_policies)
 
+    if rules_ref is None:
+        def f_actor(batch: pa.Table) -> pa.Table:
+            from sidecar.actors import host_shard
+            from urllib.parse import urlsplit
+
+            hosts = batch.column("host").to_pylist()
+            paths = [urlsplit(u).path or "/" for u in batch.column("url_canon").to_pylist()]
+            n = len(hosts)
+            denied = np.zeros(n, dtype=bool)
+            by_actor: dict[int, list[int]] = {}
+            for i, h in enumerate(hosts):
+                by_actor.setdefault(host_shard(h, num_actors), []).append(i)
+            futures, slots = [], []
+            for a, rows in by_actor.items():
+                futures.append(
+                    handles[a].robots_disallowed.remote(
+                        [hosts[i] for i in rows], [paths[i] for i in rows]
+                    )
+                )
+                slots.append(rows)
+            for rows, res in zip(slots, ray.get(futures)):
+                for i, bad in zip(rows, res):
+                    denied[i] = bad
+            return batch.filter(pa.array(~denied))
+
+        return frontier.map_batches(f_actor, batch_format="pyarrow", batch_size=8192,
+                                    zero_copy_batch=True)
+
     def f(batch: pa.Table) -> pa.Table:
-        from sidecar.actors import host_shard
+        from sidecar.robots import is_allowed
         from urllib.parse import urlsplit
 
+        rules = ray.get(rules_ref)  # node-local after first fetch
         hosts = batch.column("host").to_pylist()
-        paths = [urlsplit(u).path or "/" for u in batch.column("url_canon").to_pylist()]
         n = len(hosts)
         denied = np.zeros(n, dtype=bool)
-        by_actor: dict[int, list[int]] = {}
-        for i, h in enumerate(hosts):
-            by_actor.setdefault(host_shard(h, num_actors), []).append(i)
-        futures, slots = [], []
-        for a, rows in by_actor.items():
-            futures.append(
-                handles[a].robots_disallowed.remote(
-                    [hosts[i] for i in rows], [paths[i] for i in rows]
-                )
-            )
-            slots.append(rows)
-        for rows, res in zip(slots, ray.get(futures)):
-            for i, bad in zip(rows, res):
-                denied[i] = bad
+        # evaluate per (host, path); memoize within the batch — frontier
+        # batches repeat hosts heavily and paths are synthetic templates
+        memo: dict[tuple[str, str], bool] = {}
+        for i, (host, u) in enumerate(zip(hosts, batch.column("url_canon").to_pylist())):
+            path = urlsplit(u).path or "/"
+            key = (host, path)
+            bad = memo.get(key)
+            if bad is None:
+                bad = memo[key] = not is_allowed(rules.get(host, []), path)
+            denied[i] = bad
+        n_denied = int(denied.sum())
+        if n_denied:
+            # attribute counts to the denied hosts' cache shards (O(1) actor work)
+            from sidecar.actors import host_shard
+
+            per_actor: dict[int, int] = {}
+            for host in (hosts[i] for i in np.flatnonzero(denied)):
+                a = host_shard(host, num_actors)
+                per_actor[a] = per_actor.get(a, 0) + 1
+            # awaited so the counts land before the epoch-end metrics read
+            ray.get([handles[a].note_denied.remote(c) for a, c in per_actor.items()])
         return batch.filter(pa.array(~denied))
 
     return frontier.map_batches(f, batch_format="pyarrow", batch_size=8192,

@@ -136,3 +136,39 @@ class CuckooFilter:
         hit1 = (t[i1] == fp[:, None]).any(axis=1)
         hit2 = (t[i2] == fp[:, None]).any(axis=1)
         return hit1 | hit2
+
+    def _place_batch(self, buckets: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Vectorized free-slot placement: put each (bucket, fp) into one of
+        its bucket's free slots.  Duplicate buckets in one batch get distinct
+        slots via the within-bucket occurrence rank.  Returns the positions
+        (into ``buckets``) that could NOT be placed (bucket full)."""
+        n = len(buckets)
+        order = np.argsort(buckets, kind="stable")
+        b = buckets[order]
+        rank = np.arange(n) - np.searchsorted(b, b, side="left")
+        rows = self.table[b]                      # (n, slots) — dup rows OK: reads
+        free_count = (rows == 0).sum(axis=1)
+        placed = rank < free_count
+        if placed.any():
+            # free slots first, in slot order (argsort of occupied-flag is stable)
+            fs = np.argsort(rows != 0, axis=1, kind="stable")
+            slot = fs[np.arange(n), np.minimum(rank, self.slots - 1)]
+            self.table[b[placed], slot[placed]] = fps[order][placed]
+            self.count += int(placed.sum())
+        return order[~placed]
+
+    def add_many(self, hashes: np.ndarray) -> None:
+        """Batch insert: vectorized i1 then i2 placement; only keys whose
+        both buckets are full fall back to the per-key kicking path."""
+        h = np.asarray(hashes, dtype=np.uint64)
+        if len(h) == 0:
+            return
+        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
+        i1 = (h & np.uint64(self.n_buckets - 1)).astype(np.int64)
+        rem = self._place_batch(i1, fp)
+        if len(rem):
+            i2 = (i1[rem] ^ (fp[rem].astype(np.int64) * 0x5BD1)) & (self.n_buckets - 1)
+            rem2 = self._place_batch(i2, fp[rem])
+            for pos in rem[rem2]:
+                self.add(int(h[pos]))
