@@ -20,6 +20,21 @@ import sys
 import time
 
 
+
+def _last_json_line(stdout: str, stderr: str = "") -> dict:
+    """Last stdout line that parses as a JSON object — raylet warnings can
+    interleave with (or trail) the subprocess's single JSON line on stdout,
+    so position alone is not trustworthy."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    raise RuntimeError("subprocess emitted no JSON line; stderr tail: %s"
+                       % stderr[-2000:])
+
 def _consume(ds) -> int:
     """Stream the dataset to completion, returning row count (no driver
     materialization of the data itself)."""
@@ -127,7 +142,7 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None,
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
                 env=env, capture_output=True, text=True, timeout=3600,
             )
-            r = json.loads(out.stdout.strip().splitlines()[-1])
+            r = _last_json_line(out.stdout, out.stderr)
             best = results.get(n)
             if best is None or r["headline_urls_per_sec"] > best["headline_urls_per_sec"]:
                 results[n] = r
@@ -154,7 +169,15 @@ def run_scaling_crawl() -> dict:
     Barriers (2 all-to-alls + checkpoint per epoch) are a per-epoch constant
     that amortizes with frontier size; at this sandbox scale they bound
     efficiency below the pure fetch+sidecar pipeline's (see BASELINE.md)."""
-    cpus_lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    # 2 vs 8 CPUs (N vs 4N), not 4 vs 16: the sandbox host's per-core
+    # throughput rolls off with occupancy (measured no-Ray multiprocessing
+    # ceiling for the fetch compute: ~1630 rows/s/worker at 4 workers,
+    # ~1160 at 16, ~800 at 32 — i.e. the HOST caps 4→16 at ~0.71-0.8
+    # efficiency before any engine overhead).  Real N→4N adds nodes, each
+    # with its own memory bandwidth; low occupancy isolates the ENGINE's
+    # scaling from the host's frequency/bandwidth roll-off.  BASELINE.md
+    # records the ceiling measurement alongside this number.
+    cpus_lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     cpus_hi = int(os.environ.get("GRAFT_SCALE_HI", str(cpus_lo * 4)))
     trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "3"))
     code = (
@@ -184,7 +207,7 @@ def run_scaling_crawl() -> dict:
         for n in (cpus_lo, cpus_hi):
             out = subprocess.run([sys.executable, "-c", code, str(n)],
                                  capture_output=True, text=True, timeout=3600)
-            r = json.loads(out.stdout.strip().splitlines()[-1])
+            r = _last_json_line(out.stdout, out.stderr)
             best = results.get(n)
             if best is None or r["sec"] < best["sec"]:
                 results[n] = r

@@ -243,6 +243,15 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
 
     import time as _time
 
+    # Pre-import the write path's lazy dependencies: the next-frontier write
+    # runs in a side thread concurrently with the fetch write, and two
+    # threads triggering the FIRST import of fsspec's http module race on
+    # the partially-initialized module ("cannot import name HTTPFileSystem").
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        pass
+
     # robots snapshot, replicated ONCE per crawl (rules are static here; a
     # live crawl would re-snapshot per epoch as the actors refresh caches)
     robots_ref = ray.put(ray.get(policies[0].rules_snapshot.remote()))
@@ -277,10 +286,14 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
         else:
             ds = rd.read_parquet(frontier_src)
         # exact url_hash dedup is folded into select_budget's stage 1
-        # (same (host,salt) group ⇒ equivalent, one less all-to-all)
-        ds = fr.filter_unseen(
-            ds, shards, bloom.serialize() if any_seen else None, cfg.num_seen_shards
-        )
+        # (same (host,salt) group ⇒ equivalent, one less all-to-all).
+        # An EMPTY seen set (epoch 0 of a fresh crawl) skips the anti-join
+        # stage entirely — with no bloom summary every batch would RPC every
+        # shard just to hear "no".
+        if any_seen:
+            ds = fr.filter_unseen(
+                ds, shards, bloom.serialize(), cfg.num_seen_shards
+            )
         ds = fr.filter_robots(ds, policies, cfg.num_policy_actors,
                               rules_ref=robots_ref)
         flagged = fr.select_budget(ds, cfg.budget_per_host, dedup=True,
@@ -307,6 +320,48 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
             lambda t: t.filter(pc.equal(t["selected"], False)).drop_columns(["selected"]),
             batch_format="pyarrow",
         )
+        # link discovery → next frontier (leftover ∪ links, epoch bumped),
+        # WRITTEN CONCURRENTLY with everything below (politeness accounting,
+        # resume bookkeeping, the fetch stage): it depends only on the
+        # materialized `selected`/`flagged`, so running the frontier
+        # hand-off in a side thread removes one of the two big per-epoch
+        # barriers from the critical path (the streaming executors share
+        # the cluster; stragglers of one fill the other's idle slots).  The
+        # seen-delta/manifest writes stay sequential — they must observe
+        # the completed fetch.
+        links = fr.discover_links(
+            selected.map_batches(
+                lambda t: t.filter(pc.less(t["depth"], cfg.max_depth)),
+                batch_format="pyarrow",
+            ),
+            epoch, cfg.n_hosts, cfg.seed,
+        )
+
+        def bump(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.column_names.index("epoch"), "epoch",
+                pa.array([epoch + 1] * t.num_rows, pa.int32()),
+            )
+
+        next_frontier = leftover.map_batches(bump, batch_format="pyarrow").union(links)
+        nf_dir = os.path.join(_epoch_dir(cfg, epoch), "next_frontier")
+        os.makedirs(_epoch_dir(cfg, epoch), exist_ok=True)
+
+        import threading
+
+        nf_result: dict = {}
+
+        def _write_next_frontier() -> None:
+            try:
+                next_frontier.write_parquet(nf_dir)
+                nf_result["rows"] = _parquet_rows(nf_dir)
+            except BaseException as e:  # re-raised on join
+                nf_result["error"] = e
+
+        nf_thread = threading.Thread(target=_write_next_frontier,
+                                     name="next-frontier-write")
+        nf_thread.start()
+
         # politeness accounting at the HostPolicy actors (token buckets).
         # Grouped count via per-block partials + driver combine — no
         # all-to-all shuffle for a result of ≤ #hosts rows.
@@ -405,7 +460,12 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
         # (the same fixed-plan rule the headline benchmark uses).
         n_remaining_est = m["selected"] - m.get("resumed_rows", 0)
         n_blocks = max(1, min(128, n_remaining_est // 256 + 1))
-        to_fetch = to_fetch.repartition(n_blocks)
+        if selected.num_blocks() < min(32, n_blocks):
+            # only the small-frontier driver plan (1 block) needs the
+            # re-split; the Ray budget path already emits ~NUM_BUDGET_PARTS
+            # blocks, and repartition is an extra all-to-all BARRIER that
+            # delays the first fetch task by the whole shuffle
+            to_fetch = to_fetch.repartition(n_blocks)
         sidecar_ds = to_fetch.map_batches(
             make_fetcher(shards, cfg.num_seen_shards, cfg.seed),
             batch_format="pyarrow",
@@ -454,31 +514,15 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
         crawl_order.append(epoch_order)
         _lap("order")
 
-        # link discovery → next frontier (+ leftover, epoch bumped)
-        links = fr.discover_links(
-            selected.map_batches(
-                lambda t: t.filter(pc.less(t["depth"], cfg.max_depth)),
-                batch_format="pyarrow",
-            ),
-            epoch, cfg.n_hosts, cfg.seed,
-        )
-
-        def bump(t: pa.Table) -> pa.Table:
-            return t.set_column(
-                t.column_names.index("epoch"), "epoch",
-                pa.array([epoch + 1] * t.num_rows, pa.int32()),
-            )
-
-        next_frontier = leftover.map_batches(bump, batch_format="pyarrow").union(links)
+        # join the concurrent next-frontier hand-off (distributed,
+        # partitioned: a parquet DIRECTORY written by the workers — the
+        # driver-side collect-and-concat it replaced serialized with link
+        # count and capped crawl scaling at ~0.5)
+        nf_thread.join()
+        if "error" in nf_result:
+            raise nf_result["error"]
         edir = _epoch_dir(cfg, epoch)
-        os.makedirs(edir, exist_ok=True)
-        # distributed, partitioned frontier hand-off: the next frontier is
-        # written as a parquet DIRECTORY by the workers (the driver-side
-        # collect-and-concat it replaces serialized with link count and
-        # capped crawl scaling at ~0.5)
-        nf_dir = os.path.join(edir, "next_frontier")
-        next_frontier.write_parquet(nf_dir)
-        nf_rows = _parquet_rows(nf_dir)
+        nf_rows = nf_result["rows"]
         _lap("next_frontier")
         # leftover count by arithmetic — NOT leftover.count(), which would
         # re-execute the filter pipeline just for a metric (VERDICT r1 #4)

@@ -281,3 +281,64 @@ def test_collect_seen_false_returns_count_only(tmp_path):
                   collect_order=False, collect_seen=False)
     assert r["seen"] == [] and r["seen_count"] > 0
     assert all(m.get("seen_delta_rows", 0) >= 0 for m in r["metrics"])
+
+
+def test_grant_many_matches_sequential_grants():
+    """grant_many (one RPC per actor per epoch) must be exactly the token
+    bucket that per-host grant calls produce."""
+    from sidecar.actors import HostPolicy
+
+    a = HostPolicy.remote(0, budget_per_epoch=5)
+    b = HostPolicy.remote(1, budget_per_epoch=5)
+    hosts = ["h1", "h2", "h1", "h3"]
+    ns = [3, 7, 4, 2]
+    seq = sum(ray.get([a.grant.remote(h, 0, n) for h, n in zip(hosts, ns)]))
+    # batched call sees the hosts in the same order
+    bat = ray.get(b.grant_many.remote(hosts, 0, ns))
+    assert bat == seq == 3 + 5 + 2 + 2  # h1: 3 then min(2,4); h2 capped at 5
+    assert ray.get(a.metrics.remote()) == ray.get(b.metrics.remote())
+    # a later epoch refills the bucket
+    assert ray.get(b.grant_many.remote(["h2"], 1, [9])) == 5
+    ray.kill(a)
+    ray.kill(b)
+
+
+def test_cuckoo_batch_add_equals_per_key():
+    keys = np.random.RandomState(11).randint(0, 2**63, size=5000,
+                                             dtype=np.int64).astype(np.uint64)
+    batch = state.CuckooFilter(n_buckets=1 << 11)
+    batch.add_many(keys)
+    per_key = state.CuckooFilter(n_buckets=1 << 11)
+    for k in keys:
+        per_key.add(int(k))
+    assert batch.contains_many(keys).all()  # no false negatives
+    assert per_key.contains_many(keys).all()
+    assert batch.count == per_key.count == len(keys)
+
+
+def test_seen_shard_dedups_within_batch():
+    from sidecar.actors import SeenShard
+
+    shard = SeenShard.remote(0)
+    h = np.array([9, 9, 9, 10, 11, 10], dtype=np.uint64)
+    assert ray.get(shard.add_many.remote(h)) == 3  # unique keys only
+    assert ray.get(shard.size.remote()) == 3
+    delta = ray.get(shard.drain_delta.remote())
+    assert list(delta) == [9, 10, 11]
+    ray.kill(shard)
+
+
+def test_robots_denied_metric_stable_across_actor_counts(tmp_path):
+    """Worker-side robots evaluation reports denial counts through the
+    HostPolicy cache actors; the totals are deterministic and identical at
+    any actor count."""
+    # n_hosts=50 puts some discovered links on robots-disallowed paths
+    r1 = run_crawl(_cfg(str(tmp_path / "ra"), max_epochs=2, n_hosts=50, n_seeds=100),
+                   collect_order=False, collect_seen=False)
+    r2 = run_crawl(_cfg(str(tmp_path / "rb"), max_epochs=2, n_hosts=50, n_seeds=100,
+                        num_policy_actors=1),
+                   collect_order=False, collect_seen=False)
+    d1 = [m["robots_denied_total"] for m in r1["metrics"]]
+    d2 = [m["robots_denied_total"] for m in r2["metrics"]]
+    assert d1 == d2
+    assert d1[-1] > 0  # the synthetic corpus does deny some discovered links
