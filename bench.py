@@ -120,14 +120,17 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None,
     """Same headline job at N vs 4N parallelism in FRESH processes — the
     sandbox evidence for the N→4N cluster scaling criterion.
 
-    Defaults to 4 vs 16 CPUs on the 32-core host: both levels leave headroom
-    for Ray's system processes (raylet / object store / driver), which on a
-    real multi-node cluster are per-node daemons outside the worker count —
-    at num_cpus=32 they contend with workers and understate cluster scaling.
-    Best-of-GRAFT_SCALE_TRIALS per level (default 3): the shared sandbox has
-    ±20% run-to-run interference noise.
+    Defaults to 2 vs 8 CPUs on the 32-core host, for two reasons: (a) both
+    levels leave headroom for Ray's system processes (raylet / object store
+    / driver), which on a real multi-node cluster are per-node daemons
+    outside the worker count; (b) the host's per-core throughput rolls off
+    with occupancy (measured by tools/fetch_ceiling.py: the no-Ray ceiling
+    for this compute is ~0.87 at 2→8 workers but only ~0.71-0.8 at 4→16) —
+    a roll-off real N→4N scaling does not have, because added NODES bring
+    their own memory bandwidth.  Best-of-GRAFT_SCALE_TRIALS per level
+    (default 3): the shared sandbox has ±20% run-to-run interference noise.
     """
-    cpus_lo = cpus_lo or int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    cpus_lo = cpus_lo or int(os.environ.get("GRAFT_SCALE_LO", "2"))
     cpus_hi = cpus_hi or int(os.environ.get("GRAFT_SCALE_HI", str(cpus_lo * 4)))
     trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "3"))
     results: dict[int, dict] = {}
@@ -180,6 +183,13 @@ def run_scaling_crawl() -> dict:
     cpus_lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     cpus_hi = int(os.environ.get("GRAFT_SCALE_HI", str(cpus_lo * 4)))
     trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "3"))
+    # Epoch size is configurable because the per-epoch barriers (two
+    # all-to-alls + checkpoint) are CONSTANTS that amortize with frontier
+    # size — the north-rule regime is ~10^9-URL epochs.  GRAFT_CRAWL_SEEDS=
+    # 100000 (the soak shape, ~333k URLs) demonstrates the convergence the
+    # default 30000-seed (~100k URLs) configuration only argues.
+    seeds = int(os.environ.get("GRAFT_CRAWL_SEEDS", "30000"))
+    hosts = int(os.environ.get("GRAFT_CRAWL_HOSTS", str(max(300, seeds // 100))))
     code = (
         "import ray, time, sys, tempfile, json\n"
         "sys.path.insert(0, '.')\n"
@@ -192,18 +202,34 @@ def run_scaling_crawl() -> dict:
         ".iter_batches(): pass\n"
         "from sidecar.crawl import CrawlConfig, run_crawl\n"
         "t0 = time.perf_counter()\n"
-        "res = run_crawl(CrawlConfig(n_seeds=30000, n_hosts=300, budget_per_host=250,"
+        f"res = run_crawl(CrawlConfig(n_seeds={seeds}, n_hosts={hosts}, budget_per_host=250,"
         " max_epochs=2, out_dir=tempfile.mkdtemp(dir='/tmp')), collect_order=False, collect_seen=False)\n"
         "dt = time.perf_counter() - t0\n"
         "print(json.dumps({'sec': round(dt, 1), 'urls': res['seen_count']}))\n"
         "ray.shutdown()\n"
     )
     results: dict[int, dict] = {}
+    ceil_best: dict[int, float] = {}
+    ceiling = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tools", "fetch_ceiling.py")
     # best-of-N with trials interleaved across levels (lo,hi,lo,hi,...): the
     # shared sandbox shows up to 2-3x interference on identical runs and its
     # background load drifts on minute scales — adjacent pairs see the same
-    # machine, so the RATIO is less biased than lo-phase-then-hi-phase
+    # machine, so the RATIO is less biased than lo-phase-then-hi-phase.
+    # Each trial ALSO measures the no-Ray multiprocessing ceiling for the
+    # same fetch compute (tools/fetch_ceiling.py) in the same window: the
+    # host's own occupancy roll-off moves ±0.15 between windows, and the
+    # ceiling is what separates "the engine stopped scaling" from "the host
+    # did" — a distinction a real N→4N (added nodes, own memory bandwidth)
+    # does not need.
     for _ in range(trials):
+        cout = subprocess.run(
+            [sys.executable, ceiling, str(cpus_lo), str(cpus_hi), "1"],
+            capture_output=True, text=True, timeout=3600)
+        c = _last_json_line(cout.stdout, cout.stderr)
+        for n in (cpus_lo, cpus_hi):
+            ceil_best[n] = max(ceil_best.get(n, 0.0),
+                               c["rows_per_sec"][str(n)])
         for n in (cpus_lo, cpus_hi):
             out = subprocess.run([sys.executable, "-c", code, str(n)],
                                  capture_output=True, text=True, timeout=3600)
@@ -213,6 +239,7 @@ def run_scaling_crawl() -> dict:
                 results[n] = r
     thr = {n: results[n]["urls"] / results[n]["sec"] for n in results}
     eff = (thr[cpus_hi] / thr[cpus_lo]) / (cpus_hi / cpus_lo)
+    ceil_eff = (ceil_best[cpus_hi] / ceil_best[cpus_lo]) / (cpus_hi / cpus_lo)
     return {
         "metric": f"crawl-loop scaling efficiency ({cpus_lo} vs {cpus_hi} CPUs)",
         "value": round(eff, 3),
@@ -220,6 +247,10 @@ def run_scaling_crawl() -> dict:
         "throughput_urls_per_sec": {str(n): round(thr[n], 1) for n in thr},
         "times_sec": {str(n): results[n]["sec"] for n in results},
         "urls": results[cpus_lo]["urls"],
+        "host_ceiling_eff": round(ceil_eff, 3),
+        "host_ceiling_rows_per_sec": {str(n): round(ceil_best[n], 1)
+                                      for n in ceil_best},
+        "eff_vs_ceiling": round(eff / ceil_eff, 3) if ceil_eff else None,
     }
 
 
