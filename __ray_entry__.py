@@ -372,6 +372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": dedup.embedding_near_dup_lsh,  # rows-only (approx)
         "dedup_lsh_components": dedup.lsh_components,
         "dedup_minhash_estimates": dedup.minhash_jaccard_estimates,
+        "dedup_decontam": dedup.decontaminate,
+        "dedup_passage": dedup.passage_dedup,
         "prep_corpus": prep.prep_corpus,
         "prep_images": lambda sf_dir: prep.prep_images(
             images_dataset(sf_dir).map_batches(
@@ -792,6 +794,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN sig sa ON sa.doc_id = p.doc_a
             JOIN sig sb ON sb.doc_id = p.doc_b AND sb.p = sa.p
             GROUP BY 1, 2
+        """,
+        "dedup_decontam": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            grams AS (
+                SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+                FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+            ),
+            test AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+            hits AS (
+                SELECT DISTINCT d.doc_id, d.g
+                FROM grams d JOIN test USING (g)
+                WHERE d.doc_id % 17 <> 0
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_shared
+            FROM hits GROUP BY doc_id
+        """,
+        "dedup_passage": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            chunks AS (
+                SELECT doc_id, i AS idx,
+                       CAST(ceil(len(ws) / 10.0) AS BIGINT) AS n_chunks,
+                       array_to_string(ws[(i-1)*10+1 : i*10], ' ') AS passage
+                FROM w, unnest(generate_series(1, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS t(i)
+            ),
+            kept AS (
+                SELECT * FROM chunks
+                QUALIFY row_number() OVER (PARTITION BY passage ORDER BY doc_id, idx) = 1
+            )
+            SELECT doc_id, any_value(n_chunks) AS n_chunks,
+                   count(*)::BIGINT AS n_kept,
+                   string_agg(passage, ' ' ORDER BY idx) AS text_deduped
+            FROM kept GROUP BY doc_id
         """,
         "dedup_lsh_components": f"""
             WITH RECURSIVE {_MINHASH_CTE},

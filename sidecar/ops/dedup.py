@@ -649,3 +649,144 @@ def minhash_jaccard_estimates(sf_dir: str) -> "rd.Dataset":
 
     return pairs.map_batches(
         estimate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -------------------------------------------- test-set decontamination
+
+DECONTAM_N = 8     # word n-gram size (standard for benchmark decontamination)
+DECONTAM_MOD = 17  # doc_id % MOD == 0 -> held-out benchmark document
+
+
+def _word_ngrams(text: str, n: int) -> set:
+    """Distinct word n-grams; split on a single space so the DuckDB
+    oracle's ``string_split(text, ' ')`` tokenization is bit-equal."""
+    w = (text or "").split(" ")
+    return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+
+def decontaminate(sf_dir: str) -> "rd.Dataset":
+    """doc_id, n_shared — training documents that share at least one word
+    8-gram with the held-out benchmark set (here: doc_id % 17 == 0), with
+    the count of DISTINCT shared grams.  This is the standard test-set
+    decontamination pass a pre-training corpus gets before the train/eval
+    split is trusted (the reference's DIGEST_CACHE idea — "have I seen this
+    content before?" — pointed at an external contamination set instead,
+    cf. warc_metadata_sidecar.py:39,231-246).
+
+    100-TB plan: the held-out side is small BY DEFINITION (benchmark suites
+    are O(1e5-1e6) grams), so its distinct grams are collected once and
+    broadcast via ``ray.put``; the training corpus streams through one
+    ``map_batches`` with no shuffle at all.  If the contamination set ever
+    outgrew broadcast, the fallback is the inverted-index shuffle used by
+    ``ngram_jaccard_pairs``.
+    """
+    ds = read_documents(sf_dir)
+
+    def emit_test_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        grams: set = set()
+        for doc_id, text in zip(ids, texts):
+            if doc_id % DECONTAM_MOD == 0:
+                grams.update(_word_ngrams(text, DECONTAM_N))
+        return pa.table({"g": pa.array(sorted(grams), pa.string())})
+
+    # small side -> driver set -> object store once (broadcast)
+    gram_set: set = set()
+    for b in ds.map_batches(emit_test_grams, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        gram_set.update(b.column("g").to_pylist())
+    grams_ref = ray.put(frozenset(gram_set))
+
+    def score(batch: pa.Table) -> pa.Table:
+        test_grams = ray.get(grams_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_ids, out_n = [], []
+        for doc_id, text in zip(ids, texts):
+            if doc_id % DECONTAM_MOD == 0:
+                continue
+            n = len(_word_ngrams(text, DECONTAM_N) & test_grams)
+            if n:
+                out_ids.append(int(doc_id))
+                out_n.append(n)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "n_shared": pa.array(out_n, pa.int64())})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# -------------------------------------------- passage-level exact dedup
+
+PASSAGE_W = 10  # words per non-overlapping passage
+
+
+def passage_dedup(sf_dir: str) -> "rd.Dataset":
+    """doc_id, n_chunks, n_kept, text_deduped — exact passage-level
+    deduplication with reconstruction: split every document into
+    consecutive non-overlapping 10-word passages, keep the globally FIRST
+    occurrence of each distinct passage (min (doc_id, idx)), and rebuild
+    each document from its surviving passages in order.  Documents whose
+    passages are all duplicates disappear.  This is the passage/paragraph
+    analog of ``exact_dedup`` — the standard "remove boilerplate repeated
+    across pages" pass in a pre-training pipeline.
+
+    100-TB plan: two shuffles, each moving the passage text exactly once
+    (unavoidable — the OUTPUT is the deduped text): (1) coarse-partition by
+    crc32(passage) % 64 and keep-first vectorized per partition; (2)
+    coarse-partition winners by doc_id % 64 and reconstruct per document.
+    Both use the repo's coarse-partition + in-task fine grouping pattern
+    (per-key map_groups dispatch is the measured bottleneck, not data
+    volume).
+    """
+    from zlib import crc32
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        o_doc, o_idx, o_nc, o_p, o_part = [], [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            w = (text or "").split(" ")
+            n_chunks = (len(w) + PASSAGE_W - 1) // PASSAGE_W
+            for i in range(n_chunks):
+                p = " ".join(w[i * PASSAGE_W:(i + 1) * PASSAGE_W])
+                o_doc.append(int(doc_id))
+                o_idx.append(i + 1)
+                o_nc.append(n_chunks)
+                o_p.append(p)
+                o_part.append(crc32(p.encode()) % NUM_SHUFFLE_PARTS)
+        return pa.table({
+            "doc_id": pa.array(o_doc, pa.int64()),
+            "idx": pa.array(o_idx, pa.int64()),
+            "n_chunks": pa.array(o_nc, pa.int64()),
+            "passage": pa.array(o_p, pa.string()),
+            "part": pa.array(o_part, pa.int64()),
+        })
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["passage", "doc_id", "idx"], kind="mergesort")
+        g = g.drop_duplicates("passage", keep="first")
+        g = g[["doc_id", "idx", "n_chunks", "passage"]].copy()
+        g["part2"] = g["doc_id"].to_numpy() % NUM_SHUFFLE_PARTS
+        return g
+
+    def reconstruct(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "idx"], kind="mergesort")
+        out = g.groupby("doc_id", sort=True).agg(
+            n_chunks=("n_chunks", "first"),
+            n_kept=("passage", "size"),
+            text_deduped=("passage", " ".join),
+        ).reset_index()
+        out["n_chunks"] = out["n_chunks"].astype("int64")
+        out["n_kept"] = out["n_kept"].astype("int64")
+        return out
+
+    return (
+        read_documents(sf_dir)
+        .map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(keep_first, batch_format="pandas")
+        .groupby("part2")
+        .map_groups(reconstruct, batch_format="pandas")
+    )

@@ -767,3 +767,54 @@ class TestNgramJaccardScaleSafety:
         assert sig_dicts, "signature dict should be broadcast"
         for o in sig_dicts:
             assert len(o) == cand  # candidate docs only, not the corpus
+
+
+class TestDecontamPassage:
+    def test_decontam_excludes_holdout_and_matches_reference(self):
+        from sidecar.ops.dedup import DECONTAM_MOD, DECONTAM_N, _word_ngrams, decontaminate
+
+        got = decontaminate(SF).to_pandas().set_index("doc_id")["n_shared"]
+        assert (got.index % DECONTAM_MOD != 0).all()  # holdout never scored
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        ids, texts = t["doc_id"].to_pylist(), t["text"].to_pylist()
+        test_grams: set = set()
+        for d, s in zip(ids, texts):
+            if d % DECONTAM_MOD == 0:
+                test_grams |= _word_ngrams(s, DECONTAM_N)
+        want = {d: len(_word_ngrams(s, DECONTAM_N) & test_grams)
+                for d, s in zip(ids, texts) if d % DECONTAM_MOD != 0}
+        want = {d: n for d, n in want.items() if n}
+        assert got.to_dict() == want
+        assert want, "fixture must contain at least one contaminated doc"
+
+    def test_passage_dedup_reconstruction_invariants(self):
+        from sidecar.ops.dedup import PASSAGE_W, passage_dedup
+
+        got = passage_dedup(SF).to_pandas()
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        orig = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+        # every distinct passage appears exactly once across the output
+        seen: dict = {}
+        for _, row in got.iterrows():
+            assert 1 <= row["n_kept"] <= row["n_chunks"]
+            for p in self._chunks(row["text_deduped"]):
+                assert p not in seen, f"passage duplicated across docs: {p!r}"
+                seen[p] = row["doc_id"]
+
+        # a doc with zero dropped passages reconstructs to its original text
+        full = got[got["n_kept"] == got["n_chunks"]]
+        assert len(full) > 0
+        for _, row in full.iterrows():
+            assert row["text_deduped"] == orig[row["doc_id"]]
+        # and at least one doc lost a passage in the fixture
+        assert (got["n_kept"] < got["n_chunks"]).any() or len(got) < len(orig)
+
+    @staticmethod
+    def _chunks(text: str):
+        from sidecar.ops.dedup import PASSAGE_W
+
+        w = text.split(" ")
+        return (" ".join(w[i:i + PASSAGE_W])
+                for i in range(0, len(w), PASSAGE_W))
