@@ -61,6 +61,9 @@ class CrawlConfig:
     num_policy_actors: int = 4
     num_fetch_partitions: int = 16
     out_dir: str = "/tmp/crawl_out"
+    # user-extension hook (SURVEY.md §2.9): a sidecar.policy.FrontierPolicy
+    # overriding link priorities / per-host budgets; None = built-in behavior
+    policy: object | None = None
 
     def lineage_id(self) -> str:
         """Hash of the semantic config (seed list + politeness budget + graph);
@@ -68,6 +71,8 @@ class CrawlConfig:
         excluded so a resumed run may extend or re-place the same crawl."""
         sem = {k: v for k, v in asdict(self).items()
                if k in ("n_seeds", "n_hosts", "budget_per_host", "max_depth", "seed")}
+        if self.policy is not None:  # policy changes crawl semantics
+            sem["policy"] = getattr(self.policy, "name", type(self.policy).__name__)
         return hashlib.blake2b(
             json.dumps(sem, sort_keys=True).encode(), digest_size=8
         ).hexdigest()
@@ -297,7 +302,8 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
         ds = fr.filter_robots(ds, policies, cfg.num_policy_actors,
                               rules_ref=robots_ref)
         flagged = fr.select_budget(ds, cfg.budget_per_host, dedup=True,
-                                   size_hint=frontier_rows).materialize()
+                                   size_hint=frontier_rows,
+                                   policy=cfg.policy).materialize()
         m["after_budget_pool"] = flagged.count()
         _lap("budget")
 
@@ -334,7 +340,7 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
                 lambda t: t.filter(pc.less(t["depth"], cfg.max_depth)),
                 batch_format="pyarrow",
             ),
-            epoch, cfg.n_hosts, cfg.seed,
+            epoch, cfg.n_hosts, cfg.seed, policy=cfg.policy,
         )
 
         def bump(t: pa.Table) -> pa.Table:

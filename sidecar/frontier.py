@@ -214,7 +214,8 @@ SMALL_FRONTIER_ROWS = 20_000  # below this, driver-side ranking beats 2 shuffles
 
 def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int = 2048,
                   n_salts: int = 16, dedup: bool = False,
-                  size_hint: int | None = None) -> "rd.Dataset":
+                  size_hint: int | None = None,
+                  policy=None) -> "rd.Dataset":
     """Politeness top-k per host with hot-host skew splitting (A4, §2.6).
 
     Stage 1 groups by ``(host, salt)`` (salt = url_hash % n_salts) and marks
@@ -236,7 +237,17 @@ def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int =
     pandas pass (identical semantics — the selection math is the same code
     path shapes; proven equal by the bit-for-bit tests) instead of paying
     two all-to-all barrier constants on a few thousand metadata rows.
+
+    ``policy`` (a ``sidecar.policy.FrontierPolicy``) overrides the constant
+    per-host budget via its vectorized ``host_budget`` hook; ``None`` keeps
+    the scalar fast path.
     """
+
+    def _budgets(hosts) -> "int | np.ndarray":
+        if policy is None:
+            return budget
+        return policy.host_budget(np.asarray(hosts), budget)
+
     if size_hint is not None and size_hint <= SMALL_FRONTIER_ROWS:
         df = frontier.to_pandas()  # executes the (narrow) upstream filters once
         if len(df) == 0:
@@ -247,10 +258,11 @@ def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int =
         if dedup:
             df = df.drop_duplicates("url_hash", keep="first")
         df = df.copy()
-        df["finalist"] = df.groupby(["host", "salt"], sort=False).cumcount() < budget
+        bud = _budgets(df["host"].to_numpy())
+        df["finalist"] = df.groupby(["host", "salt"], sort=False).cumcount().to_numpy() < bud
         fin_rank = (df.groupby("host", sort=False)["finalist"].cumsum()
                     - df["finalist"].astype(int))
-        df["selected"] = df["finalist"] & (fin_rank < budget)
+        df["selected"] = df["finalist"].to_numpy() & (fin_rank.to_numpy() < bud)
         df = df.drop(columns=["salt", "finalist"])
         return rd.from_pandas(df.reset_index(drop=True))
 
@@ -278,7 +290,8 @@ def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int =
         if dedup:  # first row per url_hash is the best (total-order sorted)
             g = g.drop_duplicates("url_hash", keep="first")
         g = g.copy()
-        g["finalist"] = g.groupby(["host", "salt"], sort=False).cumcount() < budget
+        bud = _budgets(g["host"].to_numpy())
+        g["finalist"] = g.groupby(["host", "salt"], sort=False).cumcount().to_numpy() < bud
         return g.drop(columns=["part1"])
 
     def stage2(g: pd.DataFrame) -> pd.DataFrame:
@@ -286,7 +299,8 @@ def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int =
         # rank finalists per host in total order; cumsum counts only them
         fin_rank = (g.groupby("host", sort=False)["finalist"]
                     .cumsum() - g["finalist"].astype(int))
-        g["selected"] = g["finalist"] & (fin_rank < budget)
+        bud = _budgets(g["host"].to_numpy())
+        g["selected"] = g["finalist"].to_numpy() & (fin_rank.to_numpy() < bud)
         return g.drop(columns=["salt", "finalist", "part2"])
 
     keyed = frontier.map_batches(with_keys, batch_format="pyarrow", zero_copy_batch=True)
@@ -294,9 +308,12 @@ def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int =
     return ranked.groupby("part2").map_groups(stage2, batch_format="pandas")
 
 
-def discover_links(selected: "rd.Dataset", epoch: int, n_hosts: int, seed: int) -> "rd.Dataset":
+def discover_links(selected: "rd.Dataset", epoch: int, n_hosts: int, seed: int,
+                   policy=None) -> "rd.Dataset":
     """Deterministic link discovery from the fetched set (ST7's discovery
-    half): one flat_map-shaped map_batches emitting next-epoch candidates."""
+    half): one flat_map-shaped map_batches emitting next-epoch candidates.
+    ``policy`` (a ``sidecar.policy.FrontierPolicy``) rewrites the
+    graph-emitted link priorities via its vectorized ``link_priority``."""
 
     def f(batch: pa.Table) -> pa.Table:
         rows: list[dict] = []
@@ -310,6 +327,14 @@ def discover_links(selected: "rd.Dataset", epoch: int, n_hosts: int, seed: int) 
                     {"url": link_url, "priority": prio, "depth": depth + 1,
                      "seed_id": seed_id}
                 )
+        if policy is not None and rows:
+            new_p = policy.link_priority(
+                [r["url"] for r in rows],
+                np.array([r["priority"] for r in rows], dtype=np.float64),
+                np.array([r["depth"] for r in rows], dtype=np.int64),
+            )
+            for r, p in zip(rows, new_p):
+                r["priority"] = float(p)
         return candidates_from_urls(rows, epoch + 1)
 
     return selected.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

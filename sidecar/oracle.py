@@ -35,6 +35,7 @@ def crawl(
     max_epochs: int = 3,
     max_depth: int = 3,
     seed: int = 42,
+    policy=None,
 ) -> dict:
     """Run the reference crawl; returns
     ``{"crawl_order": [[url_canon,...] per epoch], "seen": sorted url_hash
@@ -86,8 +87,14 @@ def crawl(
         leftover: list[dict] = []
         for host in by_host:
             rows = sorted(by_host[host], key=order_key)
-            selected.extend(rows[:budget_per_host])
-            leftover.extend(rows[budget_per_host:])
+            if policy is None:
+                bud = budget_per_host
+            else:
+                import numpy as np
+
+                bud = int(policy.host_budget(np.array([host]), budget_per_host)[0])
+            selected.extend(rows[:bud])
+            leftover.extend(rows[bud:])
         selected.sort(key=order_key)
         m["selected"] = len(selected)
         m["leftover"] = len(leftover)
@@ -108,6 +115,12 @@ def crawl(
             }
             if c["depth"] < max_depth:
                 for link_url, prio in synth.out_links(c["url_canon"], n_hosts, seed):
+                    if policy is not None:
+                        import numpy as np
+
+                        prio = float(policy.link_priority(
+                            [link_url], np.array([prio], dtype=np.float64),
+                            np.array([c["depth"] + 1], dtype=np.int64))[0])
                     links.append(_mk_candidate(link_url, prio, c["depth"] + 1, c["seed_id"]))
         m["links"] = len(links)
         metrics.append(m)

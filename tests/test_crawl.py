@@ -342,3 +342,37 @@ def test_robots_denied_metric_stable_across_actor_counts(tmp_path):
     d2 = [m["robots_denied_total"] for m in r2["metrics"]]
     assert d1 == d2
     assert d1[-1] > 0  # the synthetic corpus does deny some discovered links
+
+
+def test_custom_policy_bit_for_bit(tmp_path):
+    """SURVEY 2.9 Frontier extension surface: install a FrontierPolicy that
+    rewrites link priorities AND gives even-numbered hosts a smaller budget,
+    with NO edit to crawl.py/frontier.py — the Ray crawl must still match
+    the single-threaded oracle bit-for-bit, and differ from the default."""
+    from sidecar.policy import FrontierPolicy
+
+    class DepthDecayTieredBudget:
+        name = "depth-decay-tiered-budget"
+
+        def link_priority(self, urls, priorities, depths):
+            return np.asarray(priorities, dtype=np.float64) / (1.0 + depths)
+
+        def host_budget(self, hosts, default):
+            # "host03.example.com" -> 3, "hot.example.com" -> 0;
+            # even host index gets half budget
+            idx = np.array([int("".join(c for c in h.split(".")[0] if c.isdigit()) or 0)
+                            for h in hosts])
+            return np.where(idx % 2 == 0, max(default // 2, 1), default).astype(np.int64)
+
+    pol = DepthDecayTieredBudget()
+    assert isinstance(pol, FrontierPolicy)
+
+    want = oracle.crawl(n_seeds=30, n_hosts=10, budget_per_host=3,
+                        max_epochs=3, max_depth=2, policy=pol)
+    got = run_crawl(_cfg(str(tmp_path / "cpol"), policy=pol))
+    assert got["crawl_order"] == want["crawl_order"]
+    assert got["seen"] == want["seen"]
+
+    default = oracle.crawl(n_seeds=30, n_hosts=10, budget_per_host=3,
+                           max_epochs=3, max_depth=2)
+    assert want["crawl_order"] != default["crawl_order"]  # policy had teeth
