@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_decontam": dedup.decontaminate,
         "dedup_passage": dedup.passage_dedup,
         "prep_corpus": prep.prep_corpus,
+        "prep_source_balance": prep.source_balance,
         "prep_images": lambda sf_dir: prep.prep_images(
             images_dataset(sf_dir).map_batches(
                 _image_rows_only, batch_format="pyarrow", zero_copy_batch=True)),
@@ -794,6 +795,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN sig sa ON sa.doc_id = p.doc_a
             JOIN sig sb ON sb.doc_id = p.doc_b AND sb.p = sa.p
             GROUP BY 1, 2
+        """,
+        "prep_source_balance": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ) <= 15
         """,
         "dedup_decontam": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -185,3 +185,55 @@ def prep_corpus(sf_dir: str, min_chars: int = 50) -> "rd.Dataset":
         })
 
     return kept.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- source balancing (mixture)
+
+BALANCE_QUOTA = 15  # docs kept per source
+
+
+def source_balance(sf_dir: str, quota: int = BALANCE_QUOTA) -> "rd.Dataset":
+    """doc_id, source — a balanced data mixture: at most ``quota`` documents
+    per source/domain, chosen by a STABLE pseudo-random order
+    (md5(doc_id-as-string), tiebreak doc_id) so the sample is deterministic,
+    order-independent and resumable.  This is the domain-mixing step of a
+    pre-training pipeline ("cap every domain so no source dominates the
+    mixture"), the per-source analog of rel_systematic_sample.
+
+    100-TB plan: one coarse shuffle of (doc_id, source, rank-hash) rows —
+    never the text; per-source top-k happens vectorized inside each
+    partition task.  Skewed sources cost nothing extra: the rank-hash sort
+    within a partition is O(rows log rows) regardless of source sizes (a
+    per-source heap of size ``quota`` in a combiner is the refinement if a
+    single source outgrows a partition).
+    """
+
+    def with_rank(batch: pa.Table) -> pa.Table:
+        from zlib import crc32
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = batch.column("source").to_pylist()
+        md5 = hashlib.md5
+        rk = [md5(str(i).encode()).hexdigest() for i in ids]
+        part = np.array([crc32(s.encode()) % NUM_SHUFFLE_PARTS for s in srcs],
+                        dtype=np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": pa.array(srcs, pa.string()),
+            "rk": pa.array(rk, pa.string()),
+            "part": pa.array(part, pa.int64()),
+        })
+
+    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["source", "rk", "doc_id"], kind="mergesort")
+        g = g.groupby("source", sort=False).head(quota)
+        return g[["doc_id", "source"]]
+
+    import pandas as pd  # noqa: F401  (map_groups pandas format)
+
+    return (
+        read_documents(sf_dir, columns=("doc_id", "source"))
+        .map_batches(with_rank, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(topk, batch_format="pandas")
+    )

@@ -818,3 +818,21 @@ class TestDecontamPassage:
         w = text.split(" ")
         return (" ".join(w[i:i + PASSAGE_W])
                 for i in range(0, len(w), PASSAGE_W))
+
+
+class TestSourceBalance:
+    def test_quota_and_determinism(self):
+        from sidecar.ops.prep import source_balance
+
+        a = source_balance(SF, quota=7).to_pandas()
+        assert (a.groupby("source").size() <= 7).all()
+        b = source_balance(SF, quota=7).to_pandas()
+        key = ["source", "doc_id"]
+        assert a.sort_values(key).reset_index(drop=True).equals(
+            b.sort_values(key).reset_index(drop=True))
+        # sources with >= 7 docs are capped exactly at 7
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["source"])
+        full = t.to_pandas()["source"].value_counts()
+        got = a.groupby("source").size()
+        for src, n in full.items():
+            assert got.get(src, 0) == min(n, 7)
