@@ -217,6 +217,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         both = base.union(multimodal.lossy_reencode(base))
         return multimodal.phash_neardup(both)
 
+    def mm_phash_components(sf_dir: str):
+        """Cluster assembly over the perceptual pair graph (rows-only; the
+        base ∪ re-encode construction guarantees every base/re-encode pair
+        lands in one component — asserted exactly in tests)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc_
+
+        def image_rows_only(batch: pa.Table) -> pa.Table:
+            mask = pc_.is_in(batch.column("fmt"),
+                             value_set=pa.array(["png", "ppm", "b16"]))
+            return batch.filter(mask)
+
+        base = images_dataset(sf_dir).map_batches(
+            image_rows_only, batch_format="pyarrow", zero_copy_batch=True)
+        both = base.union(multimodal.lossy_reencode(base))
+        return multimodal.phash_components(both)
+
     def mm_audio_features(sf_dir: str):
         """Audio feature-extract PLUMBING over opaque binary payloads (the
         decode itself is a deterministic fake — no audio libs in this
@@ -417,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdxj_merge_exact": cdxj_merge_exact,
         "multimodal_image_stats": mm_image_stats,
         "multimodal_phash_neardup": mm_phash_neardup,
+        "multimodal_phash_components": mm_phash_components,
         "multimodal_audio_features": mm_audio_features,
         "multimodal_video_frame_sample": mm_video_frame_sample,
         "crawl_demo": crawl_demo,

@@ -320,3 +320,49 @@ def image_resize(images_ds: "rd.Dataset", out_w: int = 32, out_h: int = 32,
         zero_copy_batch=True,
         concurrency=_pool_size(concurrency),
     )
+
+
+def phash_components(images_ds: "rd.Dataset", max_dist: int = 7,
+                     *, batch_size: int = 64,
+                     concurrency: "int | tuple | None" = None) -> "pa.Table":
+    """image_id, component_id — connected components over the perceptual
+    near-dup pair graph (``phash_neardup``): the cluster-assembly step that
+    turns pairwise phash hits into image dedup groups, the image mirror of
+    ``dedup.lsh_components``.  ``component_id`` = lexicographic min image_id
+    reachable.
+
+    The edge list is tiny relative to the corpus (only images with a banded
+    phash collision appear), so union-find streams it on the driver; at a
+    scale where even edges outgrow one node the fallback is iterative
+    min-label propagation (groupby(node).aggregate(Min(label)) to fixpoint)
+    exactly as documented for lsh_components (dedup.py:549).
+    """
+    pairs = phash_neardup(images_ds, max_dist,
+                          batch_size=batch_size, concurrency=concurrency)
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in pairs.iter_batches(batch_format="pyarrow", batch_size=4096):
+        for a, b in zip(batch.column("id_a").to_pylist(),
+                        batch.column("id_b").to_pylist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:  # union by min keeps component_id = min(image_id)
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+
+    ids = sorted(parent)
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "component_id": pa.array([find(i) for i in ids], pa.string()),
+    })

@@ -836,3 +836,47 @@ class TestSourceBalance:
         got = a.groupby("source").size()
         for src, n in full.items():
             assert got.get(src, 0) == min(n, 7)
+
+
+class TestPhashComponents:
+    def test_components_match_bruteforce_union_find(self, images_table):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray.data as rd
+
+        from sidecar.ops.multimodal import lossy_reencode, phash_components, phash_neardup
+
+        img_only = images_table.filter(
+            pc.is_in(images_table.column("fmt"),
+                     value_set=pa.array(["png", "ppm", "b16"]))).slice(0, 80)
+        base = rd.from_arrow(img_only)
+        both = base.union(lossy_reencode(base, concurrency=2))
+        got = phash_components(both, concurrency=2).to_pandas()
+        comp = dict(zip(got["image_id"], got["component_id"]))
+
+        # brute-force union-find over the (already pigeonhole-exact) pairs
+        pairs = phash_neardup(
+            base.union(lossy_reencode(base, concurrency=2)),
+            concurrency=2).to_pandas()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(pairs["id_a"], pairs["id_b"]):
+            parent.setdefault(a, a), parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                hi, lo = max(ra, rb), min(ra, rb)
+                parent[hi] = lo
+        want = {i: find(i) for i in parent}
+        assert comp == want
+        # construction guarantee: every base/~b16 re-encode pair is joined
+        for i, c in comp.items():
+            if i.endswith("~b16"):
+                assert comp.get(i[:-4], c) == c
+        assert len(comp) > 0
