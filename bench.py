@@ -51,6 +51,8 @@ def _consume(ds) -> int:
 BENCH_QUERIES = (
     "sidecar_extract",
     "dedup_minhash_lsh",
+    "dedup_passage",
+    "dedup_decontam",
     "dedup_embedding_cosine",
     "sim_ann_topk",
     "rel_pricing_summary",
