@@ -22,6 +22,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from sidecar.storage import read_parquet_clean
+
 # Shared CTE prefix for the shingle-based dedup oracles: word-3-gram
 # shingles from single-space tokenization (identical to sidecar.ops.dedup).
 _SHINGLES_CTE = """
@@ -301,9 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     pa.string()),
             })
 
-        import ray.data as rd
-
-        original = rd.read_parquet(
+        original = read_parquet_clean(
             f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
             original_rows, batch_format="pyarrow", zero_copy_batch=True)
         return merge_cdxj(meta, original)
@@ -313,11 +313,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         serialization) over deterministic SQL-reproducible sidecar rows —
         the hash-exact twin of the rows-only cdxj_project (which runs over
         live detector output)."""
-        import ray.data as rd
-
         from sidecar.cdxj import cdxj_from_sidecar
 
-        side = rd.read_parquet(f"{sf_dir}/documents.parquet",
+        side = read_parquet_clean(f"{sf_dir}/documents.parquet",
                                columns=["doc_id"]).map_batches(
             _synth_cdxj_sidecar, batch_format="pyarrow", zero_copy_batch=True)
         return cdxj_from_sidecar(side)
@@ -333,14 +331,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import pyarrow as pa
         import pyarrow.compute as pc_
 
-        import ray.data as rd
-
         from sidecar.canon import surt as _surt
         from sidecar.cdxj import cdxj_from_sidecar, merge_cdxj
 
         docs = f"{sf_dir}/documents.parquet"
         meta = cdxj_from_sidecar(
-            rd.read_parquet(docs, columns=["doc_id"]).map_batches(
+            read_parquet_clean(docs, columns=["doc_id"]).map_batches(
                 _synth_meta_sidecar, batch_format="pyarrow",
                 zero_copy_batch=True))
 
@@ -355,7 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     pa.string()),
             })
 
-        orig = rd.read_parquet(docs, columns=["doc_id"]).map_batches(
+        orig = read_parquet_clean(docs, columns=["doc_id"]).map_batches(
             original, batch_format="pyarrow", zero_copy_batch=True)
 
         def cast_matched(batch: pa.Table) -> pa.Table:
@@ -393,12 +389,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_passage": dedup.passage_dedup,
         "prep_corpus": prep.prep_corpus,
         "prep_source_balance": prep.source_balance,
+        "prep_pairs": lambda sf_dir: prep.prep_pairs(images_dataset(sf_dir)),
         "prep_images": lambda sf_dir: prep.prep_images(
             images_dataset(sf_dir).map_batches(
                 _image_rows_only, batch_format="pyarrow", zero_copy_batch=True)),
         # --- similarity search (embeddings) ------------------------------
         "sim_ann_topk": similarity.ann_topk,
         "sim_ann_ivf": similarity.ann_topk_ivf,               # rows-only (approx)
+        "sim_ann_int8_rerank": similarity.ann_topk_int8,      # rows-only (approx)
         "sim_kmeans": similarity.kmeans,                      # rows-only (iterative)
         "sim_quantize_int8": similarity.quantize_int8,        # rows-only (round ties)
         # --- relational core (groupby/join/sort/window) ------------------
@@ -414,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessionize": relational.sessionize,
         "rel_events_sliding": relational.events_sliding,
         "rel_running_totals": relational.running_totals,
+        "rel_order_gaps": relational.order_gaps,
         "rel_range_join_acctbal": relational.range_join_acctbal,
         "rel_group_topk": relational.group_topk_orders,
         "rel_nation_quantiles": relational.nation_acctbal_quantiles,
@@ -656,6 +655,16 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY event_type
                          ORDER BY epoch_us(ts), event_id
                          ROWS UNBOUNDED PRECEDING)
+        """,
+        "rel_order_gaps": """
+            SELECT o_custkey, o_orderkey, gap_us FROM (
+                SELECT o_custkey, o_orderkey,
+                       epoch_us(o_orderdate)
+                         - lag(epoch_us(o_orderdate)) OVER w AS gap_us
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY epoch_us(o_orderdate), o_orderkey)
+            ) WHERE gap_us IS NOT NULL
         """,
         "rel_range_join_acctbal": """
             SELECT s.s_suppkey, count(*)::BIGINT AS n_close_customers

@@ -33,6 +33,7 @@ import ray
 import ray.data as rd
 
 from sidecar.ops.text import read_documents
+from sidecar.storage import read_parquet_clean
 
 NUM_PERMS = 8     # minhash permutations (p = 0..7)
 NUM_BANDS = 4     # LSH bands of ROWS_PER_BAND signature rows each
@@ -480,7 +481,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4) -> "rd.Dataset":
                          "vec_b": pa.array(b[keep], pa.int64())})
 
     return (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
     )
 
@@ -536,7 +537,7 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
                              "vec_b": pd.Series(ids[c][keep], dtype="int64")})
 
     candidates = (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["table", "bucket"])
         .map_groups(pairs_in_bucket, batch_format="pandas")

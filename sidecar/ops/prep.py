@@ -237,3 +237,71 @@ def source_balance(sf_dir: str, quota: int = BALANCE_QUOTA) -> "rd.Dataset":
         .groupby("part")
         .map_groups(topk, batch_format="pandas")
     )
+
+
+# LAION-style pair-curation gates (prep_pairs); mirrored by the
+# single-threaded reference in tests/test_ops.py.
+PAIR_MIN_SIDE = 32        # drop tiny images
+PAIR_MAX_ASPECT = 4.0     # drop aspect ratios above this (== 4.0 is kept)
+PAIR_MIN_TOKENS = 5       # drop empty / near-empty captions
+PAIR_MAX_TOKENS = 64      # drop runaway captions
+
+
+def prep_pairs(images_ds: "rd.Dataset") -> "rd.Dataset":
+    """image_id, w, h, fmt, n_caption_tokens, phash — LAION-style curation
+    of an image+caption table into a training-ready manifest:
+
+      1. geometry gate: decodable image fmt, min(w,h) >= PAIR_MIN_SIDE,
+         max(w,h)/min(w,h) <= PAIR_MAX_ASPECT;
+      2. caption gate: whitespace token count in
+         [PAIR_MIN_TOKENS, PAIR_MAX_TOKENS] (empty captions drop);
+      3. perceptual exact dedup: one row per phash, keeping min image_id —
+         the stored phash column is used directly (the crawl already paid
+         the decode; no second decode pass, unlike ``prep_images`` whose
+         job is to *recompute* and near-dup-sweep).
+
+    Every gate is a vectorized Arrow/numpy kernel over metadata columns —
+    image BYTES are never read, so the stage streams at column-scan speed
+    and nothing but (id, hash)-sized rows reach the dedup shuffle.  The
+    dedup is a groupby(phash) min-aggregate: at 100 TB that is the only
+    exchange, keyed by an int64 with near-uniform distribution."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.float64)
+        fmt_ok = pc.is_in(batch.column("fmt"),
+                          value_set=pa.array(["png", "ppm", "b16"])) \
+            .to_numpy(zero_copy_only=False)
+        mn = np.minimum(w, h)
+        mx = np.maximum(w, h)
+        geo_ok = (mn >= PAIR_MIN_SIDE) & (mx <= PAIR_MAX_ASPECT * mn)
+        ntok = np.array(
+            [len(c.split()) if c else 0
+             for c in batch.column("caption").to_pylist()], dtype=np.int64)
+        cap_ok = (ntok >= PAIR_MIN_TOKENS) & (ntok <= PAIR_MAX_TOKENS)
+        keep = pa.array(fmt_ok & geo_ok & cap_ok)
+        out = batch.select(["image_id", "w", "h", "fmt", "phash"]) \
+            .append_column("n_caption_tokens", pa.array(ntok, pa.int64()))
+        return out.filter(keep)
+
+    gated = images_ds.map_batches(gate, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    # Dedup: min image_id per phash (ids only in the exchange), then a
+    # broadcast-id semi-join back onto the gated rows for the full manifest.
+    from ray.data.aggregate import Min
+
+    keep_ids: set[str] = set()
+    for b in (gated.select_columns(["phash", "image_id"])
+              .groupby("phash").aggregate(Min("image_id", alias_name="keep"))
+              .iter_batches(batch_format="pyarrow")):
+        keep_ids.update(b.column("keep").to_pylist())
+    keep_ref = ray.put(np.array(sorted(keep_ids)))
+
+    def keep_canonical(batch: pa.Table) -> pa.Table:
+        kp = ray.get(keep_ref)
+        return batch.filter(
+            pc.is_in(batch.column("image_id"), value_set=pa.array(kp)))
+
+    return gated.map_batches(keep_canonical, batch_format="pyarrow",
+                             zero_copy_batch=True)

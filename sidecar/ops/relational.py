@@ -27,6 +27,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from sidecar.storage import read_parquet_clean
+
 
 def _cents(col: "pa.ChunkedArray | pa.Array") -> "pa.Array":
     """Float aggregate → integer cents: round(x*100) as int64.
@@ -69,7 +71,7 @@ def pricing_summary(sf_dir: str) -> "rd.Dataset":
         })
 
     return (
-        rd.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/lineitem.parquet",
             columns=["l_returnflag", "l_linestatus", "l_quantity",
                      "l_extendedprice", "l_discount"],
@@ -122,7 +124,7 @@ def top_revenue_orders(sf_dir: str, k: int = 20) -> "pd.DataFrame":
                               ascending=[False, True]).head(k)
 
     top = (
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
         .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
@@ -171,7 +173,7 @@ def events_windowed(sf_dir: str, window_s: int = 3600) -> "rd.Dataset":
         })
 
     return (
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        read_parquet_clean(f"{sf_dir}/events.parquet",
                         columns=["event_type", "ts", "value"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "win"])
@@ -202,7 +204,7 @@ def customer_order_stats(sf_dir: str) -> "rd.Dataset":
         })
 
     return (
-        rd.read_parquet(f"{sf_dir}/orders.parquet",
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
                         columns=["o_custkey", "o_orderdate", "o_totalprice"])
         .map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("o_custkey")
@@ -246,7 +248,7 @@ def supplier_part_join(sf_dir: str) -> "rd.Dataset":
         })
 
     return (
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                         columns=["l_suppkey", "l_partkey", "l_quantity"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_suppkey", "l_partkey"])
@@ -304,10 +306,10 @@ def asof_last_order(sf_dir: str) -> "rd.Dataset":
             "last_orderkey": oid[idx[ok]],
         })
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+    ev = read_parquet_clean(f"{sf_dir}/events.parquet",
                          columns=["event_id", "ts", "user_id"]) \
         .map_batches(ev_rows, batch_format="pyarrow", zero_copy_batch=True)
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(ord_rows, batch_format="pyarrow", zero_copy_batch=True)
     return ev.union(orders).groupby("key").map_groups(asof_group, batch_format="pandas")
@@ -324,9 +326,9 @@ def union_nations(sf_dir: str) -> "rd.Dataset":
             return pa.table({"nationkey": pa.array(np.unique(vals), pa.int64())})
         return f
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"]) \
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_nationkey"]) \
         .map_batches(proj("c_nationkey"), batch_format="pyarrow", zero_copy_batch=True)
-    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"]) \
+    sup = read_parquet_clean(f"{sf_dir}/supplier.parquet", columns=["s_nationkey"]) \
         .map_batches(proj("s_nationkey"), batch_format="pyarrow", zero_copy_batch=True)
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
@@ -357,7 +359,7 @@ def except_customers(sf_dir: str, min_bal: float = 5000.0,
         keep = ~np.isin(vals, s)
         return pa.table({"c_custkey": pa.array(vals[keep], pa.int64())})
 
-    return rd.read_parquet(f"{sf_dir}/customer.parquet",
+    return read_parquet_clean(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_acctbal"]) \
         .map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -377,7 +379,7 @@ def systematic_sample(sf_dir: str, every: int = 100) -> "rd.Dataset":
                     zero_copy_only=False)[keep])),
         })
 
-    return rd.read_parquet(f"{sf_dir}/orders.parquet",
+    return read_parquet_clean(f"{sf_dir}/orders.parquet",
                            columns=["o_orderkey", "o_totalprice"]) \
         .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -419,7 +421,7 @@ def sessionize(sf_dir: str, gap_s: int = 1800) -> "rd.Dataset":
         })
 
     return (
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        read_parquet_clean(f"{sf_dir}/events.parquet",
                         columns=["user_id", "event_id", "ts"])
         .map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("user_id")
@@ -449,7 +451,7 @@ def events_sliding(sf_dir: str, window_s: int = 3600, slide_s: int = 1800) -> "r
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return (
-        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+        read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "win_start"])
         .aggregate(Sum("p_n", alias_name="n_events"))
@@ -483,7 +485,7 @@ def running_totals(sf_dir: str) -> "rd.Dataset":
         })
 
     return (
-        rd.read_parquet(f"{sf_dir}/events.parquet",
+        read_parquet_clean(f"{sf_dir}/events.parquet",
                         columns=["event_type", "event_id", "ts", "value"])
         .map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("event_type")
@@ -515,7 +517,7 @@ def group_topk_orders(sf_dir: str, k: int = 3) -> "rd.Dataset":
         return g[["o_custkey", "o_orderkey", "o_totalprice_cents", "rank"]]
 
     return (
-        rd.read_parquet(f"{sf_dir}/orders.parquet",
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
                         columns=["o_custkey", "o_orderkey", "o_totalprice"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("o_custkey")
@@ -555,7 +557,7 @@ def nation_acctbal_quantiles(sf_dir: str) -> "rd.Dataset":
         })
 
     return (
-        rd.read_parquet(f"{sf_dir}/customer.parquet",
+        read_parquet_clean(f"{sf_dir}/customer.parquet",
                         columns=["c_nationkey", "c_acctbal"])
         .map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("c_nationkey")
@@ -581,7 +583,7 @@ def semi_join_big_orders(sf_dir: str, min_qty: float = 47.0) -> "rd.Dataset":
         return pa.table({"k": pa.array(np.unique(keys), pa.int64())})
 
     chunks = [b.column("k").to_numpy(zero_copy_only=False)
-              for b in (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+              for b in (read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                                         columns=["l_orderkey", "l_quantity"])
                         .map_batches(distinct_keys, batch_format="pyarrow",
                                      zero_copy_batch=True)
@@ -600,7 +602,7 @@ def semi_join_big_orders(sf_dir: str, min_qty: float = 47.0) -> "rd.Dataset":
                     zero_copy_only=False)[keep])),
         })
 
-    return rd.read_parquet(f"{sf_dir}/orders.parquet",
+    return read_parquet_clean(f"{sf_dir}/orders.parquet",
                            columns=["o_orderkey", "o_totalprice"]) \
         .map_batches(semi, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -628,7 +630,7 @@ def small_qty_lineitems(sf_dir: str) -> "rd.Dataset":
     # its (key, n, sum) Arrow columns into sorted numpy arrays — no per-row
     # Python dict building — and broadcasts the object ref once
     kc, nc, sc = [], [], []
-    for b in (rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    for b in (read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                               columns=["l_partkey", "l_quantity"])
               .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
               .groupby("l_partkey")
@@ -660,7 +662,7 @@ def small_qty_lineitems(sf_dir: str) -> "rd.Dataset":
             "l_quantity_cents": _cents(pa.array(qty[keep])),
         })
 
-    return rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    return read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                            columns=["l_orderkey", "l_linenumber", "l_partkey",
                                     "l_quantity"]) \
         .map_batches(small, batch_format="pyarrow", zero_copy_batch=True)
@@ -695,7 +697,7 @@ def global_rank_sample(sf_dir: str, every: int = 1000) -> "rd.Dataset":
         return pa.table({"bucket": pa.array(u, pa.int64()),
                          "n": pa.array(c.astype(np.int64), pa.int64())})
 
-    base = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    base = read_parquet_clean(f"{sf_dir}/orders.parquet",
                            columns=["o_orderkey", "o_orderdate"]) \
         .map_batches(to_bucket, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -741,7 +743,7 @@ def customers_order_counts_left(sf_dir: str) -> "rd.Dataset":
                          "p_n": pa.array(c.astype(np.int64), pa.int64())})
 
     kc, nc = [], []
-    for b in (rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    for b in (read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
               .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
               .groupby("o_custkey").aggregate(Sum("p_n", alias_name="n"))
               .iter_batches(batch_format="pyarrow")):
@@ -767,7 +769,7 @@ def customers_order_counts_left(sf_dir: str) -> "rd.Dataset":
                                  pa.int64()),
         })
 
-    return rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]) \
+    return read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"]) \
         .map_batches(left_join, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -788,7 +790,7 @@ def distinct_count_custkey(sf_dir: str) -> "pa.Table":
         return pd.DataFrame({"p_n": [np.int64(g["k"].nunique())]})
 
     total = (
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(count_distinct, batch_format="pandas")
@@ -856,7 +858,7 @@ def approx_distinct_custkey(sf_dir: str) -> "pa.Table":
                                           pa.list_(pa.int8()))})
 
     regs = np.zeros(HLL_M, dtype=np.int8)
-    for b in (rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    for b in (read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
               .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
               .iter_batches(batch_format="pyarrow")):
         for r in b.column("regs").to_pylist():
@@ -917,10 +919,10 @@ def orders_lineitem_join(sf_dir: str) -> "rd.Dataset":
             "o_orderpriority": out["o_orderpriority"].to_numpy(),
         })
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderpriority"]) \
         .map_batches(ord_rows, batch_format="pyarrow", zero_copy_batch=True)
-    items = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+    items = read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                             columns=["l_orderkey", "l_linenumber", "l_quantity"]) \
         .map_batches(li_rows, batch_format="pyarrow", zero_copy_batch=True)
     return (orders.union(items)
@@ -946,7 +948,7 @@ def pricing_rollup(sf_dir: str) -> "pd.DataFrame":
         return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     finest = (
-        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+        read_parquet_clean(f"{sf_dir}/lineitem.parquet",
                         columns=["l_returnflag", "l_linestatus", "l_quantity"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
@@ -1020,10 +1022,10 @@ def range_join_acctbal(sf_dir: str, band: float = 10.0) -> "rd.Dataset":
         keep = n > 0
         return pd.DataFrame({"s_suppkey": sk[keep], "p_n": n[keep]})
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_acctbal"]) \
         .map_batches(cust_rows, batch_format="pyarrow", zero_copy_batch=True)
-    supp = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+    supp = read_parquet_clean(f"{sf_dir}/supplier.parquet",
                            columns=["s_suppkey", "s_acctbal"]) \
         .map_batches(supp_rows, batch_format="pyarrow", zero_copy_batch=True)
     return (
@@ -1032,4 +1034,52 @@ def range_join_acctbal(sf_dir: str, band: float = 10.0) -> "rd.Dataset":
         .map_groups(match_bucket, batch_format="pandas")
         .groupby("s_suppkey")
         .aggregate(Sum("p_n", alias_name="n_close_customers"))
+    )
+
+
+def order_gaps(sf_dir: str) -> "rd.Dataset":
+    """o_custkey, o_orderkey, gap_us — the LAG window family: time between
+    each customer's consecutive orders (microseconds, so the compare is
+    integer-exact).  First order per customer is dropped (its lag is NULL).
+
+    Plan: one shuffle on a COARSE partition key (custkey % 64), then a
+    vectorized in-task pass — sort by (custkey, ts, orderkey), np.diff, mask
+    customer boundaries — instead of per-customer ``map_groups`` dispatch
+    (64 tasks regardless of customer count; the per-key-dispatch version is
+    ~50× slower on high-cardinality keys).  Order dependence is explicit:
+    ties on (ts) break by orderkey, matching the SQL window's ORDER BY."""
+
+    def proj(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey")
+        return pa.table({
+            "part": pc.bit_wise_and(ck, pa.scalar(63, pa.int64())),
+            "o_custkey": ck,
+            "o_orderkey": batch.column("o_orderkey"),
+            "ts_us": pc.cast(batch.column("o_orderdate"), pa.int64()),
+        })
+
+    def gaps(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["o_custkey", "ts_us", "o_orderkey"])
+        cust = g["o_custkey"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        keep = np.ones(len(g), dtype=bool)
+        keep[0] = False
+        keep[1:] = cust[1:] == cust[:-1]  # drop each customer's first order
+        # fresh metadata-free Arrow table (not pandas) so no downstream
+        # operator sees an unhashable b'pandas' schema blob
+        return pa.table({
+            "o_custkey": pa.array(cust[keep], pa.int64()),
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy()[keep], pa.int64()),
+            "gap_us": pa.array(gap[keep], pa.int64()),
+        })
+
+    return (
+        read_parquet_clean(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderkey", "o_orderdate"])
+        .map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(gaps, batch_format="pandas")
     )

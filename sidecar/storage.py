@@ -38,7 +38,21 @@ def strip_schema_metadata(batch: pa.Table) -> pa.Table:
 
 def read_parquet_clean(path: str, columns: list[str] | None = None,
                        **kwargs) -> "rd.Dataset":
-    """``read_parquet`` with schema metadata stripped at the read boundary."""
+    """``read_parquet`` with schema metadata stripped at the read boundary.
+
+    For a single parquet file the clean (metadata-free) schema is read from
+    the footer on the driver and pushed into the scan as ``schema=`` — the
+    read op then emits hashable schemas from the start, so Ray's early-exit
+    schema dedup works inside ``ReadParquet->SplitBlocks`` itself (a
+    downstream strip stage can't reach that point) and no extra operator is
+    added.  Directory / multi-file inputs fall back to a fused strip stage."""
+    if "schema" not in kwargs and isinstance(path, str) and os.path.isfile(path):
+        import pyarrow.parquet as pq
+
+        full = pq.read_schema(path).remove_metadata()
+        kwargs["schema"] = (
+            pa.schema([full.field(c) for c in columns]) if columns else full)
+        return rd.read_parquet(path, columns=columns, **kwargs)
     return rd.read_parquet(path, columns=columns, **kwargs).map_batches(
         strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True)
 

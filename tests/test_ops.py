@@ -880,3 +880,60 @@ class TestPhashComponents:
             if i.endswith("~b16"):
                 assert comp.get(i[:-4], c) == c
         assert len(comp) > 0
+
+
+class TestRound2Additions:
+    def test_ann_int8_rerank_matches_bruteforce(self):
+        from sidecar.ops.similarity import ann_topk, ann_topk_int8
+
+        a = ann_topk(SF).to_pandas()
+        b = ann_topk_int8(SF).to_pandas()
+        for q in set(a.query_id):
+            want = set(a[a.query_id == q]["vec_id"])
+            got = set(b[b.query_id == q]["vec_id"])
+            # int8 scan + exact rerank recovers the exact top-k on the
+            # fixture corpus (overscan=4 absorbs the quantization error)
+            assert got == want
+
+    def test_prep_pairs_matches_reference(self, images_table):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from sidecar.ops.prep import (
+            PAIR_MAX_ASPECT,
+            PAIR_MAX_TOKENS,
+            PAIR_MIN_SIDE,
+            PAIR_MIN_TOKENS,
+            prep_pairs,
+        )
+
+        rows = images_table.to_pylist()
+        # constructed duplicates: same phash/caption, larger image_id —
+        # the dedup stage must drop every one of them
+        dups = [dict(r, image_id=r["image_id"] + "-dup")
+                for r in rows if r["fmt"] in ("png", "ppm", "b16")][:5]
+        full = pa.Table.from_pylist(rows + dups, schema=images_table.schema)
+
+        got = prep_pairs(rd.from_arrow(full)).to_pandas()
+
+        keep: dict[int, dict] = {}
+        for r in rows + dups:
+            if r["fmt"] not in ("png", "ppm", "b16"):
+                continue
+            mn, mx = min(r["w"], r["h"]), max(r["w"], r["h"])
+            if mn < PAIR_MIN_SIDE or mx > PAIR_MAX_ASPECT * mn:
+                continue
+            ntok = len(r["caption"].split()) if r["caption"] else 0
+            if not (PAIR_MIN_TOKENS <= ntok <= PAIR_MAX_TOKENS):
+                continue
+            cur = keep.get(r["phash"])
+            if cur is None or r["image_id"] < cur["image_id"]:
+                keep[r["phash"]] = r
+
+        assert len(got) == len(keep)
+        assert set(got["image_id"]) == {r["image_id"] for r in keep.values()}
+        ref_tok = {r["image_id"]: (len(r["caption"].split()) if r["caption"] else 0)
+                   for r in keep.values()}
+        for _, row in got.iterrows():
+            assert row["n_caption_tokens"] == ref_tok[row["image_id"]]
