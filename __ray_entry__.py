@@ -413,6 +413,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_sliding": relational.events_sliding,
         "rel_running_totals": relational.running_totals,
         "rel_order_gaps": relational.order_gaps,
+        "rel_stratified_sample": relational.stratified_sample,
+        "rel_mode_segment": relational.mode_segment,
+        "rel_pivot_events": relational.pivot_events,
         "rel_range_join_acctbal": relational.range_join_acctbal,
         "rel_group_topk": relational.group_topk_orders,
         "rel_nation_quantiles": relational.nation_acctbal_quantiles,
@@ -665,6 +668,37 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY o_custkey
                              ORDER BY epoch_us(o_orderdate), o_orderkey)
             ) WHERE gap_us IS NOT NULL
+        """,
+        "rel_stratified_sample": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(o_totalprice * 100)::BIGINT AS o_totalprice_cents
+            FROM orders
+            WHERE ((o_orderkey * 2654435761) % 4294967296) % 1000 <
+                  CASE o_orderpriority
+                       WHEN '1-URGENT' THEN 400
+                       WHEN '2-HIGH' THEN 250
+                       WHEN '3-MEDIUM' THEN 150
+                       WHEN '4-NOT SPECIFIED' THEN 100
+                       WHEN '5-LOW' THEN 50
+                       ELSE 0 END
+        """,
+        "rel_mode_segment": """
+            SELECT c_nationkey, c_mktsegment AS top_segment, n_customers
+            FROM (SELECT c_nationkey, c_mktsegment,
+                         count(*)::BIGINT AS n_customers
+                  FROM customer GROUP BY 1, 2)
+            QUALIFY row_number() OVER (
+                PARTITION BY c_nationkey
+                ORDER BY n_customers DESC, c_mktsegment) = 1
+        """,
+        "rel_pivot_events": """
+            SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+            FROM events GROUP BY 1
         """,
         "rel_range_join_acctbal": """
             SELECT s.s_suppkey, count(*)::BIGINT AS n_close_customers

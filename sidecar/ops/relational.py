@@ -1083,3 +1083,131 @@ def order_gaps(sf_dir: str) -> "rd.Dataset":
         .groupby("part")
         .map_groups(gaps, batch_format="pandas")
     )
+
+
+# Per-stratum sampling rates (permille) for stratified_sample: higher
+# priorities keep more rows — the "rebalance the mixture" knob.
+STRATA_PERMILLE = {
+    "1-URGENT": 400,
+    "2-HIGH": 250,
+    "3-MEDIUM": 150,
+    "4-NOT SPECIFIED": 100,
+    "5-LOW": 50,
+}
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (golden-ratio)
+
+
+def stratified_sample(sf_dir: str) -> "rd.Dataset":
+    """o_orderkey, o_orderpriority, o_totalprice_cents — deterministic
+    STRATIFIED sample: each stratum (order priority) keeps a different
+    fraction of its rows, selected by a stable integer hash — the
+    source-mixture rebalancing primitive (vs ``systematic_sample``'s single
+    global rate).
+
+    The hash is Knuth's multiplicative scheme ``(key·2654435761) mod 2^32``
+    — pure int64 arithmetic, so it is bit-identical in numpy and ANSI SQL
+    (no md5 per-row loop) and the whole operator is a shuffle-free
+    vectorized filter: sampling 100 TB touches each block exactly once and
+    moves nothing."""
+    strata = list(STRATA_PERMILLE)
+    quotas = np.array([STRATA_PERMILLE[s] for s in strata], dtype=np.int64)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        prio = np.asarray(batch.column("o_orderpriority"))
+        quota = np.select([prio == s for s in strata], quotas, default=0)
+        h = (keys * _KNUTH) % (1 << 32)
+        keep = (h % 1000) < quota
+        return pa.table({
+            "o_orderkey": pa.array(keys[keep], pa.int64()),
+            "o_orderpriority": pa.array(prio[keep], pa.string()),
+            "o_totalprice_cents": _cents(
+                pa.array(batch.column("o_totalprice").to_numpy(
+                    zero_copy_only=False)[keep])),
+        })
+
+    return read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"]) \
+        .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mode_segment(sf_dir: str) -> "rd.Dataset":
+    """c_nationkey, top_segment, n_customers — per-group MODE/argmax: each
+    nation's most common market segment (ties break to the lexicographically
+    smallest segment, so the result is deterministic).
+
+    Two-level plan: per-batch partial (nation, segment) counts collapse each
+    block to ≤ |nations|×|segments| rows before the shuffle, the global
+    groupby sums partials, and the tiny per-nation argmax runs as
+    ``map_groups`` — the exchange carries counter rows only, never
+    customers, so cardinality at 100 TB is bounded by the key-pair count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "c_nationkey": batch.column("c_nationkey").to_numpy(
+                zero_copy_only=False),
+            "c_mktsegment": np.asarray(batch.column("c_mktsegment")),
+        })
+        g = df.groupby(["c_nationkey", "c_mktsegment"], as_index=False).size()
+        return pa.table({
+            "c_nationkey": pa.array(g["c_nationkey"].to_numpy(), pa.int64()),
+            "c_mktsegment": pa.array(g["c_mktsegment"], pa.string()),
+            "p_n": pa.array(g["size"].to_numpy(), pa.int64()),
+        })
+
+    def argmax(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["n_customers", "c_mktsegment"],
+                          ascending=[False, True])
+        top = g.iloc[0]
+        return pa.table({
+            "c_nationkey": pa.array([int(top["c_nationkey"])], pa.int64()),
+            "top_segment": pa.array([str(top["c_mktsegment"])], pa.string()),
+            "n_customers": pa.array([int(top["n_customers"])], pa.int64()),
+        })
+
+    return (
+        read_parquet_clean(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey", "c_mktsegment"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .aggregate(Sum("p_n", alias_name="n_customers"))
+        .groupby("c_nationkey")
+        .map_groups(argmax, batch_format="pandas")
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+_DAY_US = 86_400_000_000
+
+
+def pivot_events(sf_dir: str) -> "rd.Dataset":
+    """day_us, n_click, n_error, n_purchase, n_signup, n_view — PIVOT: the
+    event log turned into one row per UTC day with a count column per event
+    type (the long→wide reshape; the column set is the fixed known type
+    vocabulary, as pivot requires).
+
+    Per-batch partial pivot (vectorized indicator sums per day) collapses
+    each block to ≤ |days| rows carrying 5 counters; the single groupby sums
+    partials — at 100 TB the exchange is days × 6 ints, independent of event
+    count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = (us // _DAY_US) * _DAY_US
+        et = np.asarray(batch.column("event_type"))
+        days, inv = np.unique(day, return_inverse=True)
+        cols = {"day_us": pa.array(days, pa.int64())}
+        for t in EVENT_TYPES:
+            cnt = np.bincount(inv, weights=(et == t), minlength=len(days))
+            cols[f"n_{t}"] = pa.array(cnt.astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return (
+        read_parquet_clean(f"{sf_dir}/events.parquet",
+                           columns=["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day_us")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES])
+    )

@@ -937,3 +937,46 @@ class TestRound2Additions:
                    for r in keep.values()}
         for _, row in got.iterrows():
             assert row["n_caption_tokens"] == ref_tok[row["image_id"]]
+
+
+class TestRelationalRound2:
+    def test_stratified_sample_matches_pandas(self):
+        from sidecar.ops.relational import STRATA_PERMILLE, stratified_sample
+
+        got = stratified_sample(SF).to_pandas()
+        df = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+        h = (df.o_orderkey.to_numpy() * 2654435761) % (1 << 32)
+        quota = df.o_orderpriority.map(STRATA_PERMILLE).to_numpy()
+        want = df[(h % 1000) < quota]
+        assert set(got["o_orderkey"]) == set(want["o_orderkey"])
+        # every stratum's keep-rate is within sampling noise of its quota
+        for s, q in STRATA_PERMILLE.items():
+            n_s = (df.o_orderpriority == s).sum()
+            k_s = (got.o_orderpriority == s).sum()
+            assert abs(k_s / n_s - q / 1000) < 0.1
+
+    def test_mode_segment_matches_pandas(self):
+        from sidecar.ops.relational import mode_segment
+
+        got = mode_segment(SF).to_pandas().set_index("c_nationkey")
+        df = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+        cnt = df.groupby(["c_nationkey", "c_mktsegment"]).size()
+        for nk, sub in cnt.groupby(level=0):
+            sub = sub.droplevel(0).sort_index()
+            top = sub.sort_values(ascending=False, kind="stable")
+            best_n = top.iloc[0]
+            best_seg = min(s for s, n in sub.items() if n == best_n)
+            assert got.loc[nk, "top_segment"] == best_seg
+            assert got.loc[nk, "n_customers"] == best_n
+
+    def test_pivot_events_matches_pandas(self):
+        from sidecar.ops.relational import EVENT_TYPES, pivot_events
+
+        got = pivot_events(SF).to_pandas().set_index("day_us").sort_index()
+        df = pq.read_table(f"{SF}/events.parquet").to_pandas()
+        us = df.ts.astype("int64")
+        day = (us // 86_400_000_000) * 86_400_000_000
+        want = df.assign(day_us=day).groupby("day_us").event_type.value_counts()
+        assert int(got[[f"n_{t}" for t in EVENT_TYPES]].sum().sum()) == len(df)
+        for (d, t), n in want.items():
+            assert got.loc[d, f"n_{t}"] == n
