@@ -256,6 +256,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
             concurrency=(1, 4))
 
+    def mm_image_resize(sf_dir: str):
+        """Nearest-neighbor 32x32 thumbnailing through the actor-pool
+        decode→resize→re-encode stage (ST8 family); returns the resized
+        manifest with the payload bytes dropped for the rows-only driver
+        check (pixel-exact recomposition is asserted in tests)."""
+        return images_dataset(sf_dir).map_batches(
+            _image_rows_only, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            multimodal.ImageResize,
+            fn_constructor_kwargs={"out_w": 32, "out_h": 32, "out_fmt": "png"},
+            batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
+            concurrency=(1, 4),
+        ).drop_columns(["bytes"])
+
     def crawl_demo(sf_dir: str):
         """Deterministic 2-epoch crawl (frontier shuffles, seen-set shards,
         politeness actors) — sf_dir-independent; returns the final URL-seen
@@ -439,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_phash_components": mm_phash_components,
         "multimodal_audio_features": mm_audio_features,
         "multimodal_video_frame_sample": mm_video_frame_sample,
+        "multimodal_image_resize": mm_image_resize,
         "crawl_demo": crawl_demo,
     }
 

@@ -287,21 +287,27 @@ def prep_pairs(images_ds: "rd.Dataset") -> "rd.Dataset":
     gated = images_ds.map_batches(gate, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
-    # Dedup: min image_id per phash (ids only in the exchange), then a
-    # broadcast-id semi-join back onto the gated rows for the full manifest.
-    from ray.data.aggregate import Min
+    # Dedup: keep the min-image_id row per phash.  The gated rows are
+    # manifest-sized (ids + ints, bytes were never selected), so one COARSE
+    # shuffle of those rows (phash % 64 — 64 tasks regardless of phash
+    # cardinality, per-key dispatch is the measured bottleneck) followed by
+    # a vectorized in-task drop_duplicates IS the whole exchange — nothing
+    # is collected on the driver at any corpus size.
+    def add_part(batch: pa.Table) -> pa.Table:
+        ph = batch.column("phash")
+        return batch.append_column(
+            "part", pc.bit_wise_and(ph, pa.scalar(63, pa.int64())))
 
-    keep_ids: set[str] = set()
-    for b in (gated.select_columns(["phash", "image_id"])
-              .groupby("phash").aggregate(Min("image_id", alias_name="keep"))
-              .iter_batches(batch_format="pyarrow")):
-        keep_ids.update(b.column("keep").to_pylist())
-    keep_ref = ray.put(np.array(sorted(keep_ids)))
+    def keep_first(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["phash", "image_id"]).drop_duplicates(
+            "phash", keep="first")
+        return pa.Table.from_pandas(
+            g.drop(columns=["part"]), preserve_index=False
+        ).replace_schema_metadata(None)
 
-    def keep_canonical(batch: pa.Table) -> pa.Table:
-        kp = ray.get(keep_ref)
-        return batch.filter(
-            pc.is_in(batch.column("image_id"), value_set=pa.array(kp)))
-
-    return gated.map_batches(keep_canonical, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    return (
+        gated.map_batches(add_part, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(keep_first, batch_format="pandas")
+    )
