@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_passage": dedup.passage_dedup,
         "prep_corpus": prep.prep_corpus,
         "prep_source_balance": prep.source_balance,
+        "prep_token_budget": prep.token_budget,
         "prep_pairs": lambda sf_dir: prep.prep_pairs(images_dataset(sf_dir)),
         "prep_images": lambda sf_dir: prep.prep_images(
             images_dataset(sf_dir).map_batches(
@@ -878,6 +879,17 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY source
                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
             ) <= 15
+        """,
+        "prep_token_budget": """
+            SELECT doc_id, source, n_tokens FROM (
+                SELECT doc_id, source,
+                       len(string_split(coalesce(text, ''), ' '))::BIGINT
+                         AS n_tokens
+                FROM documents)
+            QUALIFY sum(n_tokens) OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                ROWS UNBOUNDED PRECEDING) <= 1000
         """,
         "dedup_decontam": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

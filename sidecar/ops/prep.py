@@ -311,3 +311,56 @@ def prep_pairs(images_ds: "rd.Dataset") -> "rd.Dataset":
         .groupby("part")
         .map_groups(keep_first, batch_format="pandas")
     )
+
+
+TOKEN_BUDGET = 1000  # whitespace tokens admitted per source
+
+
+def token_budget(sf_dir: str, budget: int = TOKEN_BUDGET) -> "rd.Dataset":
+    """doc_id, source, n_tokens — TOKEN-weighted mixture balancing: each
+    source admits documents in a stable pseudo-random order (md5(doc_id),
+    tiebreak doc_id) until its cumulative whitespace-token count would
+    exceed ``budget`` — the "every source contributes at most B tokens"
+    knob, the token-weighted sibling of ``source_balance``'s per-doc cap
+    (token budgets are what mixture specs are actually written in).
+
+    100-TB plan: stage 1 reduces each doc to a (doc_id, source, n_tokens,
+    rank-hash) row — text never leaves the scan; one coarse shuffle on
+    crc32(source) % 64 co-locates each source, and the per-source ordered
+    cumsum + cutoff runs vectorized inside each partition task."""
+    from zlib import crc32
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        srcs = batch.column("source").to_pylist()
+        toks = pc.split_pattern(batch.column("text").fill_null(""), " ")
+        md5 = hashlib.md5
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": pa.array(srcs, pa.string()),
+            "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            "rk": pa.array([md5(str(i).encode()).hexdigest() for i in ids],
+                           pa.string()),
+            "part": pa.array(
+                np.array([crc32(s.encode()) % NUM_SHUFFLE_PARTS for s in srcs],
+                         dtype=np.int64), pa.int64()),
+        })
+
+    def admit(g: "pd.DataFrame") -> pa.Table:
+        g = g.sort_values(["source", "rk", "doc_id"], kind="mergesort")
+        cum = g.groupby("source", sort=False)["n_tokens"].cumsum()
+        g = g[cum <= budget]
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "source": pa.array(g["source"], pa.string()),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(), pa.int64()),
+        })
+
+    import pandas as pd  # noqa: F401  (map_groups pandas format)
+
+    return (
+        read_documents(sf_dir, columns=("doc_id", "source", "text"))
+        .map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(admit, batch_format="pandas")
+    )

@@ -980,3 +980,23 @@ class TestRelationalRound2:
         assert int(got[[f"n_{t}" for t in EVENT_TYPES]].sum().sum()) == len(df)
         for (d, t), n in want.items():
             assert got.loc[d, f"n_{t}"] == n
+
+
+class TestTokenBudget:
+    def test_token_budget_matches_pandas(self):
+        from sidecar.ops.prep import TOKEN_BUDGET, token_budget
+
+        got = token_budget(SF).to_pandas()
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "source", "text"]).to_pandas()
+        t["n_tokens"] = t.text.fillna("").map(lambda s: len(s.split(" ")))
+        t["rk"] = t.doc_id.map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+        t = t.sort_values(["source", "rk", "doc_id"], kind="mergesort")
+        t["cum"] = t.groupby("source", sort=False)["n_tokens"].cumsum()
+        want = t[t["cum"] <= TOKEN_BUDGET]
+        assert len(got) == len(want)
+        assert set(got["doc_id"]) == set(want["doc_id"])
+        # the budget must actually truncate (every source holds > budget tokens)
+        assert len(want) < len(t)
+        per_src = got.groupby("source")["n_tokens"].sum()
+        assert (per_src <= TOKEN_BUDGET).all()
