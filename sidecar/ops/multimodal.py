@@ -281,12 +281,40 @@ def _pool_size(requested: "int | tuple | None") -> "int | tuple":
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    return (1, max(1, min(16, cpus - 2)))
+    # cap = cpus-2 (not a lower constant): with min=1 the pool cannot hold
+    # slots it isn't using, so even two co-scheduled pools keep making
+    # progress, and a single-pool pipeline gets the whole node (a 16-cap
+    # left half of a 32-CPU host idle in the decode stage).
+    return (1, max(1, cpus - 2))
+
+
+# Module-level stage singletons for the TASK-based default path: the only
+# per-worker state these stages hold is the codec dispatch table, which the
+# worker process imports once (ST1 semantics) — so a task pool uses every
+# CPU immediately, while an autoscaling actor pool spends a ~3 s stage
+# ramping from 1 actor and never reaches full width.  Pass ``concurrency=``
+# to opt back into an actor pool when the decode state is actually heavy
+# (real image libs, model warm-up).
+_DECODE_STATS = ImageDecodeStats()
+_LOSSY_REENCODE = LossyReencode()
+
+
+def _decode_stats_batch(batch: pa.Table) -> pa.Table:
+    return _DECODE_STATS(batch)
+
+
+def _lossy_reencode_batch(batch: pa.Table) -> pa.Table:
+    return _LOSSY_REENCODE(batch)
 
 
 def image_decode_stats(images_ds: "rd.Dataset", *, batch_size: int = 64,
                        concurrency: "int | tuple | None" = None) -> "rd.Dataset":
-    """IMAGES Dataset → decode-stats Dataset via the actor pool."""
+    """IMAGES Dataset → decode-stats Dataset (task pool by default; actor
+    pool when ``concurrency`` is given)."""
+    if concurrency is None:
+        return images_ds.map_batches(
+            _decode_stats_batch, batch_format="pyarrow",
+            batch_size=batch_size, zero_copy_batch=True)
     return images_ds.map_batches(
         ImageDecodeStats,
         batch_format="pyarrow",
@@ -300,6 +328,10 @@ def lossy_reencode(images_ds: "rd.Dataset", *, batch_size: int = 64,
                    concurrency: "int | tuple | None" = None) -> "rd.Dataset":
     """IMAGES Dataset → its deterministic lossy (b16) re-encodes, ids
     suffixed ``~b16`` — union with the input to exercise near-dup search."""
+    if concurrency is None:
+        return images_ds.map_batches(
+            _lossy_reencode_batch, batch_format="pyarrow",
+            batch_size=batch_size, zero_copy_batch=True)
     return images_ds.map_batches(
         LossyReencode,
         batch_format="pyarrow",
@@ -312,6 +344,11 @@ def lossy_reencode(images_ds: "rd.Dataset", *, batch_size: int = 64,
 def image_resize(images_ds: "rd.Dataset", out_w: int = 32, out_h: int = 32,
                  *, batch_size: int = 64,
                  concurrency: "int | tuple | None" = None) -> "rd.Dataset":
+    if concurrency is None:
+        stage = ImageResize(out_w=out_w, out_h=out_h)
+        return images_ds.map_batches(
+            lambda b, _s=stage: _s(b), batch_format="pyarrow",
+            batch_size=batch_size, zero_copy_batch=True)
     return images_ds.map_batches(
         ImageResize,
         fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
