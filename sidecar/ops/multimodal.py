@@ -191,9 +191,10 @@ class LossyReencode:
         })
 
 
-def phash_neardup(images_ds: "rd.Dataset", max_dist: int = 7,
+def phash_neardup(images_ds: "rd.Dataset | None", max_dist: int = 7,
                   *, batch_size: int = 64,
-                  concurrency: "int | tuple | None" = None) -> "rd.Dataset":
+                  concurrency: "int | tuple | None" = None,
+                  stats_ds: "rd.Dataset | None" = None) -> "rd.Dataset":
     """id_a, id_b, dist — image pairs whose 64-bit perceptual hashes differ
     in at most ``max_dist`` bits: near-duplicate detection over the decoded
     pixels (re-encodes, lossy round-trips), the image analog of MinHash-LSH.
@@ -213,8 +214,14 @@ def phash_neardup(images_ds: "rd.Dataset", max_dist: int = 7,
 
     from sidecar.ops.dedup import NUM_SHUFFLE_PARTS, _dedup_pairs
 
-    stats = image_decode_stats(images_ds, batch_size=batch_size,
-                               concurrency=concurrency)
+    # ``stats_ds`` lets a caller that already paid the decode (e.g.
+    # prep_images' final-stats pass) reuse its (id, phash) manifest instead
+    # of decoding the corpus a second time.
+    if stats_ds is not None:
+        stats = stats_ds
+    else:
+        stats = image_decode_stats(images_ds, batch_size=batch_size,
+                                   concurrency=concurrency)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("image_id").to_pylist()

@@ -83,16 +83,18 @@ def prep_images(images_ds: "rd.Dataset", max_dist: int = 7) -> "rd.Dataset":
     kept = images_ds.map_batches(keep_survivors, batch_format="pyarrow",
                                  zero_copy_batch=True)
 
+    # decode ONCE: the (id, phash, w, h, fmt, …)-manifest is materialized
+    # (bytes are not in it, so it is object-store-cheap at any scale) and
+    # reused by both the near-dup sweep and the final output — the corpus
+    # is never decoded a second time.
+    stats = image_decode_stats(kept).materialize()
+
     # stage 3: perceptual near-dup over the survivors; drop larger id
-    pairs = phash_neardup(kept, max_dist=max_dist)
+    pairs = phash_neardup(None, max_dist=max_dist, stats_ds=stats)
     dropped: set[str] = set()
     for b in pairs.iter_batches(batch_format="pyarrow"):
         dropped.update(b.column("id_b").to_pylist())
     drop_ref = ray.put(dropped)
-
-    # stage 4: final stats (decode once more on the survivors — at scale the
-    # phash table from stage 3 would be reused via a semi-join instead)
-    stats = image_decode_stats(kept)
 
     def finalize(batch: pa.Table) -> pa.Table:
         dr = ray.get(drop_ref)
