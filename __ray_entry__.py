@@ -140,12 +140,14 @@ frag AS (SELECT x, url, surt, ts,
 
 
 def _image_rows_only(batch):
-    """Keep only decodable image rows (png/ppm/b16) of an IMAGES batch."""
+    """Keep only decodable image rows (codecs.IMAGE_FMTS) of an IMAGES batch."""
     import pyarrow as pa
     import pyarrow.compute as pc_
 
+    from sidecar.codecs import IMAGE_FMTS
+
     mask = pc_.is_in(batch.column("fmt"),
-                     value_set=pa.array(["png", "ppm", "b16"]))
+                     value_set=pa.array(sorted(IMAGE_FMTS)))
     return batch.filter(mask)
 
 
@@ -189,33 +191,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return cdxj_from_sidecar(flagship(sf_dir))
 
     def mm_image_stats(sf_dir: str):
-        import pyarrow as pa
-        import pyarrow.compute as pc_
-
-        def image_rows_only(batch: pa.Table) -> pa.Table:
-            mask = pc_.is_in(batch.column("fmt"),
-                             value_set=pa.array(["png", "ppm", "b16"]))
-            return batch.filter(mask)
-
         return multimodal.image_decode_stats(
             images_dataset(sf_dir).map_batches(
-                image_rows_only, batch_format="pyarrow", zero_copy_batch=True))
+                _image_rows_only, batch_format="pyarrow", zero_copy_batch=True))
 
     def mm_phash_neardup(sf_dir: str):
         """Perceptual near-dup over image rows ∪ their lossy (b16)
         re-encodes: each base/re-encode pair differs by ≤7 phash bits, so the
         banded plan must recover them (verified exactly vs brute force in
         tests; rows-only here — phash of synthetic payloads isn't SQL)."""
-        import pyarrow as pa
-        import pyarrow.compute as pc_
-
-        def image_rows_only(batch: pa.Table) -> pa.Table:
-            mask = pc_.is_in(batch.column("fmt"),
-                             value_set=pa.array(["png", "ppm", "b16"]))
-            return batch.filter(mask)
-
         base = images_dataset(sf_dir).map_batches(
-            image_rows_only, batch_format="pyarrow", zero_copy_batch=True)
+            _image_rows_only, batch_format="pyarrow", zero_copy_batch=True)
         both = base.union(multimodal.lossy_reencode(base))
         return multimodal.phash_neardup(both)
 
@@ -223,16 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Cluster assembly over the perceptual pair graph (rows-only; the
         base ∪ re-encode construction guarantees every base/re-encode pair
         lands in one component — asserted exactly in tests)."""
-        import pyarrow as pa
-        import pyarrow.compute as pc_
-
-        def image_rows_only(batch: pa.Table) -> pa.Table:
-            mask = pc_.is_in(batch.column("fmt"),
-                             value_set=pa.array(["png", "ppm", "b16"]))
-            return batch.filter(mask)
-
         base = images_dataset(sf_dir).map_batches(
-            image_rows_only, batch_format="pyarrow", zero_copy_batch=True)
+            _image_rows_only, batch_format="pyarrow", zero_copy_batch=True)
         both = base.union(multimodal.lossy_reencode(base))
         return multimodal.phash_components(both)
 
@@ -261,13 +239,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         decode→resize→re-encode stage (ST8 family); returns the resized
         manifest with the payload bytes dropped for the rows-only driver
         check (pixel-exact recomposition is asserted in tests)."""
-        return images_dataset(sf_dir).map_batches(
-            _image_rows_only, batch_format="pyarrow", zero_copy_batch=True
-        ).map_batches(
-            multimodal.ImageResize,
-            fn_constructor_kwargs={"out_w": 32, "out_h": 32, "out_fmt": "png"},
-            batch_format="pyarrow", batch_size=64, zero_copy_batch=True,
-            concurrency=(1, 4),
+        return multimodal.image_resize(
+            images_dataset(sf_dir).map_batches(
+                _image_rows_only, batch_format="pyarrow",
+                zero_copy_batch=True),
+            out_w=32, out_h=32, concurrency=(1, 4),
         ).drop_columns(["bytes"])
 
     def crawl_demo(sf_dir: str):

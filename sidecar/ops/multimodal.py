@@ -193,7 +193,7 @@ class LossyReencode:
 
 def phash_neardup(images_ds: "rd.Dataset | None", max_dist: int = 7,
                   *, batch_size: int = 64,
-                  concurrency: "int | tuple | None" = None,
+                  concurrency: "int | tuple | str | None" = None,
                   stats_ds: "rd.Dataset | None" = None) -> "rd.Dataset":
     """id_a, id_b, dist — image pairs whose 64-bit perceptual hashes differ
     in at most ``max_dist`` bits: near-duplicate detection over the decoded
@@ -275,23 +275,20 @@ def phash_neardup(images_ds: "rd.Dataset | None", max_dist: int = 7,
     return _dedup_pairs(candidates, a="id_a", b="id_b", extra_cols=("dist",))
 
 
-def _pool_size(requested: "int | tuple | None") -> "int | tuple":
-    """Default actor-pool sizing: AUTOSCALING (min=1, max<cpus).  A fixed
-    pool grabs its CPUs up front; with two multimodal pools in one pipeline
-    (e.g. lossy_reencode → phash_neardup) fixed pools can hold every slot
-    and starve the upstream read tasks — a scheduling deadlock (observed at
-    num_cpus=8 with two pools of 4).  min=1 keeps each pool alive while
-    leaving slots for task operators; Ray grows the pool only when input
-    blocks queue up."""
-    if requested is not None:
+def _pool_size(requested: "int | tuple | str") -> "int | tuple":
+    """Actor-pool sizing for an explicit ``concurrency=`` request.  The
+    sentinel ``"actors"`` asks for the default AUTOSCALING pool, (min=1,
+    max=cpus-2): a fixed pool grabs its CPUs up front; with two multimodal
+    pools in one pipeline fixed pools can hold every slot and starve the
+    upstream read tasks — a scheduling deadlock (observed at num_cpus=8
+    with two pools of 4).  min=1 keeps each pool alive while leaving slots
+    for task operators (so co-scheduled pools always make progress), and
+    max=cpus-2 lets a single-pool pipeline use the whole node."""
+    if requested != "actors":
         return requested
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    # cap = cpus-2 (not a lower constant): with min=1 the pool cannot hold
-    # slots it isn't using, so even two co-scheduled pools keep making
-    # progress, and a single-pool pipeline gets the whole node (a 16-cap
-    # left half of a 32-CPU host idle in the decode stage).
     return (1, max(1, cpus - 2))
 
 
@@ -315,7 +312,7 @@ def _lossy_reencode_batch(batch: pa.Table) -> pa.Table:
 
 
 def image_decode_stats(images_ds: "rd.Dataset", *, batch_size: int = 64,
-                       concurrency: "int | tuple | None" = None) -> "rd.Dataset":
+                       concurrency: "int | tuple | str | None" = None) -> "rd.Dataset":
     """IMAGES Dataset → decode-stats Dataset (task pool by default; actor
     pool when ``concurrency`` is given)."""
     if concurrency is None:
@@ -332,7 +329,7 @@ def image_decode_stats(images_ds: "rd.Dataset", *, batch_size: int = 64,
 
 
 def lossy_reencode(images_ds: "rd.Dataset", *, batch_size: int = 64,
-                   concurrency: "int | tuple | None" = None) -> "rd.Dataset":
+                   concurrency: "int | tuple | str | None" = None) -> "rd.Dataset":
     """IMAGES Dataset → its deterministic lossy (b16) re-encodes, ids
     suffixed ``~b16`` — union with the input to exercise near-dup search."""
     if concurrency is None:
@@ -350,7 +347,7 @@ def lossy_reencode(images_ds: "rd.Dataset", *, batch_size: int = 64,
 
 def image_resize(images_ds: "rd.Dataset", out_w: int = 32, out_h: int = 32,
                  *, batch_size: int = 64,
-                 concurrency: "int | tuple | None" = None) -> "rd.Dataset":
+                 concurrency: "int | tuple | str | None" = None) -> "rd.Dataset":
     if concurrency is None:
         stage = ImageResize(out_w=out_w, out_h=out_h)
         return images_ds.map_batches(
@@ -368,7 +365,7 @@ def image_resize(images_ds: "rd.Dataset", out_w: int = 32, out_h: int = 32,
 
 def phash_components(images_ds: "rd.Dataset", max_dist: int = 7,
                      *, batch_size: int = 64,
-                     concurrency: "int | tuple | None" = None) -> "pa.Table":
+                     concurrency: "int | tuple | str | None" = None) -> "pa.Table":
     """image_id, component_id — connected components over the perceptual
     near-dup pair graph (``phash_neardup``): the cluster-assembly step that
     turns pairwise phash hits into image dedup groups, the image mirror of

@@ -271,8 +271,10 @@ def prep_pairs(images_ds: "rd.Dataset") -> "rd.Dataset":
     def gate(batch: pa.Table) -> pa.Table:
         w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.float64)
         h = batch.column("h").to_numpy(zero_copy_only=False).astype(np.float64)
+        from sidecar.codecs import IMAGE_FMTS
+
         fmt_ok = pc.is_in(batch.column("fmt"),
-                          value_set=pa.array(["png", "ppm", "b16"])) \
+                          value_set=pa.array(sorted(IMAGE_FMTS))) \
             .to_numpy(zero_copy_only=False)
         mn = np.minimum(w, h)
         mx = np.maximum(w, h)

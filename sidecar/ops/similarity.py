@@ -325,12 +325,24 @@ def ann_topk_int8(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
         for q, v in zip(b.column("query_id").to_pylist(),
                         b.column("vec_id").to_pylist()):
             cand[q].add(v)
-    cand_ref = ray.put({q: np.array(sorted(vs), dtype=np.int64)
-                        for q, vs in cand.items()})
+    all_cand = np.array(sorted(set().union(*cand.values())), dtype=np.int64) \
+        if cand else np.empty(0, dtype=np.int64)
+    cand_ref = ray.put((all_cand,
+                        {q: np.array(sorted(vs), dtype=np.int64)
+                         for q, vs in cand.items()}))
 
     def rerank_exact(batch: pa.Table) -> pa.Table:
         qi, Qn, _ = ray.get(q_ref)
-        cands = ray.get(cand_ref)
+        union_cand, cands = ray.get(cand_ref)
+        # candidate-bounded: drop every non-candidate row BEFORE the
+        # pylist conversion + normalization, so the rerank pass costs
+        # O(candidates) per block, not a second full float scan
+        ids0 = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        batch = batch.filter(pa.array(np.isin(ids0, union_cand)))
+        if batch.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         nrm = np.linalg.norm(E, axis=1, keepdims=True)
