@@ -117,7 +117,15 @@ class SeenShard:
         return len(out)
 
     def restore(self, keys: np.ndarray) -> int:
-        return self.add_many(keys)
+        """Re-insert checkpointed keys WITHOUT logging them as new deltas:
+        restored keys were already persisted by the epoch that first saw
+        them, so appending them to ``delta`` would make the first
+        post-resume checkpoint a whole-seen-set snapshot (and each further
+        resume would re-write it) instead of that epoch's true delta."""
+        n = self.add_many(keys)
+        if n:
+            self.delta.pop()  # add_many logged exactly one array for these
+        return n
 
     def size(self) -> int:
         return len(self._merged) + len(self._pending)
@@ -161,24 +169,32 @@ class HostPolicy:
         """Fold worker-side robots denials back into this cache's metrics."""
         self.denied_robots += int(n)
 
-    def grant(self, host: str, epoch: int, n: int) -> int:
-        """Deterministic token bucket: ``budget`` tokens per (host, epoch).
+    def grant(self, host: str, epoch: int, n: int,
+              budget: "int | None" = None) -> int:
+        """Deterministic token bucket: ``budget`` tokens per (host, epoch)
+        (the configured default unless a FrontierPolicy raised/lowered this
+        host's budget — the caller passes the policy-effective value).
         Returns how many of the n requests are granted."""
         key = (host, epoch)
-        remaining = self.tokens.get(key, self.budget)
+        remaining = self.tokens.get(key, self.budget if budget is None else budget)
         take = min(remaining, n)
         self.tokens[key] = remaining - take
         self.granted += take
         return take
 
-    def grant_many(self, hosts: list[str], epoch: int, ns: list[int]) -> int:
+    def grant_many(self, hosts: list[str], epoch: int, ns: list[int],
+                   budgets: "list[int] | None" = None) -> int:
         """Batched ``grant``: ONE RPC per (actor, epoch) instead of one per
         host — the per-host remote-call fan-out was a per-epoch driver
-        constant proportional to host count."""
+        constant proportional to host count.  ``budgets`` carries the
+        policy-effective per-host budget when a FrontierPolicy overrides the
+        default (without it, a budget-RAISING policy would be capped here at
+        the constant and trip the crawl's budget invariant)."""
         total = 0
-        for host, n in zip(hosts, ns):
+        for i, (host, n) in enumerate(zip(hosts, ns)):
             key = (host, epoch)
-            remaining = self.tokens.get(key, self.budget)
+            default = self.budget if budgets is None else budgets[i]
+            remaining = self.tokens.get(key, default)
             take = min(remaining, n)
             self.tokens[key] = remaining - take
             total += take

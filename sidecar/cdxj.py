@@ -39,7 +39,7 @@ ALPHA3 = {
     "aa": "aar", "ab": "abk", "ae": "ave", "af": "afr", "ak": "aka",
     "am": "amh", "an": "arg", "ar": "ara", "as": "asm", "av": "ava",
     "ay": "aym", "az": "aze", "ba": "bak", "be": "bel", "bg": "bul",
-    "bi": "bis", "bm": "bam", "bn": "ben", "bo": "bod", "br": "bre",
+    "bh": "bih", "bi": "bis", "bm": "bam", "bn": "ben", "bo": "bod", "br": "bre",
     "bs": "bos", "ca": "cat", "ce": "che", "ch": "cha", "co": "cos",
     "cr": "cre", "cs": "ces", "cu": "chu", "cv": "chv", "cy": "cym",
     "da": "dan", "de": "deu", "dv": "div", "dz": "dzo", "ee": "ewe",

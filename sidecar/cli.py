@@ -379,13 +379,18 @@ def cmd_merge_all(meta_dir: str, warc_cdxj_dir: str, cdxj_dir: str) -> dict:
 
     def merge_one(g: pd.DataFrame) -> pd.DataFrame:
         name = g["pair"].iloc[0]
-        metas = g[g["side"] == "m"]
+        # metas in FILE ORDER so a duplicated (surt, ts) key resolves
+        # last-line-wins, matching cmd_merge's ordered dict build
+        metas = g[g["side"] == "m"].sort_values("lineno")
         origs = g[g["side"] == "o"].sort_values("lineno")
         build = {s + " " + t: j for s, t, j in
                  zip(metas["surt"], metas["ts"], metas["json"])}
         out_path = os.path.join(cdxj_dir, warc.merged_cdxj_name(name))
         edited = 0
-        with open(out_path, "w") as fh:
+        # atomic tmp+rename: resume treats an existing output as "pair
+        # done", so a crash mid-write must not leave a truncated file
+        tmp_path = out_path + ".tmp"
+        with open(tmp_path, "w") as fh:
             for s, t, j in zip(origs["surt"], origs["ts"], origs["json"]):
                 mj = build.get(s + " " + t)
                 if mj is not None:
@@ -393,12 +398,15 @@ def cmd_merge_all(meta_dir: str, warc_cdxj_dir: str, cdxj_dir: str) -> dict:
                                                       json.loads(mj)))
                     edited += 1
                 fh.write(cdxj_line(s, t, j))
+        os.replace(tmp_path, out_path)
         return pd.DataFrame({"pair": [name], "edited": [edited],
                              "non_edited": [len(origs) - edited]})
 
     per_pair = (rd.from_items(items).flat_map(read_file)
                 .groupby("pair").map_groups(merge_one, batch_format="pandas")
-                .to_pandas().sort_values("pair"))
+                .to_pandas())
+    if len(per_pair):  # all-blank inputs yield a column-less empty frame
+        per_pair = per_pair.sort_values("pair")
 
     # a pair whose files are both empty yields no group — write the (empty)
     # merged output so resume skipping sees the pair as done

@@ -383,15 +383,28 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
             for hh, nn in zip(b.column("host").to_pylist(), b.column("n").to_pylist()):
                 host_counts[hh] = host_counts.get(hh, 0) + nn
         m["selected"] = sum(host_counts.values())
-        by_actor: dict[int, tuple[list[str], list[int]]] = {}
-        for hh, nn in sorted(host_counts.items()):
-            hs, ns = by_actor.setdefault(
-                host_shard(hh, cfg.num_policy_actors), ([], []))
+        # policy-effective per-host budgets (a FrontierPolicy may raise a
+        # host's budget above the configured default; the token buckets must
+        # open with the same value select_budget enforced)
+        all_hosts = sorted(host_counts)
+        if cfg.policy is not None and all_hosts:
+            eff = {h: int(b) for h, b in zip(
+                all_hosts,
+                cfg.policy.host_budget(np.asarray(all_hosts),
+                                       cfg.budget_per_host))}
+        else:
+            eff = None
+        by_actor: dict[int, tuple[list[str], list[int], list[int]]] = {}
+        for hh in all_hosts:
+            hs, ns, bs = by_actor.setdefault(
+                host_shard(hh, cfg.num_policy_actors), ([], [], []))
             hs.append(hh)
-            ns.append(nn)
+            ns.append(host_counts[hh])
+            bs.append(cfg.budget_per_host if eff is None else eff[hh])
         grant_futures = [
-            policies[a].grant_many.remote(hs, epoch, ns)
-            for a, (hs, ns) in by_actor.items()
+            policies[a].grant_many.remote(hs, epoch, ns,
+                                          None if eff is None else bs)
+            for a, (hs, ns, bs) in by_actor.items()
         ]
         granted = sum(ray.get(grant_futures)) if grant_futures else 0
         assert granted == m["selected"], "budget invariant violated"

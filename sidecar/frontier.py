@@ -251,7 +251,10 @@ def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int =
     if size_hint is not None and size_hint <= SMALL_FRONTIER_ROWS:
         df = frontier.to_pandas()  # executes the (narrow) upstream filters once
         if len(df) == 0:
-            return frontier
+            # shape parity with the selected path: downstream splitters read
+            # t['selected'] even on an all-filtered tail epoch
+            df = df.assign(selected=pd.Series([], dtype=bool))
+            return rd.from_pandas(df.reset_index(drop=True))
         h = df["url_hash"].to_numpy().astype(np.uint64)
         df = df.assign(salt=(h % np.uint64(n_salts)).astype(np.int32))
         df = _sort_group(df)

@@ -352,8 +352,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         return pa.table({"doc_id": pa.array(ids_l, pa.int64()),
                          "sh": pa.array(shs, sh_list_t)})
 
+    # materialized: candidate-bounded output, consumed by BOTH joins below —
+    # without this the full corpus would be re-read and re-shingled per join
     set_rows_ds = docs.map_batches(cand_set_rows, batch_format="pyarrow",
-                                   zero_copy_batch=True)
+                                   zero_copy_batch=True).materialize()
 
     # union-tagged join rows share one schema: (jpart, doc_a, doc_b, sh, side)
     def tag_pairs(batch: pa.Table) -> pa.Table:
@@ -547,23 +549,21 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
 
 # -------------------------------------------------- near-dup cluster assembly
 
-def lsh_components(sf_dir: str) -> "pa.Table":
-    """doc_id, component_id — connected components over the MinHash-LSH
-    candidate-pair graph: the cluster-assembly step that turns pairwise
-    near-dup hits into dedup groups (component_id = min doc_id reachable).
-
-    The edge list is orders of magnitude smaller than the corpus (only docs
-    with an LSH collision appear), so the standard plan applies: pairs are
-    computed distributed (``minhash_lsh_pairs``), then union-find runs over
-    the streamed edge list.  At 100 TB, if the edge list itself outgrows one
-    node, this becomes iterative min-label propagation (repeat
+def union_find_components(pairs_iter, a_col: str, b_col: str,
+                          id_col: str, comp_col: str,
+                          dtype: "pa.DataType") -> "pa.Table":
+    """Driver-side union-find (path compression + union-by-min) over a
+    streamed edge list: component_id = min id reachable.  Shared cluster
+    assembly for ``lsh_components`` (int doc ids) and
+    ``multimodal.phash_components`` (string image ids).  The edge list is
+    orders of magnitude smaller than the corpus (only colliding items
+    appear); at a scale where even edges outgrow one node the fallback is
+    iterative min-label propagation (repeat
     ``groupby(node).aggregate(Min(label))`` + broadcast-back until fixpoint,
-    O(log diameter) rounds) — the per-pair semantics are identical, which is
-    what the recursive-CTE oracle checks.
-    """
-    parent: dict[int, int] = {}
+    O(log diameter) rounds) — per-pair semantics identical."""
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         root = x
         while parent[root] != root:
             root = parent[root]
@@ -571,23 +571,34 @@ def lsh_components(sf_dir: str) -> "pa.Table":
             parent[x], x = root, parent[x]
         return root
 
-    for batch in lsh_pairs_iter(sf_dir):
-        for a, b in zip(batch.column("doc_a").to_pylist(),
-                        batch.column("doc_b").to_pylist()):
+    for batch in pairs_iter:
+        for a, b in zip(batch.column(a_col).to_pylist(),
+                        batch.column(b_col).to_pylist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
-            if ra != rb:  # union by min keeps component_id = min(doc_id)
+            if ra != rb:  # union by min keeps component_id = min(id)
                 if ra < rb:
                     parent[rb] = ra
                 else:
                     parent[ra] = rb
 
-    docs = sorted(parent)
+    ids = sorted(parent)
     return pa.table({
-        "doc_id": pa.array(docs, pa.int64()),
-        "component_id": pa.array([find(d) for d in docs], pa.int64()),
+        id_col: pa.array(ids, dtype),
+        comp_col: pa.array([find(i) for i in ids], dtype),
     })
+
+
+def lsh_components(sf_dir: str) -> "pa.Table":
+    """doc_id, component_id — connected components over the MinHash-LSH
+    candidate-pair graph: the cluster-assembly step that turns pairwise
+    near-dup hits into dedup groups (component_id = min doc_id reachable).
+    Pairs are computed distributed (``minhash_lsh_pairs``); cluster assembly
+    + the at-scale fallback live in :func:`union_find_components` (whose
+    semantics the recursive-CTE oracle checks)."""
+    return union_find_components(lsh_pairs_iter(sf_dir), "doc_a", "doc_b",
+                                 "doc_id", "component_id", pa.int64())
 
 
 def lsh_pairs_iter(sf_dir: str):

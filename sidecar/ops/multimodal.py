@@ -378,32 +378,10 @@ def phash_components(images_ds: "rd.Dataset", max_dist: int = 7,
     min-label propagation (groupby(node).aggregate(Min(label)) to fixpoint)
     exactly as documented for lsh_components (dedup.py:549).
     """
+    from sidecar.ops.dedup import union_find_components
+
     pairs = phash_neardup(images_ds, max_dist,
                           batch_size=batch_size, concurrency=concurrency)
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for batch in pairs.iter_batches(batch_format="pyarrow", batch_size=4096):
-        for a, b in zip(batch.column("id_a").to_pylist(),
-                        batch.column("id_b").to_pylist()):
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:  # union by min keeps component_id = min(image_id)
-                if ra < rb:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-
-    ids = sorted(parent)
-    return pa.table({
-        "image_id": pa.array(ids, pa.string()),
-        "component_id": pa.array([find(i) for i in ids], pa.string()),
-    })
+    return union_find_components(
+        pairs.iter_batches(batch_format="pyarrow", batch_size=4096),
+        "id_a", "id_b", "image_id", "component_id", pa.string())

@@ -376,3 +376,66 @@ def test_custom_policy_bit_for_bit(tmp_path):
     default = oracle.crawl(n_seeds=30, n_hosts=10, budget_per_host=3,
                            max_epochs=3, max_depth=2)
     assert want["crawl_order"] != default["crawl_order"]  # policy had teeth
+
+
+def test_restore_does_not_relog_deltas():
+    """Resume fix: restored keys must NOT re-enter the delta log — they were
+    persisted by the epoch that first saw them, so re-logging would turn the
+    first post-resume checkpoint into a whole-seen-set snapshot."""
+    from sidecar.actors import SeenShard
+
+    shard = SeenShard.remote(0)
+    h = np.array([10, 20, 30], dtype=np.uint64)
+    assert ray.get(shard.restore.remote(h)) == 3
+    got = ray.get(shard.contains_many.remote(h))
+    assert list(got) == [True, True, True]
+    assert len(ray.get(shard.drain_delta.remote())) == 0  # nothing re-logged
+    ray.get(shard.add_many.remote(np.array([40], dtype=np.uint64)))
+    assert list(ray.get(shard.drain_delta.remote())) == [40]  # new keys do log
+    ray.kill(shard)
+
+
+def test_budget_raising_policy_bit_for_bit(tmp_path):
+    """A FrontierPolicy that RAISES some hosts' budgets above the configured
+    default must flow through to the politeness token buckets (not be capped
+    at the constant and trip the budget invariant)."""
+
+    class TieredRaise:
+        name = "tiered-raise"
+
+        def link_priority(self, urls, priorities, depths):
+            return np.asarray(priorities, dtype=np.float64)
+
+        def host_budget(self, hosts, default):
+            idx = np.array([int("".join(c for c in h.split(".")[0]
+                                        if c.isdigit()) or 0) for h in hosts])
+            return np.where(idx % 2 == 1, default * 2, default).astype(np.int64)
+
+    pol = TieredRaise()
+    want = oracle.crawl(n_seeds=30, n_hosts=10, budget_per_host=3,
+                        max_epochs=3, max_depth=2, policy=pol)
+    got = run_crawl(_cfg(str(tmp_path / "cpr"), policy=pol))
+    assert got["crawl_order"] == want["crawl_order"]
+    assert got["seen"] == want["seen"]
+
+
+def test_select_budget_all_filtered_keeps_selected_column():
+    """Tail-epoch shape parity: the small-frontier fast path must return a
+    'selected' column even when every candidate was filtered upstream."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from sidecar import frontier as fr
+
+    df = pd.DataFrame({
+        "url": pd.Series([], dtype="object"),
+        "url_hash": pd.Series([], dtype="uint64"),
+        "host": pd.Series([], dtype="object"),
+        "priority": pd.Series([], dtype="float64"),
+        "depth": pd.Series([], dtype="int64"),
+        "seed_id": pd.Series([], dtype="int64"),
+    })
+    out = fr.select_budget(rd.from_pandas(df), 3, size_hint=0)
+    assert "selected" in out.schema().names
+    assert out.count() == 0

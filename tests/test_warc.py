@@ -391,3 +391,55 @@ def test_merge_all_batch(tmp_path):
 
     r2 = cli.cmd_merge_all(str(meta_dir), str(warc_dir), str(out_dir))
     assert r2["processed"] == 0 and r2["skipped"] == 3
+
+
+def test_merge_all_duplicate_key_last_wins_and_blank_pairs(tmp_path):
+    """merge-all parity details: (a) a metadata CDXJ with two lines for the
+    same (surt, ts) resolves last-line-wins, matching cmd_merge's ordered
+    dict build; (b) pairs whose files hold only blank lines don't crash the
+    batch (the grouped frame is column-less empty) and still produce output
+    for resume skipping."""
+    import json
+
+    from sidecar import cli
+
+    meta_dir = tmp_path / "meta"
+    warc_dir = tmp_path / "warc"
+    out_dir = tmp_path / "merged"
+    meta_dir.mkdir()
+    warc_dir.mkdir()
+
+    # (b) first: ONLY blank-line pairs — exercises the zero-group frame
+    with open(meta_dir / "blank.cdxj", "w") as f:
+        f.write("\n\n")
+    with open(warc_dir / "blank.cdxj", "w") as f:
+        f.write("\n")
+    r = cli.cmd_merge_all(str(meta_dir), str(warc_dir), str(out_dir))
+    assert r["processed"] == 1
+    assert open(out_dir / "blank_merged.cdxj").read() == ""
+
+    # (a) duplicate (surt, ts) metadata key: the LAST line's fields win
+    with open(meta_dir / "dup.cdxj", "w") as f:
+        f.write('com,h)/a 20210101000000 '
+                '{"Identified-Payload-Type": {"fido": "text/html"}}\n')
+        f.write('com,h)/a 20210101000000 '
+                '{"Identified-Payload-Type": {"fido": "text/css"}}\n')
+    with open(warc_dir / "dup.cdxj", "w") as f:
+        f.write('com,h)/a 20210101000000 {"url": "http://h.com/a"}\n')
+    r2 = cli.cmd_merge_all(str(meta_dir), str(warc_dir), str(out_dir))
+    assert r2["processed"] == 1 and r2["skipped"] == 1
+    line = open(out_dir / "dup_merged.cdxj").read().splitlines()[0]
+    obj = json.loads(line.split(" ", 2)[2])
+    assert obj["mime-detected"] == "text/css"
+    # no stray tmp files left behind by the atomic write
+    assert not list(out_dir.glob("*.tmp"))
+
+
+def test_alpha3_bihari_converts():
+    """Full ISO-639-1 table: 'bh' (Bihari) must convert to 'bih' like the
+    reference's langcodes path, not be silently dropped."""
+    from sidecar.cdxj import get_alpha3_language_codes
+
+    codes = get_alpha3_language_codes(
+        [{"name": "Bihari", "code": "bh", "text-covered": 90, "score": 100.0}])
+    assert codes == "bih"
