@@ -61,27 +61,65 @@ def host_of(url: str) -> str:
     return _WWW.sub("", host).split(":")[0]
 
 
+# IA default-canonicalizer session-id rules (public semantics of the surt
+# library's URLRegexTransformer, which DefaultIAURLCanonicalizer applies
+# with path/query_strip_session_id=True — the reference's sidecar2cdxj.py:35
+# call path): a 32-char jsessionid matrix param in the path, and the
+# well-known 32-char session query params (cfid/cftoken drop as a pair).
+_JSESSIONID_PATH = re.compile(r";jsessionid=[0-9a-z]{32}", re.I)
+_QUERY_SESSION = [
+    re.compile(r"^jsessionid=[0-9a-z]{32}$", re.I),
+    re.compile(r"^phpsessid=[0-9a-z]{32}$", re.I),
+    re.compile(r"^sid=[0-9a-z]{32}$", re.I),
+    re.compile(r"^aspsessionid[a-z]{8}=[a-z]{24}$", re.I),
+]
+
+
+def _strip_query_session(params: list[str]) -> list[str]:
+    keep = [p for p in params
+            if not any(rx.match(p) for rx in _QUERY_SESSION)]
+    if any(p.startswith("cfid=") for p in keep) and \
+            any(p.startswith("cftoken=") for p in keep):
+        keep = [p for p in keep
+                if not (p.startswith("cfid=") or p.startswith("cftoken="))]
+    return keep
+
+
+def _idna_host(host: str) -> str:
+    """Non-ASCII hostnames → punycode (the IA canonicalizer's IDN rule);
+    ASCII hosts pass through untouched."""
+    if host.isascii():
+        return host
+    try:
+        return host.encode("idna").decode("ascii")
+    except (UnicodeError, UnicodeDecodeError):
+        return host
+
+
 def surt(url: str) -> str:
     """SURT-canonicalize a URL: ``https://www.Ex.COM/a/B?b=2&a=1`` →
     ``com,ex)/a/b?a=1&b=2``.
 
     Matches the publicly documented SURT transform the reference gets from
     ``surt.surt`` (sidecar2cdxj.py:35): lowercase, scheme dropped, leading
-    ``www`` dropped, host reversed comma-separated, query keys sorted,
-    trailing slash normalized, default ports dropped.
+    ``www`` dropped, host reversed comma-separated (IDN hosts punycoded),
+    query keys sorted, trailing slash normalized, default ports dropped,
+    and the IA default canonicalizations — path ``;jsessionid`` and
+    session-id query params (jsessionid/phpsessid/sid/aspsessionid,
+    cfid+cftoken pair) stripped.
     """
     host, path, query, _ = split_url(url)
-    host = _WWW.sub("", host)
+    host = _idna_host(_WWW.sub("", host))
     port = ""
     if ":" in host:
         host, port = host.split(":", 1)
         port = ":" + port
     rev = (",".join(reversed(host.split("."))) + port) if host else ""
-    path = path.lower() or "/"
+    path = _JSESSIONID_PATH.sub("", path).lower() or "/"
     out = rev + ")" + path
     if query:
-        q = "&".join(sorted(query.lower().split("&")))
-        out += "?" + q
+        q = "&".join(sorted(_strip_query_session(query.lower().split("&"))))
+        out = out + "?" + q if q else out
     return out
 
 

@@ -200,7 +200,9 @@ def merge_cdxj(meta_ds, original_ds, *, broadcast: bool = True) -> "rd.Dataset":
         js = batch.column("json").to_pylist()
         for s, t, j in zip(surts, tss, js):
             m = meta.get(s + " " + t)
-            if m is not None:
+            if m:  # TRUTHINESS, not None-ness: an empty meta object {} is
+                # no match in the reference (merge_cdxj.py:72 'if ...get(key):')
+                # and its original line passes through byte-identical
                 out_json.append(json.dumps(get_sidecar_fields(json.loads(j), m)))
                 matched.append(True)
             else:
@@ -254,7 +256,7 @@ def _merge_cdxj_partitioned(meta_ds, original_ds) -> "rd.Dataset":
         out_json, matched = [], []
         for k, j in zip(origs["key"], origs["json"]):
             mj = build.get(k)
-            if mj is not None:
+            if mj is not None and json.loads(mj):  # {} = no match (merge_cdxj.py:72)
                 out_json.append(json.dumps(
                     get_sidecar_fields(json.loads(j), json.loads(mj))))
                 matched.append(True)

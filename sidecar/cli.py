@@ -50,25 +50,54 @@ def payload_to_json(payload: str) -> str:
     return json.dumps(d)
 
 
+def _split_http_payload(payload: str) -> tuple[str, int]:
+    """HTTP-response record blocks carry 'HTTP/1.x <status> ...' + headers +
+    body; the reference reads record.content_stream() (body only,
+    warc_metadata_sidecar.py:213) and gates soft-404 on status=='200'
+    (:263-265).  Returns (body, status); non-HTTP payloads pass through with
+    status 200 (resource records / synthetic fixtures have no status line)."""
+    if not payload.startswith("HTTP/"):
+        return payload, 200
+    for sep in ("\r\n\r\n", "\n\n"):
+        idx = payload.find(sep)
+        if idx >= 0:
+            head, body = payload[:idx], payload[idx + len(sep):]
+            break
+    else:
+        head, body = payload, ""
+    first = head.split("\n", 1)[0].strip()
+    parts = first.split()
+    status = 200
+    if len(parts) > 1 and parts[1][:3].isdigit():
+        status = int(parts[1][:3])
+    return body, status
+
+
 def records_to_images(records_ds: "rd.Dataset", *, source_is_warc: bool = True
                       ) -> "rd.Dataset":
     """WARC record rows → extraction input (the reference's record loop
     filters, columnar): F1 keep response/resource, F2 drop ``dns:`` URIs,
     F3 (empty payloads) applied inside extraction; F4 header projection
-    keeps WARC-Date as ts14 (+ record id for Concurrent-ID parity)."""
+    keeps WARC-Date as ts14 (+ record/warcinfo ids for header parity).
+    HTTP response blocks are split: detectors run on the BODY only and the
+    real status gates soft-404 (reference :213, :263-265)."""
 
     def f(batch: pa.Table) -> pa.Table:
-        ids, urls, tss, blobs, rec_ids = [], [], [], [], []
+        ids, urls, tss, blobs, rec_ids, winfo_ids, statuses = \
+            [], [], [], [], [], [], []
         for row in batch.to_pylist():
             if row["rec_type"] not in ("response", "resource"):
                 continue
             if row["url"].startswith("dns:"):
                 continue
+            body, status = _split_http_payload(row["payload"])
             ids.append(row["url"])
             urls.append(row["url"])
             tss.append(row["ts"])
-            blobs.append(row["payload"].encode("utf-8", "replace"))
+            blobs.append(body.encode("utf-8", "replace"))
             rec_ids.append(row["headers"].get("WARC-Record-ID", ""))
+            winfo_ids.append(row["headers"].get("WARC-Warcinfo-ID", ""))
+            statuses.append(status)
         n = len(ids)
         return pa.table({
             "image_id": pa.array(ids, pa.string()),
@@ -77,6 +106,8 @@ def records_to_images(records_ds: "rd.Dataset", *, source_is_warc: bool = True
             "bytes": pa.array(blobs, pa.binary()),
             "caption": pa.array([""] * n, pa.string()),
             "concurrent_id": pa.array(rec_ids, pa.string()),
+            "warcinfo_id": pa.array(winfo_ids, pa.string()),
+            "status": pa.array(statuses, pa.int64()),
         })
 
     return records_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
@@ -88,7 +119,11 @@ def cmd_sidecar(archive_dir: str, warc_file: str, operator: str | None = None,
     import time as _time
 
     t0 = _time.perf_counter()
-    src = warc_file if os.path.isabs(warc_file) else os.path.join(archive_dir, warc_file)
+    # the reference opens warc_file AS GIVEN (warc_metadata_sidecar.py:192 —
+    # CWD-relative); the archive_dir join is a fallback for the common
+    # "file lives in the archive dir" call shape
+    src = warc_file if os.path.isabs(warc_file) or os.path.exists(warc_file) \
+        else os.path.join(archive_dir, warc_file)
     name = os.path.basename(warc_file)
     is_warc = not warc.is_arc_name(name)
     records = warc.read_warc_text(src)
@@ -97,7 +132,8 @@ def cmd_sidecar(archive_dir: str, warc_file: str, operator: str | None = None,
     out_path = os.path.join(archive_dir, warc.sidecar_name(name))
     written = warc.write_sidecar_warc(
         sidecar_ds, out_path, filename=warc.sidecar_name(name),
-        operator=operator, publisher=publisher, source_is_warc=is_warc)
+        operator=operator, publisher=publisher, source_is_warc=is_warc,
+        source_name=name)
     # S9 log-sink parity (sidecar.log in the archive dir,
     # warc_metadata_sidecar.py:173-179,295-302): run header, per-run counts,
     # elapsed — appended like the reference's logging.basicConfig file
@@ -137,19 +173,25 @@ def cmd_sidecar_all(archive_dir: str, operator: str | None = None,
 
     records = warc.read_warc_text(todo)
 
-    # records_to_images' filters, with the source path kept as the routing key
+    # records_to_images' filters (incl. HTTP body/status split), with the
+    # source path kept as the routing key
     def f(batch: pa.Table) -> pa.Table:
-        ids, urls, tss, blobs, paths = [], [], [], [], []
+        ids, urls, tss, blobs, paths, rec_ids, winfo_ids, statuses = \
+            [], [], [], [], [], [], [], []
         for row in batch.to_pylist():
             if row["rec_type"] not in ("response", "resource"):
                 continue
             if row["url"].startswith("dns:"):
                 continue
+            body, status = _split_http_payload(row["payload"])
             ids.append(row["url"])
             urls.append(row["url"])
             tss.append(row["ts"])
-            blobs.append(row["payload"].encode("utf-8", "replace"))
+            blobs.append(body.encode("utf-8", "replace"))
             paths.append(row["path"])
+            rec_ids.append(row["headers"].get("WARC-Record-ID", ""))
+            winfo_ids.append(row["headers"].get("WARC-Warcinfo-ID", ""))
+            statuses.append(status)
         n = len(ids)
         return pa.table({
             "image_id": pa.array(ids, pa.string()),
@@ -158,6 +200,9 @@ def cmd_sidecar_all(archive_dir: str, operator: str | None = None,
             "bytes": pa.array(blobs, pa.binary()),
             "caption": pa.array([""] * n, pa.string()),
             "part": pa.array(paths, pa.string()),  # rides through extraction
+            "concurrent_id": pa.array(rec_ids, pa.string()),
+            "warcinfo_id": pa.array(winfo_ids, pa.string()),
+            "status": pa.array(statuses, pa.int64()),
         })
 
     sidecar_ds = pipeline.sidecar_dataset(
@@ -171,7 +216,8 @@ def cmd_sidecar_all(archive_dir: str, operator: str | None = None,
         n = 0
         with open(out_path, "w") as fh:
             fh.write(warc.warcinfo_record_text(warc.sidecar_name(name),
-                                               operator, publisher))
+                                               operator, publisher,
+                                               source_name=name))
             for row in g.drop(columns=["part"]).to_dict("records"):
                 if pipeline.sidecar_row_to_payload(row):
                     fh.write(warc.metadata_record_text(
@@ -195,7 +241,8 @@ def cmd_sidecar_all(archive_dir: str, operator: str | None = None,
         out_path = os.path.join(archive_dir, warc.sidecar_name(name))
         warc.write_zero_record_sidecar(out_path,
                                        filename=warc.sidecar_name(name),
-                                       operator=operator, publisher=publisher)
+                                       operator=operator, publisher=publisher,
+                                       source_name=name)
         zero += 1
     return {"files": len(all_files), "processed": len(per_file) + zero,
             "skipped": len(all_files) - len(todo),
@@ -393,7 +440,9 @@ def cmd_merge_all(meta_dir: str, warc_cdxj_dir: str, cdxj_dir: str) -> dict:
         with open(tmp_path, "w") as fh:
             for s, t, j in zip(origs["surt"], origs["ts"], origs["json"]):
                 mj = build.get(s + " " + t)
-                if mj is not None:
+                # truthiness: an empty meta object {} is no match
+                # (merge_cdxj.py:72) — the original line passes through
+                if mj is not None and json.loads(mj):
                     j = json.dumps(get_sidecar_fields(json.loads(j),
                                                       json.loads(mj)))
                     edited += 1

@@ -165,7 +165,7 @@ def extract_sidecar_batch(batch: pa.Table, registry=None) -> pa.Table:
     # pass-through columns: fetch-partition id, and the source record id
     # (WARC-Concurrent-ID parity — the reference copies the source record's
     # WARC-Record-ID, warc_metadata_sidecar.py:223)
-    for passthru in ("part", "concurrent_id"):
+    for passthru in ("part", "concurrent_id", "warcinfo_id"):
         if passthru in batch.column_names:
             out = out.append_column(passthru, batch.column(passthru))
     # F10/:270-271 — a record with no metadata at all is skipped entirely;
@@ -316,7 +316,7 @@ def sidecar_dataset_dedup_digest(images_ds, *, batch_size: int = 1024,
             "is_text": pa.array(is_text),
             "caption": cap_kept,
         })
-        for passthru in ("part", "concurrent_id"):
+        for passthru in ("part", "concurrent_id", "warcinfo_id"):
             if passthru in batch.column_names:
                 out = out.append_column(
                     passthru, batch.column(passthru).filter(pa.array(keep)))

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
@@ -36,8 +37,13 @@ def _record_text(headers: list[tuple[str, str]], payload: str) -> str:
 
 
 def warcinfo_record_text(filename: str, operator: str | None = None,
-                         publisher: str | None = None) -> str:
-    info = create_warcinfo_payload(filename, operator, publisher)
+                         publisher: str | None = None,
+                         source_name: str | None = None) -> str:
+    """The warcinfo record: the payload's description names the SOURCE
+    archive (reference: create_warcinfo_payload(new_file=basename(warc_file)),
+    warc_metadata_sidecar.py:182,200) while WARC-Filename carries the
+    sidecar's own name (:202 create_warcinfo_record(meta_file, ...))."""
+    info = create_warcinfo_payload(source_name or filename, operator, publisher)
     payload = "".join(f"{k}: {v}\r\n" for k, v in info.items())
     headers = [("WARC-Type", "warcinfo"),
                ("WARC-Filename", filename),
@@ -69,8 +75,11 @@ def metadata_record_text(row: dict, *, source_is_warc: bool = True,
             f"{row.get('url')}|{ts}".encode(), digest_size=16).hexdigest()
         concurrent = row.get("concurrent_id") or f"<urn:uuid:{rec_hash}>"
         headers.append(("WARC-Concurrent-ID", concurrent))
-        if warcinfo_id:
-            headers.append(("WARC-Warcinfo-ID", warcinfo_id))
+        # per-record id from the source (reference copies the source
+        # record's own WARC-Warcinfo-ID, :224-225), else the writer-level one
+        winfo = row.get("warcinfo_id") or warcinfo_id
+        if winfo:
+            headers.append(("WARC-Warcinfo-ID", winfo))
     headers.append(("Content-Type", "application/warc-fields"))
     return _record_text(headers, sidecar_row_to_payload(row))
 
@@ -97,6 +106,7 @@ def write_sidecar_warc(sidecar_ds, path: str, *, filename: str | None = None,
                        publisher: str | None = None,
                        source_is_warc: bool = True,
                        warcinfo_id: str | None = None,
+                       source_name: str | None = None,
                        compress: bool = False) -> int:
     """Write a sidecar WARC text file: warcinfo first, then the metadata
     records (streamed).  Returns the number of metadata records written;
@@ -117,7 +127,8 @@ def write_sidecar_warc(sidecar_ds, path: str, *, filename: str | None = None,
     n = 0
     with opener() as f:
         f.write(warcinfo_record_text(filename or os.path.basename(path),
-                                     operator, publisher))
+                                     operator, publisher,
+                                     source_name=source_name))
         for batch in sidecar_to_warc_text(
                 sidecar_ds, source_is_warc=source_is_warc,
                 warcinfo_id=warcinfo_id).iter_batches(
@@ -128,21 +139,24 @@ def write_sidecar_warc(sidecar_ds, path: str, *, filename: str | None = None,
                 n += 1
     if n == 0:  # S4: rewrite holding only the zero-record-marker warcinfo
         write_zero_record_sidecar(path, filename=filename, operator=operator,
-                                  publisher=publisher, compress=compress)
+                                  publisher=publisher, compress=compress,
+                                  source_name=source_name)
     return n
 
 
 def write_zero_record_sidecar(path: str, *, filename: str | None = None,
                               operator: str | None = None,
                               publisher: str | None = None,
-                              compress: bool = False) -> None:
+                              compress: bool = False,
+                              source_name: str | None = None) -> None:
     """The S4 zero-record sidecar: only the warcinfo, with the
     '0 metadata sidecar records' marker appended to the description
     (the reference rewrites the file this way when nothing was extracted).
     Used directly by batch mode for sources whose groupby produced no rows."""
     import gzip as _gzip
 
-    info = create_warcinfo_payload(filename or os.path.basename(path),
+    info = create_warcinfo_payload(source_name or filename
+                                   or os.path.basename(path),
                                    operator, publisher)
     info["description"] = info.get("description", "") + \
         "; 0 metadata sidecar records"
@@ -155,31 +169,48 @@ def write_zero_record_sidecar(path: str, *, filename: str | None = None,
                               ("Content-Type", "application/warc-fields")], payload))
 
 
-def parse_warc_text(text: str) -> list[dict]:
-    """Split WARC text into records: {rec_type, url, ts14, headers, payload}.
-    Boundary = 'WARC/1.0' at line start after a blank region; payload length
-    from Content-Length (exact, like any conformant reader)."""
-    # tolerate LF-normalized input (e.g. a text-mode read translated CRLF):
-    # payload slicing by Content-Length is byte-exact only for the CRLF form,
-    # so prefer it; the LF fallback is best-effort for hand-edited fixtures.
-    delim = _CRLF if _CRLF + _CRLF in text else "\n"
+def _lf_payload_end(data: bytes, body_start: int, ln: int) -> int:
+    """Best-effort payload end for LF-NORMALIZED input: Content-Length
+    counted the original CRLF line endings (2 bytes) that the normalization
+    collapsed to LF (1 byte), so each b'\\n' in the payload region counts as
+    2 toward the declared length."""
+    region = np.frombuffer(data, dtype=np.uint8, count=min(ln, len(data) - body_start),
+                           offset=body_start)
+    eff = np.arange(1, len(region) + 1) + np.cumsum(region == 0x0A)
+    stop = int(np.searchsorted(eff, ln, side="left"))
+    return body_start + min(stop + 1, len(region)) if len(region) else body_start
+
+
+def parse_warc_bytes(data: bytes) -> list[dict]:
+    """Split WARC bytes into records: {rec_type, url, ts14, headers, payload}.
+    Boundary = 'WARC/1.0' at line start after a blank region; payload sliced
+    by Content-Length in BYTES (the WARC contract — a character-count slice
+    corrupts multibyte payloads and can swallow the next record).  Header
+    lines and payload are decoded utf-8/replace for the downstream detectors.
+    LF-normalized input (a text-mode read translated CRLF) is handled
+    best-effort by counting each payload newline as the 2 bytes it was."""
+    delim = b"\r\n" if b"\r\n\r\n" in data else b"\n"
     out = []
     i = 0
     while True:
-        start = text.find("WARC/1.0", i)
+        start = data.find(b"WARC/1.0", i)
         if start < 0:
             break
-        head_end = text.find(delim + delim, start)
+        head_end = data.find(delim + delim, start)
+        if head_end < 0:
+            break
         headers: dict[str, str] = {}
-        for line in text[start:head_end].split(delim)[1:]:
-            if ": " in line:
-                k, v = line.split(": ", 1)
-                headers[k] = v
+        for line in data[start:head_end].split(delim)[1:]:
+            if b": " in line:
+                k, v = line.split(b": ", 1)
+                headers[k.decode("utf-8", "replace")] = v.decode("utf-8", "replace")
         ln = int(headers.get("Content-Length", "0"))
-        if delim == "\n":  # LF-normalized: lengths counted CRLF newlines
-            ln -= (text[head_end:].count("\n", 0, ln) if ln else 0)
         body_start = head_end + 2 * len(delim)
-        payload = text[body_start : body_start + ln]
+        if delim == b"\n" and ln:
+            body_end = _lf_payload_end(data, body_start, ln)
+        else:
+            body_end = body_start + ln
+        payload = data[body_start:body_end].decode("utf-8", "replace")
         date = headers.get("WARC-Date", "")
         ts14 = "".join(c for c in date if c.isdigit())[:14]
         out.append({
@@ -189,19 +220,25 @@ def parse_warc_text(text: str) -> list[dict]:
             "headers": headers,
             "payload": payload,
         })
-        i = body_start + ln
+        i = body_end
     return out
 
 
-def parse_arc_text(text: str) -> list[dict]:
-    """S1's ``arc2warc=True`` analog: split ARC v1 text into WARC-shaped
+def parse_warc_text(text: str) -> list[dict]:
+    """String-input convenience wrapper over :func:`parse_warc_bytes`."""
+    return parse_warc_bytes(text.encode("utf-8"))
+
+
+def parse_arc_bytes(data: bytes) -> list[dict]:
+    """S1's ``arc2warc=True`` analog: split ARC v1 bytes into WARC-shaped
     record dicts.  ARC v1 layout: a ``filedesc://`` version block first,
     then per record one header line ``<url> <ip> <YYYYMMDDhhmmss> <mime>
-    <length>`` followed by exactly ``length`` payload bytes.  Records are
-    emitted as ``rec_type='response'`` (the rewrite the reference's
-    ArchiveIterator does on the fly, warc_metadata_sidecar.py:205); the
-    filedesc block maps to ``rec_type='warcinfo'`` so downstream filters
-    behave identically on both formats.
+    <length>`` followed by exactly ``length`` payload BYTES (character
+    slicing would corrupt multibyte payloads).  Records are emitted as
+    ``rec_type='response'`` (the rewrite the reference's ArchiveIterator
+    does on the fly, warc_metadata_sidecar.py:205); the filedesc block maps
+    to ``rec_type='warcinfo'`` so downstream filters behave identically on
+    both formats.
 
     Robustness: ARC URLs are not guaranteed space-free, so the header is
     parsed from the RIGHT (last four fields are ip/date/mime/length; the
@@ -213,23 +250,23 @@ def parse_arc_text(text: str) -> list[dict]:
     out = []
     malformed = 0
     i = 0
-    n = len(text)
+    n = len(data)
     while i < n:
         # skip blank separation
-        while i < n and text[i] in "\r\n":
+        while i < n and data[i] in (0x0D, 0x0A):
             i += 1
         if i >= n:
             break
-        line_end = text.find("\n", i)
+        line_end = data.find(b"\n", i)
         if line_end < 0:
             break
-        header = text[i:line_end].rstrip("\r")
+        header = data[i:line_end].rstrip(b"\r").decode("utf-8", "replace")
         parts = header.split(" ")
         ok = (len(parts) >= 5 and parts[-1].isdigit()
               and parts[-3].isdigit() and len(parts[-3]) >= 8)
         if not ok:
             malformed += 1
-            nxt = text.find("\n\n", line_end)
+            nxt = data.find(b"\n\n", line_end)
             if nxt < 0:
                 break
             i = nxt + 2
@@ -237,7 +274,7 @@ def parse_arc_text(text: str) -> list[dict]:
         url = " ".join(parts[:-4])
         ts, ln = parts[-3], int(parts[-1])
         body_start = line_end + 1
-        payload = text[body_start : body_start + ln]
+        payload = data[body_start : body_start + ln].decode("utf-8", "replace")
         out.append({
             "rec_type": "warcinfo" if url.startswith("filedesc://") else "response",
             "url": url,
@@ -248,8 +285,13 @@ def parse_arc_text(text: str) -> list[dict]:
         i = body_start + ln
     if malformed:
         logging.getLogger("sidecar.warc").warning(
-            "parse_arc_text: skipped %d malformed ARC header(s)", malformed)
+            "parse_arc_bytes: skipped %d malformed ARC header(s)", malformed)
     return out
+
+
+def parse_arc_text(text: str) -> list[dict]:
+    """String-input convenience wrapper over :func:`parse_arc_bytes`."""
+    return parse_arc_bytes(text.encode("utf-8"))
 
 
 def read_warc_text(paths: str | list[str]) -> "rd.Dataset":
@@ -282,12 +324,12 @@ def read_warc_text(paths: str | list[str]) -> "rd.Dataset":
             import gzip as _gzip
 
             raw = _gzip.decompress(raw)
-        text = raw.decode("utf-8", "replace")
         # ARC-vs-WARC by CONTENT (an ARC file opens with its filedesc://
-        # version block) — complements the filename sniff (is_arc_name)
-        parse = parse_arc_text if text.lstrip().startswith("filedesc://") \
-            else parse_warc_text
-        return [{"path": row["path"], **r} for r in parse(text)]
+        # version block) — complements the filename sniff (is_arc_name);
+        # parsing stays at the BYTE level so Content-Length slices exactly
+        parse = parse_arc_bytes if raw.lstrip().startswith(b"filedesc://") \
+            else parse_warc_bytes
+        return [{"path": row["path"], **r} for r in parse(raw)]
 
     return rd.from_items([{"path": f} for f in files]).flat_map(split_file)
 
@@ -307,9 +349,13 @@ def sidecar_name(archive_name: str) -> str:
 
 
 def cdxj_name_from_sidecar(sidecar_file: str) -> str:
-    """``x.warc.meta.gz`` → ``x.cdxj`` (sidecar2cdxj.py:11-15 semantics)."""
+    """``x.warc.meta.gz`` → ``x.cdxj`` — quirk-for-quirk with
+    sidecar2cdxj.py:14's ``re.sub('warc.meta.gz', 'cdxj', ...)``: the
+    pattern is UNANCHORED (a name like ``x.warc.meta.gz.open`` still
+    converts, so the output never collides with the input) and its dots are
+    regex-any, exactly as the reference wrote it."""
     base = os.path.basename(sidecar_file)
-    return re.sub(r"warc\.meta\.gz$", "cdxj", base)
+    return re.sub(r"warc.meta.gz", "cdxj", base)
 
 
 def merged_cdxj_name(warc_cdxj: str) -> str:
@@ -319,6 +365,7 @@ def merged_cdxj_name(warc_cdxj: str) -> str:
 
 
 def is_arc_name(archive_name: str) -> bool:
-    """ARC-vs-WARC filename sniff (warc_metadata_sidecar.py:35,186-189)."""
-    return bool(re.search(r"arc(\.gz)?$", archive_name)) and not bool(
-        re.search(r"warc(\.gz)?$", archive_name))
+    """ARC-vs-WARC filename sniff: the reference's exact pattern
+    ``.*\\.arc(\\.gz)?$`` (warc_metadata_sidecar.py:35,186-189) — a literal
+    ``.arc`` extension is required, so ``foo.marc`` is WARC-processed."""
+    return bool(re.match(r".*\.arc(\.gz)?$", archive_name))

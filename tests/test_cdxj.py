@@ -149,3 +149,34 @@ def test_alpha3_full_table_merge():
         {"url": "http://x"},
         {"Languages-cld2": {"languages": [{"code": "ja"}]}})
     assert enriched["languages"] == "jpn"
+
+
+def test_surt_ia_default_canonicalizations():
+    """The reference's surt.surt applies the IA default canonicalizer:
+    session ids stripped from path and query, IDN hosts punycoded."""
+    sid = "0123456789abcdefghijklmnopqrstuv"  # 32 chars
+    assert surt(f"http://example.com/page;jsessionid={sid}?a=1&PHPSESSID={sid}") \
+        == "com,example)/page?a=1"
+    assert surt("http://h.com/p?cfid=123&cftoken=abc&x=1") == "com,h)/p?x=1"
+    # cfid WITHOUT cftoken is an ordinary param and survives
+    assert surt("http://h.com/p?cfid=123&x=1") == "com,h)/p?cfid=123&x=1"
+    # short (non-session) sid params survive
+    assert surt("http://h.com/p?sid=7") == "com,h)/p?sid=7"
+    assert surt("http://bücher.example/x") == "example,xn--bcher-kva)/x"
+
+
+def test_merge_empty_meta_object_is_no_match():
+    """merge_cdxj.py:72 matches on TRUTHINESS: a meta line whose JSON is {}
+    must leave the original line byte-identical and uncounted as edited."""
+    import ray.data as rd
+
+    from sidecar.cdxj import merge_cdxj
+
+    meta = rd.from_items([{"surt": "com,x)/", "ts": "20210101000000",
+                           "json": "{}"}])
+    orig = rd.from_items([{"surt": "com,x)/", "ts": "20210101000000",
+                           "json": '{"url": "http://x.com/"}'}])
+    out = merge_cdxj(meta, orig).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["json"] == '{"url": "http://x.com/"}'
+    assert not out.iloc[0]["matched"]

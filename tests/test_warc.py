@@ -443,3 +443,78 @@ def test_alpha3_bihari_converts():
     codes = get_alpha3_language_codes(
         [{"name": "Bihari", "code": "bh", "text-covered": 90, "score": 100.0}])
     assert codes == "bih"
+
+
+def test_parse_warc_bytes_multibyte_payloads():
+    """Content-Length is BYTES: multibyte payloads must slice exactly and
+    never swallow the next record."""
+
+    def rec(payload):
+        body = payload.encode()
+        return ("WARC/1.0\r\nWARC-Type: response\r\n"
+                "WARC-Target-URI: http://x/\r\n"
+                "WARC-Date: 2021-01-01T00:00:00Z\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n{payload}\r\n\r\n")
+
+    recs = warc.parse_warc_text(rec("héllo") + rec("日本語" * 20))
+    assert len(recs) == 2
+    assert recs[0]["payload"] == "héllo"
+    assert recs[1]["payload"] == "日本語" * 20
+    # LF-normalized fixture: payload with internal newlines still exact
+    lf = ("WARC/1.0\nWARC-Type: response\nContent-Length: 12\n\n"
+          "line1\nline2\n\n")
+    assert warc.parse_warc_bytes(lf.encode())[0]["payload"] == "line1\nline2"
+
+
+def test_http_response_records_stripped_and_status_gated(tmp_path):
+    """Reference parity on real archive-crawled WARCs: detectors run on the
+    HTTP BODY only (record.content_stream()) and soft-404 only on
+    status 200 (warc_metadata_sidecar.py:213,263-265)."""
+    import ray
+
+    from sidecar import cli
+
+    html = "<html><head><title>hi</title></head><body>page</body></html>"
+
+    def rec(status, reason):
+        payload = (f"HTTP/1.1 {status} {reason}\r\n"
+                   "Content-Type: text/html\r\n\r\n" + html)
+        body = payload.encode()
+        return ("WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: http://x/{status}\r\n"
+                "WARC-Date: 2021-01-01T00:00:00Z\r\n"
+                "WARC-Record-ID: <urn:uuid:rec-1>\r\n"
+                "WARC-Warcinfo-ID: <urn:uuid:winfo-1>\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n{payload}\r\n\r\n")
+
+    p = tmp_path / "src.warc"
+    p.write_text(rec(200, "OK") + rec(404, "Not Found"))
+    s = cli.cmd_sidecar(str(tmp_path), "src.warc")
+    assert s["records_written"] == 2
+    metas = [r for r in warc.parse_warc_text(open(s["meta_file_path"]).read())
+             if r["rec_type"] == "metadata"]
+    by_url = {m["url"]: m for m in metas}
+    # detectors saw the body, not the HTTP headers: payload mime is html
+    assert "text/html" in by_url["http://x/200"]["payload"]
+    # soft-404 computed only for the 200 record
+    assert "Soft-404-Detected" in by_url["http://x/200"]["payload"]
+    assert "Soft-404-Detected" not in by_url["http://x/404"]["payload"]
+    # source record ids carried into the sidecar headers (F4 parity)
+    assert by_url["http://x/200"]["headers"]["WARC-Concurrent-ID"] == "<urn:uuid:rec-1>"
+    assert by_url["http://x/200"]["headers"]["WARC-Warcinfo-ID"] == "<urn:uuid:winfo-1>"
+    # warcinfo description names the SOURCE archive, not the sidecar file
+    winfo = [r for r in warc.parse_warc_text(open(s["meta_file_path"]).read())
+             if r["rec_type"] == "warcinfo"][0]
+    assert "WARC metdata sidecar for src.warc" in winfo["payload"]
+    assert "src.warc.meta.gz" not in winfo["payload"].split("description")[1].split("\r\n")[0]
+
+
+def test_name_rules_match_reference_patterns():
+    """is_arc_name uses the reference's exact .arc regex; cdxj name
+    derivation is the reference's UNANCHORED re.sub."""
+    assert warc.is_arc_name("x.arc") and warc.is_arc_name("x.arc.gz")
+    assert not warc.is_arc_name("x.warc") and not warc.is_arc_name("x.warc.gz")
+    assert not warc.is_arc_name("foo.marc")  # no literal '.arc' extension
+    assert warc.cdxj_name_from_sidecar("x.warc.meta.gz") == "x.cdxj"
+    # unanchored: a suffixed name still converts (never collides with input)
+    assert warc.cdxj_name_from_sidecar("x.warc.meta.gz.open") == "x.cdxj.open"
