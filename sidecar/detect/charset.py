@@ -55,16 +55,11 @@ def find_character_set_batch(
     arr = binary.combine_chunks() if isinstance(binary, pa.ChunkedArray) else binary
     if arr.null_count:
         arr = arr.fill_null(b"")
-    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
-    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype, count=len(arr) + 1).astype(np.int64)
-    if arr.offset:
-        offsets = offsets + arr.offset
-    databuf = arr.buffers()[2]
-    data = (
-        np.frombuffer(databuf, dtype=np.uint8)
-        if databuf is not None and len(databuf)
-        else np.zeros(0, dtype=np.uint8)
-    )
+    from sidecar.detect.mime import _binary_offsets
+
+    # element-offset-aware buffer view (shared with mime.py — a sliced
+    # array's offset indexes the OFFSETS buffer, it is not a byte delta)
+    offsets, data = _binary_offsets(arr)
     n = len(arr)
     lengths = offsets[1:] - offsets[:-1]
     enc = np.full(n, None, dtype=object)
@@ -74,13 +69,18 @@ def find_character_set_batch(
         todo &= mask
     if not todo.any():
         return enc, conf
-    # vectorized per-row max byte: reduceat segments follow the (monotonic)
-    # offsets; empty rows yield a garbage single-element segment, masked below
-    if len(data):
-        starts = np.minimum(offsets[:-1], len(data) - 1)
-        maxima = np.maximum.reduceat(data, starts)
-    else:
-        maxima = np.zeros(n, dtype=np.uint8)
+    # vectorized per-row max byte over the MASKED rows only — scanning the
+    # whole buffer would touch every unmasked (typically image) payload's
+    # bytes, the dominant share of batch data
+    maxima = np.zeros(n, dtype=np.uint8)
+    todo_idx = np.flatnonzero(todo)
+    if len(data) and len(todo_idx):
+        seg_starts = offsets[todo_idx]
+        seg_ends = offsets[todo_idx + 1]
+        bounds = np.stack([seg_starts, seg_ends]).T.reshape(-1)
+        # reduceat over [start, end) pairs: even positions are the segments
+        red = np.maximum.reduceat(data, np.minimum(bounds[:-1], len(data) - 1))
+        maxima[todo_idx] = red[::2][: len(todo_idx)]
     is_ascii = todo & (maxima < 128)
     enc[is_ascii] = "ascii"
     conf[is_ascii] = 1.0

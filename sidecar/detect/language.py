@@ -90,14 +90,14 @@ def _entries_from_counts(
 
 
 def find_language(payload: bytes | str) -> dict | None:
-    """Scalar detector with the reference's return shape (:105-126)."""
+    """Scalar detector with the reference's return shape (:105-126).
+
+    Delegates to the batch kernel on a 1-element array so scalar and batch
+    are bit-identical BY CONSTRUCTION — independent tokenizers diverged on
+    edge cases (Nl number-letters like 'Ⅻ', Turkish İ casefolding) where
+    Python's [^\\W\\d_]+ and Arrow's \\p{L} disagree."""
     text = payload.decode("utf-8", "replace") if isinstance(payload, bytes) else payload
-    nbytes = len(text.encode("utf-8"))
-    text = BAD_CHARS.sub("", text)
-    tokens = re.findall(r"[^\W\d_]+", text.lower(), re.UNICODE)
-    counts = {code: sum(t in lex for t in tokens) for code, (_, lex) in _LEXICONS.items()}
-    cjk = len(re.findall(_CJK[2], text))
-    return _entries_from_counts(counts, len(tokens), cjk, len(text), nbytes)
+    return find_language_batch(pa.array([text], type=pa.string()))[0]
 
 
 def find_language_batch(texts: pa.Array, mask: np.ndarray | None = None) -> np.ndarray:
@@ -113,11 +113,10 @@ def find_language_batch(texts: pa.Array, mask: np.ndarray | None = None) -> np.n
     nbytes = pc.binary_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
     nchars = pc.utf8_length(clean).to_numpy(zero_copy_only=False).astype(np.int64)
     lower = pc.utf8_lower(clean)
-    toks = pc.split_pattern_regex(lower, r"[^\p{L}]+")  # letters-only tokens (≡ scalar's [^\W\d_]+)
-    flat = pc.list_flatten(toks)
-    flat = flat.filter(pc.not_equal(flat, ""))  # drop empties from splitting
-    # rebuild row offsets after the empty-token filter: count per row
-    nonempty = pc.not_equal(pc.list_flatten(toks), "").to_numpy(zero_copy_only=False)
+    toks = pc.split_pattern_regex(lower, r"[^\p{L}]+")  # letters-only tokens
+    flat_all = pc.list_flatten(toks)  # flattened ONCE; reused for the mask
+    nonempty = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
+    flat = flat_all.filter(pa.array(nonempty))  # drop empties from splitting
     row_sizes_all = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     ends_all = np.cumsum(row_sizes_all)
     kept_cum = np.concatenate([[0], np.cumsum(nonempty.astype(np.int64))])

@@ -32,18 +32,53 @@ _SIGNATURES: list[tuple[bytes, str | None, str | None, str | None]] = [
     (b"B16\n", None, "application/octet-stream", None),
     (b"%PDF-", "application/pdf", "application/pdf", "fmt/18"),
     (b"<?xml", "text/xml", "text/xml", "fmt/101"),
-    (b"<!DOCTYPE html", "text/html", "text/html", "fmt/96"),
+    # HTML5 doctype → fmt/471, matching the reference's own golden
+    # (tests/test_warc_metadata_sidecar.py:55-58 asserts fido fmt/471 for
+    # a '<!DOCTYPE html>' payload); bare <html> stays the generic fmt/96
+    (b"<!DOCTYPE html", "text/html", "text/html", "fmt/471"),
     (b"<html", "text/html", "text/html", "fmt/96"),
     (b"{", None, "application/json", None),
+    # UTF-16 BOMs: python-magic reports such payloads as text (the
+    # reference's golden carries Charset-Detected UTF-16); fido has no
+    # signature for them
+    (b"\xff\xfe", None, "text/plain", None),
+    (b"\xfe\xff", None, "text/plain", None),
 ]
 _MAX_PREFIX = max(len(s[0]) for s in _SIGNATURES)
 _N_SIGS = len(_SIGNATURES)
-_TEXT_PLAIN = (_N_SIGS, "text/plain", "text/plain", "x-fmt/111")
+# plain text: real fido has NO signature match (returns nothing) and libmagic
+# says text/plain with no PUID — the reference's sidecar therefore carries
+# only the python-magic key and no Preservation-Identifier line
+# (reference tests :220-221 mock exactly ({'python-magic': ...}, None))
+_TEXT_PLAIN = (_N_SIGS, None, "text/plain", None)
 _OCTET = (_N_SIGS + 1, None, "application/octet-stream", None)
 
 _FIDO = np.array([s[1] for s in _SIGNATURES] + [_TEXT_PLAIN[1], _OCTET[1]], dtype=object)
 _MAGIC = np.array([s[2] for s in _SIGNATURES] + [_TEXT_PLAIN[2], _OCTET[2]], dtype=object)
 _PUID = np.array([s[3] for s in _SIGNATURES] + [_TEXT_PLAIN[3], _OCTET[3]], dtype=object)
+
+
+# printable-heuristic window: wider than the signature prefix so random
+# binary without an early control byte is unlikely to pass (p ≈ (193/256)^64)
+_PRINT_CHECK = 64
+
+
+def _binary_offsets(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(byte_offsets[n+1], data[uint8]) for a (possibly SLICED) binary
+    array.  ``arr.offset`` is an ELEMENT offset into the offsets buffer —
+    the offsets are read starting at that element, never added to the byte
+    values (adding corrupts every position for sliced arrays)."""
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype,
+                            count=len(arr) + 1 + arr.offset)[arr.offset:] \
+        .astype(np.int64)
+    databuf = arr.buffers()[2]
+    data = (
+        np.frombuffer(databuf, dtype=np.uint8)
+        if databuf is not None and len(databuf)
+        else np.zeros(1, dtype=np.uint8)
+    )
+    return offsets, data
 
 
 def _prefix_matrix(binary: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -52,29 +87,22 @@ def _prefix_matrix(binary: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray
     arr = binary.combine_chunks() if isinstance(binary, pa.ChunkedArray) else binary
     if arr.null_count:
         arr = arr.fill_null(b"")
-    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
-    offsets = np.frombuffer(arr.buffers()[1], dtype=off_dtype, count=len(arr) + 1).astype(np.int64)
-    offsets = offsets + arr.offset if arr.offset else offsets
-    databuf = arr.buffers()[2]
-    data = (
-        np.frombuffer(databuf, dtype=np.uint8)
-        if databuf is not None and len(databuf)
-        else np.zeros(1, dtype=np.uint8)
-    )
+    offsets, data = _binary_offsets(arr)
     n = len(arr)
     lengths = offsets[1:] - offsets[:-1]
-    prefix = np.zeros((n, _MAX_PREFIX), dtype=np.uint8)
-    take = np.minimum(lengths, _MAX_PREFIX)
+    width = max(_MAX_PREFIX, _PRINT_CHECK)
+    prefix = np.zeros((n, width), dtype=np.uint8)
+    take = np.minimum(lengths, width)
     # gather: index matrix clipped to valid range; rows shorter than MAX padded 0
-    idx = offsets[:-1, None] + np.arange(_MAX_PREFIX)[None, :]
-    valid = np.arange(_MAX_PREFIX)[None, :] < take[:, None]
+    idx = offsets[:-1, None] + np.arange(width)[None, :]
+    valid = np.arange(width)[None, :] < take[:, None]
     prefix[valid] = data[np.minimum(idx, len(data) - 1)][valid]
-    # "mostly printable" heuristic for text/plain fallback, computed on the
-    # first MAX_PREFIX bytes: no NUL and few control chars.
+    # "mostly printable" heuristic for text/plain fallback over the first
+    # _PRINT_CHECK bytes: no NUL and no non-whitespace control chars
     body = np.where(valid, prefix, ord(" "))
     ctrl = ((body < 9) | ((body > 13) & (body < 32))).sum(axis=1)
     ascii_ok = (ctrl == 0) & (lengths > 0)
-    return prefix, lengths, ascii_ok
+    return prefix[:, :_MAX_PREFIX], lengths, ascii_ok
 
 
 def sniff_batch(binary: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -99,6 +99,13 @@ def extract_sidecar_batch(batch: pa.Table, registry=None) -> pa.Table:
     # F5: mime + puid (runs first; populates ctx.mime_*)
     mime_det = registry["mime"]
     mime_cols = mime_det.run(ctx, mime_det.applies_to(ctx))
+    # the gate and downstream detectors read ctx.mime_fido/mime_magic; a
+    # registry-swapped mime detector (§2.9) need not mutate ctx, so fall
+    # back to the RETURNED columns — the protocol's actual contract
+    if ctx.mime_fido is None and "mime_fido" in mime_cols:
+        ctx.mime_fido = np.array(mime_cols["mime_fido"].to_pylist(), dtype=object)
+    if ctx.mime_magic is None and "mime_magic" in mime_cols:
+        ctx.mime_magic = np.array(mime_cols["mime_magic"].to_pylist(), dtype=object)
 
     # F6: text gate over the joined mime strings (reference :250,255)
     joined = np.array(

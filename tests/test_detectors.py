@@ -24,7 +24,7 @@ def test_mime_and_puid_shapes():
     # reference contract (:55-58): (mime_dict, puid) with fido + python-magic keys
     mime_dict, puid = sniff(b"<!DOCTYPE html><html><body>x</body></html>")
     assert mime_dict == {"fido": "text/html", "python-magic": "text/html"}
-    assert puid == "fmt/96"
+    assert puid == "fmt/471"  # reference golden: HTML5 doctype -> fmt/471
     mime_dict, puid = sniff(codecs.encode_png(np.zeros((4, 4, 3), np.uint8)))
     assert mime_dict["fido"] == "image/png" and puid == "fmt/11"
 
@@ -205,3 +205,91 @@ class TestDetectorProtocol:
             assert out[0]["charset"]["encoding"] == "x-custom"
         finally:
             proto.register(original)
+
+
+def test_sniff_batch_sliced_array_offsets():
+    """A SLICED binary array must decode at the right byte positions:
+    arr.offset indexes the offsets buffer (elements), it is not a byte
+    delta — adding it corrupted every detection on sliced inputs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sidecar.detect.charset import find_character_set_batch
+    from sidecar.detect.mime import sniff_batch
+
+    arr = pa.array([b"GARBAGEGARBAGE", b"\x89PNG\r\n\x1a\nxxxx",
+                    b"<!DOCTYPE html><p>hi</p>"], type=pa.binary()).slice(1)
+    fido, magic, puid = sniff_batch(arr)
+    assert list(magic) == ["image/png", "text/html"]
+    assert list(puid) == ["fmt/11", "fmt/471"]
+    enc, conf = find_character_set_batch(
+        pa.array([b"\xffbinary", b"plain ascii text here"]).slice(1))
+    assert enc[0] == "ascii" and conf[0] == 1.0
+
+
+def test_plain_text_has_no_fido_and_no_puid():
+    """Reference parity: real fido has no plain-text signature, so the
+    sidecar carries only the python-magic key and NO
+    Preservation-Identifier line (reference tests :220-221)."""
+    from sidecar.detect.mime import sniff
+
+    mime_dict, puid = sniff(b"just some plain ascii words")
+    assert mime_dict == {"python-magic": "text/plain"}
+    assert puid is None
+
+
+def test_utf16_bom_payload_is_text_with_charset():
+    """UTF-16 payloads are text to python-magic; the charset stage's BOM
+    branch must be reachable for them (it was dead code behind an
+    octet-stream classification)."""
+    from sidecar.detect.charset import find_character_set
+    from sidecar.detect.mime import sniff
+
+    payload = "hello world".encode("utf-16")  # BOM-prefixed
+    mime_dict, puid = sniff(payload)
+    assert mime_dict.get("python-magic") == "text/plain"
+    assert find_character_set(payload) == {"encoding": "UTF-16", "confidence": 1.0}
+
+
+def test_binary_without_early_control_bytes_is_not_text():
+    """The printable heuristic checks a 64-byte window: binary whose first
+    14 bytes happen to be printable must not classify as text/plain."""
+    from sidecar.detect.mime import sniff
+
+    blob = bytes(range(0x20, 0x7F))[:20] + b"\x01\x02\x03" + b"x" * 40
+    mime_dict, _ = sniff(blob)
+    assert mime_dict.get("python-magic") == "application/octet-stream"
+
+
+def test_registry_swapped_mime_detector_keeps_pipeline_working():
+    """SURVEY 2.9: a custom 'mime' detector that fulfills the protocol by
+    RETURNING columns (without mutating ctx) must not crash the text gate."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sidecar.detect import protocol
+    from sidecar.pipeline import extract_sidecar_batch
+
+    class ConstMime:
+        name = "mime"
+
+        def applies_to(self, ctx):
+            return np.ones(ctx.num_rows, dtype=bool)
+
+        def run(self, ctx, mask):
+            n = ctx.num_rows
+            return {
+                "mime_fido": pa.array(["text/plain"] * n, pa.string()),
+                "mime_magic": pa.array(["text/plain"] * n, pa.string()),
+                "puid": pa.array([None] * n, pa.string()),
+            }
+
+    reg = dict(protocol.snapshot())
+    reg["mime"] = ConstMime()
+    batch = pa.Table.from_pylist([{
+        "image_id": "x", "url": "http://x/", "ts": "20210101000000",
+        "bytes": b"some words here", "caption": "",
+    }])
+    out = extract_sidecar_batch(batch, registry=reg)
+    assert out.num_rows == 1
+    assert out.column("mime_magic").to_pylist() == ["text/plain"]

@@ -30,7 +30,7 @@ def test_e2e_text_row():
         schema=synth.IMAGES_SCHEMA,
     )
     row = _run(t).to_pylist()[0]
-    assert row["mime_magic"] == "text/html" and row["puid"] == "fmt/96"
+    assert row["mime_magic"] == "text/html" and row["puid"] == "fmt/471"
     assert row["charset"]["encoding"] == "ascii"
     assert row["languages"]["languages"][0]["code"] == "en"
     assert row["soft404"] is not None and row["is_text"]
