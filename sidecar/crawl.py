@@ -215,6 +215,8 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
         epoch=0,
     )
 
+    resume_frontier_src: str | None = None
+    resume_rows = 0
     if resume:
         last = _find_resume_epoch(cfg)
         if last >= 0:
@@ -239,12 +241,17 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
             start_epoch = last + 1
             fdir = os.path.join(_epoch_dir(cfg, last), "next_frontier")
             fpath = fdir + ".parquet"   # legacy single-file layout
-            if os.path.isdir(fdir) and _parquet_rows(fdir):
-                frontier_tbl = pq.read_table(fdir)
+            # STREAM the checkpointed frontier (parquet dir/file source for
+            # the epoch loop) — a driver-side read_table of a large crawl's
+            # frontier is exactly the materialization the loop avoids
+            frontier_tbl = None
+            if os.path.isdir(fdir):
+                resume_rows = _parquet_rows(fdir)
+                if resume_rows:
+                    resume_frontier_src = fdir
             elif os.path.exists(fpath):
-                frontier_tbl = pq.read_table(fpath)
-            else:
-                frontier_tbl = None
+                resume_frontier_src = fpath
+                resume_rows = pq.read_metadata(fpath).num_rows
 
     import time as _time
 
@@ -261,329 +268,359 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
     # live crawl would re-snapshot per epoch as the actors refresh caches)
     robots_ref = ray.put(ray.get(policies[0].rules_snapshot.remote()))
 
-    frontier_src: str | None = None  # parquet dir once epochs hand off
-    frontier_rows = frontier_tbl.num_rows if frontier_tbl is not None else 0
+    prev_denied = 0  # per-epoch robots-denied baseline (actor counters are cumulative)
+    frontier_src = resume_frontier_src  # parquet dir once epochs hand off
+    frontier_rows = (frontier_tbl.num_rows if frontier_tbl is not None
+                     else resume_rows)
 
-    for epoch in range(start_epoch, cfg.max_epochs):
-        if (frontier_tbl is None and frontier_src is None) or frontier_rows == 0:
-            break
-        m: dict = {"epoch": epoch, "candidates": frontier_rows}
-        _t0 = _time.perf_counter()
-
-        def _lap(name: str) -> None:
-            nonlocal _t0
-            m[f"t_{name}"] = round(_time.perf_counter() - _t0, 3)
+    try:
+        for epoch in range(start_epoch, cfg.max_epochs):
+            if (frontier_tbl is None and frontier_src is None) or frontier_rows == 0:
+                break
+            m: dict = {"epoch": epoch, "candidates": frontier_rows}
             _t0 = _time.perf_counter()
 
-        # bloom summary of the current seen set, replicated once per epoch
-        blobs = ray.get([s.bloom_summary.remote() for s in shards])
-        bloom = BloomFilter.deserialize(blobs[0])
-        for b in blobs[1:]:
-            bloom.merge(BloomFilter.deserialize(b))
-        any_seen = sum(ray.get([s.size.remote() for s in shards])) > 0
+            def _lap(name: str) -> None:
+                nonlocal _t0
+                m[f"t_{name}"] = round(_time.perf_counter() - _t0, 3)
+                _t0 = _time.perf_counter()
 
-        # from_arrow yields ONE block — split so the filter/budget chain
-        # fans out (block = unit of map parallelism); parquet dirs already
-        # read as one block per file
-        if frontier_tbl is not None:
-            n_blocks = max(8, min(64, frontier_rows // 500))
-            ds = rd.from_arrow(frontier_tbl).repartition(n_blocks)
-        else:
-            ds = rd.read_parquet(frontier_src)
-        # exact url_hash dedup is folded into select_budget's stage 1
-        # (same (host,salt) group ⇒ equivalent, one less all-to-all).
-        # An EMPTY seen set (epoch 0 of a fresh crawl) skips the anti-join
-        # stage entirely — with no bloom summary every batch would RPC every
-        # shard just to hear "no".
-        if any_seen:
-            ds = fr.filter_unseen(
-                ds, shards, bloom.serialize(), cfg.num_seen_shards
-            )
-        ds = fr.filter_robots(ds, policies, cfg.num_policy_actors,
-                              rules_ref=robots_ref)
-        flagged = fr.select_budget(ds, cfg.budget_per_host, dedup=True,
-                                   size_hint=frontier_rows,
-                                   policy=cfg.policy).materialize()
-        m["after_budget_pool"] = flagged.count()
-        _lap("budget")
+            # bloom summary of the current seen set, replicated once per epoch
+            blobs = ray.get([s.bloom_summary.remote() for s in shards])
+            bloom = BloomFilter.deserialize(blobs[0])
+            for b in blobs[1:]:
+                bloom.merge(BloomFilter.deserialize(b))
+            any_seen = sum(ray.get([s.size.remote() for s in shards])) > 0
 
-        import pyarrow.compute as pc
+            # from_arrow yields ONE block — split so the filter/budget chain
+            # fans out (block = unit of map parallelism); parquet dirs already
+            # read as one block per file
+            if frontier_tbl is not None:
+                n_blocks = max(8, min(64, frontier_rows // 500))
+                ds = rd.from_arrow(frontier_tbl).repartition(n_blocks)
+            else:
+                ds = rd.read_parquet(frontier_src)
+            # exact url_hash dedup is folded into select_budget's stage 1
+            # (same (host,salt) group ⇒ equivalent, one less all-to-all).
+            # An EMPTY seen set (epoch 0 of a fresh crawl) skips the anti-join
+            # stage entirely — with no bloom summary every batch would RPC every
+            # shard just to hear "no".
+            if any_seen:
+                ds = fr.filter_unseen(
+                    ds, shards, bloom.serialize(), cfg.num_seen_shards
+                )
+            ds = fr.filter_robots(ds, policies, cfg.num_policy_actors,
+                                  rules_ref=robots_ref)
+            flagged = fr.select_budget(ds, cfg.budget_per_host, dedup=True,
+                                       size_hint=frontier_rows,
+                                       policy=cfg.policy).materialize()
+            m["after_budget_pool"] = flagged.count()
+            _lap("budget")
 
-        P = cfg.num_fetch_partitions
+            import pyarrow.compute as pc
 
-        def split_sel(t: pa.Table) -> pa.Table:
-            """selected rows + their fetch partition (part = url_hash % P) in
-            ONE pass, so `selected` materializes exactly once per epoch."""
-            t = t.filter(pc.equal(t["selected"], True)).drop_columns(["selected"])
-            h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-            return t.append_column(
-                "part", pa.array((h % np.uint64(P)).astype(np.int64)))
+            P = cfg.num_fetch_partitions
 
-        selected = flagged.map_batches(
-            split_sel, batch_format="pyarrow").materialize()
-        _lap("split_selected")
-        leftover = flagged.map_batches(
-            lambda t: t.filter(pc.equal(t["selected"], False)).drop_columns(["selected"]),
-            batch_format="pyarrow",
-        )
-        # link discovery → next frontier (leftover ∪ links, epoch bumped),
-        # WRITTEN CONCURRENTLY with everything below (politeness accounting,
-        # resume bookkeeping, the fetch stage): it depends only on the
-        # materialized `selected`/`flagged`, so running the frontier
-        # hand-off in a side thread removes one of the two big per-epoch
-        # barriers from the critical path (the streaming executors share
-        # the cluster; stragglers of one fill the other's idle slots).  The
-        # seen-delta/manifest writes stay sequential — they must observe
-        # the completed fetch.
-        links = fr.discover_links(
-            selected.map_batches(
-                lambda t: t.filter(pc.less(t["depth"], cfg.max_depth)),
+            def split_sel(t: pa.Table) -> pa.Table:
+                """selected rows + their fetch partition (part = url_hash % P) in
+                ONE pass, so `selected` materializes exactly once per epoch."""
+                t = t.filter(pc.equal(t["selected"], True)).drop_columns(["selected"])
+                h = t.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+                return t.append_column(
+                    "part", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+            selected = flagged.map_batches(
+                split_sel, batch_format="pyarrow").materialize()
+            _lap("split_selected")
+            leftover = flagged.map_batches(
+                lambda t: t.filter(pc.equal(t["selected"], False)).drop_columns(["selected"]),
                 batch_format="pyarrow",
-            ),
-            epoch, cfg.n_hosts, cfg.seed, policy=cfg.policy,
-        )
-
-        def bump(t: pa.Table) -> pa.Table:
-            return t.set_column(
-                t.column_names.index("epoch"), "epoch",
-                pa.array([epoch + 1] * t.num_rows, pa.int32()),
+            )
+            # link discovery → next frontier (leftover ∪ links, epoch bumped),
+            # WRITTEN CONCURRENTLY with everything below (politeness accounting,
+            # resume bookkeeping, the fetch stage): it depends only on the
+            # materialized `selected`/`flagged`, so running the frontier
+            # hand-off in a side thread removes one of the two big per-epoch
+            # barriers from the critical path (the streaming executors share
+            # the cluster; stragglers of one fill the other's idle slots).  The
+            # seen-delta/manifest writes stay sequential — they must observe
+            # the completed fetch.
+            links = fr.discover_links(
+                selected.map_batches(
+                    lambda t: t.filter(pc.less(t["depth"], cfg.max_depth)),
+                    batch_format="pyarrow",
+                ),
+                epoch, cfg.n_hosts, cfg.seed, policy=cfg.policy,
             )
 
-        next_frontier = leftover.map_batches(bump, batch_format="pyarrow").union(links)
-        nf_dir = os.path.join(_epoch_dir(cfg, epoch), "next_frontier")
-        os.makedirs(_epoch_dir(cfg, epoch), exist_ok=True)
+            def bump(t: pa.Table) -> pa.Table:
+                return t.set_column(
+                    t.column_names.index("epoch"), "epoch",
+                    pa.array([epoch + 1] * t.num_rows, pa.int32()),
+                )
 
-        import threading
+            next_frontier = leftover.map_batches(bump, batch_format="pyarrow").union(links)
+            nf_dir = os.path.join(_epoch_dir(cfg, epoch), "next_frontier")
+            os.makedirs(_epoch_dir(cfg, epoch), exist_ok=True)
 
-        nf_result: dict = {}
+            import threading
 
-        def _write_next_frontier() -> None:
-            try:
-                next_frontier.write_parquet(nf_dir)
-                nf_result["rows"] = _parquet_rows(nf_dir)
-            except BaseException as e:  # re-raised on join
-                nf_result["error"] = e
+            nf_result: dict = {}
 
-        nf_thread = threading.Thread(target=_write_next_frontier,
-                                     name="next-frontier-write")
-        nf_thread.start()
+            def _write_next_frontier() -> None:
+                try:
+                    next_frontier.write_parquet(nf_dir)
+                    nf_result["rows"] = _parquet_rows(nf_dir)
+                except BaseException as e:  # re-raised on join
+                    nf_result["error"] = e
 
-        # politeness accounting at the HostPolicy actors (token buckets).
-        # Grouped count via per-block partials + driver combine — no
-        # all-to-all shuffle for a result of ≤ #hosts rows.
-        def host_partials(t: pa.Table) -> pa.Table:
-            vc = t.column("host").value_counts()
-            return pa.table({"host": vc.field("values"),
-                             "n": pc.cast(vc.field("counts"), pa.int64())})
+            nf_thread = threading.Thread(target=_write_next_frontier,
+                                         name="next-frontier-write")
+            nf_thread.start()
 
-        host_counts: dict[str, int] = {}
-        for b in selected.map_batches(host_partials, batch_format="pyarrow",
-                                      zero_copy_batch=True).iter_batches(
-                                          batch_format="pyarrow"):
-            for hh, nn in zip(b.column("host").to_pylist(), b.column("n").to_pylist()):
-                host_counts[hh] = host_counts.get(hh, 0) + nn
-        m["selected"] = sum(host_counts.values())
-        # policy-effective per-host budgets (a FrontierPolicy may raise a
-        # host's budget above the configured default; the token buckets must
-        # open with the same value select_budget enforced)
-        all_hosts = sorted(host_counts)
-        if cfg.policy is not None and all_hosts:
-            eff = {h: int(b) for h, b in zip(
-                all_hosts,
-                cfg.policy.host_budget(np.asarray(all_hosts),
-                                       cfg.budget_per_host))}
-        else:
-            eff = None
-        by_actor: dict[int, tuple[list[str], list[int], list[int]]] = {}
-        for hh in all_hosts:
-            hs, ns, bs = by_actor.setdefault(
-                host_shard(hh, cfg.num_policy_actors), ([], [], []))
-            hs.append(hh)
-            ns.append(host_counts[hh])
-            bs.append(cfg.budget_per_host if eff is None else eff[hh])
-        grant_futures = [
-            policies[a].grant_many.remote(hs, epoch, ns,
-                                          None if eff is None else bs)
-            for a, (hs, ns, bs) in by_actor.items()
-        ]
-        granted = sum(ray.get(grant_futures)) if grant_futures else 0
-        assert granted == m["selected"], "budget invariant violated"
-        _lap("politeness")
+            # politeness accounting at the HostPolicy actors (token buckets).
+            # Grouped count via per-block partials + driver combine — no
+            # all-to-all shuffle for a result of ≤ #hosts rows.
+            def host_partials(t: pa.Table) -> pa.Table:
+                vc = t.column("host").value_counts()
+                return pa.table({"host": vc.field("values"),
+                                 "n": pc.cast(vc.field("counts"), pa.int64())})
 
-        # ---- sub-epoch fetch partitions (north_rule per-partition ckpt) ---
-        # part = url_hash % P (computed in split_sel) partitions the fetch
-        # deterministically; each completed part gets a manifest (lineage:
-        # config → epoch → part), so a crashed epoch resumes fetching ONLY
-        # the unfinished parts (determinism makes re-selection identical;
-        # re-marking seen is idempotent).
-        edir = _epoch_dir(cfg, epoch)
-        parts_dir = os.path.join(edir, "parts")
-        sidecar_path = os.path.join(cfg.out_dir, "sidecar", f"epoch={epoch}")
+            host_counts: dict[str, int] = {}
+            for b in selected.map_batches(host_partials, batch_format="pyarrow",
+                                          zero_copy_batch=True).iter_batches(
+                                              batch_format="pyarrow"):
+                for hh, nn in zip(b.column("host").to_pylist(), b.column("n").to_pylist()):
+                    host_counts[hh] = host_counts.get(hh, 0) + nn
+            m["selected"] = sum(host_counts.values())
+            # policy-effective per-host budgets (a FrontierPolicy may raise a
+            # host's budget above the configured default; the token buckets must
+            # open with the same value select_budget enforced)
+            all_hosts = sorted(host_counts)
+            if cfg.policy is not None and all_hosts:
+                eff = {h: int(b) for h, b in zip(
+                    all_hosts,
+                    cfg.policy.host_budget(np.asarray(all_hosts),
+                                           cfg.budget_per_host))}
+            else:
+                eff = None
+            by_actor: dict[int, tuple[list[str], list[int], list[int]]] = {}
+            for hh in all_hosts:
+                hs, ns, bs = by_actor.setdefault(
+                    host_shard(hh, cfg.num_policy_actors), ([], [], []))
+                hs.append(hh)
+                ns.append(host_counts[hh])
+                bs.append(cfg.budget_per_host if eff is None else eff[hh])
+            grant_futures = [
+                policies[a].grant_many.remote(hs, epoch, ns,
+                                              None if eff is None else bs)
+                for a, (hs, ns, bs) in by_actor.items()
+            ]
+            granted = sum(ray.get(grant_futures)) if grant_futures else 0
+            assert granted == m["selected"], "budget invariant violated"
+            _lap("politeness")
 
-        done_parts: set[int] = set()
-        if os.path.isdir(parts_dir):
-            done_parts = {int(fn.split("=")[1].split(".")[0])
-                          for fn in os.listdir(parts_dir) if fn.startswith("part=")}
-        if done_parts:
-            # clear stale partial writes of unfinished parts
-            import shutil as _shutil
+            # ---- sub-epoch fetch partitions (north_rule per-partition ckpt) ---
+            # part = url_hash % P (computed in split_sel) partitions the fetch
+            # deterministically; each completed part gets a manifest (lineage:
+            # config → epoch → part), so a crashed epoch resumes fetching ONLY
+            # the unfinished parts (determinism makes re-selection identical;
+            # re-marking seen is idempotent).
+            edir = _epoch_dir(cfg, epoch)
+            parts_dir = os.path.join(edir, "parts")
+            sidecar_path = os.path.join(cfg.out_dir, "sidecar", f"epoch={epoch}")
 
+            done_parts: set[int] = set()
+            if resume and os.path.isdir(parts_dir):
+                # honor a part manifest ONLY if it was written by THIS crawl
+                # (lineage) with THIS partition count — part numbers are
+                # url_hash % P, so manifests from a different P (or a stale
+                # run in a reused out_dir) would mark never-fetched URLs as
+                # done and silently drop them
+                for fn in os.listdir(parts_dir):
+                    if not fn.startswith("part="):
+                        continue
+                    try:
+                        pman = json.load(open(os.path.join(parts_dir, fn)))
+                    except (json.JSONDecodeError, OSError):
+                        continue
+                    if (pman.get("lineage_id") == cfg.lineage_id()
+                            and pman.get("num_fetch_partitions") == P
+                            and pman.get("epoch") == epoch):
+                        done_parts.add(int(fn.split("=")[1].split(".")[0]))
+            # clear stale partial writes of parts without a (valid) manifest —
+            # ALWAYS, not only when some part finished: a crash during the
+            # fetch write leaves partial files with no manifest at all, and
+            # re-writing next to them would duplicate rows
             if os.path.isdir(sidecar_path):
+                import shutil as _shutil
+
                 for d in os.listdir(sidecar_path):
                     k = int(d.split("=")[1]) if "=" in d else -1
                     if k not in done_parts:
                         _shutil.rmtree(os.path.join(sidecar_path, d),
                                        ignore_errors=True)
-            # re-mark done parts' URLs seen (their fetch is on disk; actor
-            # state died with the crashed run) — distributed, idempotent
-            done_arr = pa.array(sorted(done_parts), pa.int64())
+            if done_parts:
+                # re-mark done parts' URLs seen (their fetch is on disk; actor
+                # state died with the crashed run) — distributed, idempotent
+                done_arr = pa.array(sorted(done_parts), pa.int64())
 
-            def mark_done_seen(t: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc_
+                def mark_done_seen(t: pa.Table) -> pa.Table:
+                    import pyarrow.compute as pc_
 
-                sub = t.filter(pc_.is_in(t.column("part"), value_set=done_arr))
-                h = sub.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
-                so = (h % np.uint64(cfg.num_seen_shards)).astype(np.int64)
-                futs = [shards[si].add_many.remote(h[so == si])
-                        for si in range(cfg.num_seen_shards) if (so == si).any()]
-                ray.get(futs)
-                return pa.table({"n": pa.array([len(h)], pa.int64())})
+                    sub = t.filter(pc_.is_in(t.column("part"), value_set=done_arr))
+                    h = sub.column("url_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+                    so = (h % np.uint64(cfg.num_seen_shards)).astype(np.int64)
+                    futs = [shards[si].add_many.remote(h[so == si])
+                            for si in range(cfg.num_seen_shards) if (so == si).any()]
+                    ray.get(futs)
+                    return pa.table({"n": pa.array([len(h)], pa.int64())})
 
-            n_done_rows = sum(
-                b.column("n").to_pylist()[0]
-                for b in selected.map_batches(
-                    mark_done_seen, batch_format="pyarrow",
-                    zero_copy_batch=True).iter_batches(batch_format="pyarrow"))
-            m["resumed_parts"] = sorted(done_parts)
-            m["resumed_rows"] = int(n_done_rows)
+                n_done_rows = sum(
+                    b.column("n").to_pylist()[0]
+                    for b in selected.map_batches(
+                        mark_done_seen, batch_format="pyarrow",
+                        zero_copy_batch=True).iter_batches(batch_format="pyarrow"))
+                m["resumed_parts"] = sorted(done_parts)
+                m["resumed_rows"] = int(n_done_rows)
 
-            def drop_done(t: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc_
+                def drop_done(t: pa.Table) -> pa.Table:
+                    import pyarrow.compute as pc_
 
-                return t.filter(pc_.invert(
-                    pc_.is_in(t.column("part"), value_set=done_arr)))
+                    return t.filter(pc_.invert(
+                        pc_.is_in(t.column("part"), value_set=done_arr)))
 
-            to_fetch = selected.map_batches(drop_done, batch_format="pyarrow",
-                                            zero_copy_batch=True)
+                to_fetch = selected.map_batches(drop_done, batch_format="pyarrow",
+                                                zero_copy_batch=True)
+            else:
+                to_fetch = selected
+
+            # fetch (marks seen) + sidecar extraction in ONE elastic task stage
+            # → partitioned parquet.  The unit of map parallelism is the BLOCK:
+            # re-split the (small, metadata-only) selected set so the stage fans
+            # out across every CPU.  The block count is sized by DATA (rows /
+            # per-task quantum), NOT by cluster size — a cpus-proportional plan
+            # produces different task shapes (and different output-file counts)
+            # at different cluster sizes, which skews scaling and makes runs
+            # non-comparable; 128 blocks keeps tasks uniform at any parallelism
+            # (the same fixed-plan rule the headline benchmark uses).
+            n_remaining_est = m["selected"] - m.get("resumed_rows", 0)
+            n_blocks = max(1, min(128, n_remaining_est // 256 + 1))
+            if selected.num_blocks() < min(32, n_blocks):
+                # only the small-frontier driver plan (1 block) needs the
+                # re-split; the Ray budget path already emits ~NUM_BUDGET_PARTS
+                # blocks, and repartition is an extra all-to-all BARRIER that
+                # delays the first fetch task by the whole shuffle
+                to_fetch = to_fetch.repartition(n_blocks)
+            sidecar_ds = to_fetch.map_batches(
+                make_fetcher(shards, cfg.num_seen_shards, cfg.seed),
+                batch_format="pyarrow",
+                batch_size=256,
+                zero_copy_batch=True,
+            )
+            n_remaining = m["selected"] - m.get("resumed_rows", 0)
+            if storage.HAVE_LANCE:  # pragma: no cover - lance absent in sandbox
+                storage.write_table(sidecar_ds, sidecar_path)
+                m["sidecar_rows"] = rd.read_lance(sidecar_path).count()
+            else:
+                if n_remaining > 0:
+                    sidecar_ds.write_parquet(sidecar_path, partition_cols=["part"])
+                # one manifest per completed part: the north_rule lineage unit
+                # (config lineage → frontier epoch → fetch partition).  One
+                # threaded footer scan serves both the per-part manifests and
+                # the epoch total.
+                os.makedirs(parts_dir, exist_ok=True)
+                rows_by_file = _parquet_rows_by_file(sidecar_path) \
+                    if os.path.isdir(sidecar_path) else {}
+                if os.path.isdir(sidecar_path):
+                    for d in sorted(os.listdir(sidecar_path)):
+                        if not d.startswith("part="):
+                            continue
+                        k = int(d.split("=")[1])
+                        if k in done_parts:
+                            continue
+                        pdir = os.path.join(sidecar_path, d)
+                        _write_ckpt(os.path.join(parts_dir, f"part={k}.json"), {
+                            "lineage_id": cfg.lineage_id(),
+                            "epoch": epoch,
+                            "part": k,
+                            "num_fetch_partitions": P,
+                            "rows": sum(n for f, n in rows_by_file.items()
+                                        if f.startswith(pdir + os.sep)),
+                            "files": sorted(os.listdir(pdir)),
+                        })
+                m["sidecar_rows"] = sum(rows_by_file.values())
+            _lap("fetch_sidecar_write")
+
+            # deterministic crawl order for the epoch (total order, §2.6)
+            order_rows = selected.sort(
+                ["priority", "depth", "url_hash", "seed_id", "url"],
+                descending=[True, False, False, False, False],
+            ).select_columns(["url_canon"])
+            epoch_order = [r["url_canon"] for r in order_rows.take_all()] if collect_order else []
+            crawl_order.append(epoch_order)
+            _lap("order")
+
+            # join the concurrent next-frontier hand-off (distributed,
+            # partitioned: a parquet DIRECTORY written by the workers — the
+            # driver-side collect-and-concat it replaced serialized with link
+            # count and capped crawl scaling at ~0.5)
+            nf_thread.join()
+            if "error" in nf_result:
+                raise nf_result["error"]
+            edir = _epoch_dir(cfg, epoch)
+            nf_rows = nf_result["rows"]
+            _lap("next_frontier")
+            # leftover count by arithmetic — NOT leftover.count(), which would
+            # re-execute the filter pipeline just for a metric (VERDICT r1 #4)
+            m["leftover"] = m["after_budget_pool"] - m["selected"]
+            m["links"] = nf_rows - m["leftover"]
+
+            # seen-set delta: each shard writes ITS OWN file (the driver sees
+            # counts + paths only — never the concatenated key arrays)
+            delta_dir = os.path.join(edir, "seen_delta")
+            os.makedirs(delta_dir, exist_ok=True)
+            delta_counts = ray.get([
+                s.write_delta.remote(os.path.join(delta_dir, f"shard={i}.npy"))
+                for i, s in enumerate(shards)])
+            m["seen_delta_rows"] = int(sum(delta_counts))
+            pol_metrics = ray.get([p.metrics.remote() for p in policies])
+            denied_now = sum(p["denied_robots"] for p in pol_metrics)
+            # per-EPOCH delta: cumulative actor-lifetime totals would differ
+            # between an uninterrupted run and a resumed one (fresh actors
+            # restart at 0), breaking metrics reproducibility across resumes
+            m["robots_denied"] = denied_now - prev_denied
+            m["robots_denied_total"] = denied_now
+            prev_denied = denied_now
+            _write_ckpt(
+                os.path.join(edir, "manifest.json"),
+                {
+                    "lineage_id": cfg.lineage_id(),
+                    "epoch": epoch,
+                    "metrics": m,
+                    "crawl_order": epoch_order,
+                    "sidecar_partition": sidecar_path,
+                    "sidecar_files": sorted(os.listdir(sidecar_path))
+                    if os.path.isdir(sidecar_path) else [],
+                },
+            )
+            metrics.append(m)
+            frontier_tbl = None
+            frontier_src = nf_dir if nf_rows else None
+            frontier_rows = nf_rows
+
+        seen_count = int(sum(ray.get([s.size.remote() for s in shards])))
+        if collect_seen:  # test-only: full snapshot for bit-for-bit oracles
+            seen = np.sort(np.concatenate(
+                ray.get([s.snapshot.remote() for s in shards])))
         else:
-            to_fetch = selected
-
-        # fetch (marks seen) + sidecar extraction in ONE elastic task stage
-        # → partitioned parquet.  The unit of map parallelism is the BLOCK:
-        # re-split the (small, metadata-only) selected set so the stage fans
-        # out across every CPU.  The block count is sized by DATA (rows /
-        # per-task quantum), NOT by cluster size — a cpus-proportional plan
-        # produces different task shapes (and different output-file counts)
-        # at different cluster sizes, which skews scaling and makes runs
-        # non-comparable; 128 blocks keeps tasks uniform at any parallelism
-        # (the same fixed-plan rule the headline benchmark uses).
-        n_remaining_est = m["selected"] - m.get("resumed_rows", 0)
-        n_blocks = max(1, min(128, n_remaining_est // 256 + 1))
-        if selected.num_blocks() < min(32, n_blocks):
-            # only the small-frontier driver plan (1 block) needs the
-            # re-split; the Ray budget path already emits ~NUM_BUDGET_PARTS
-            # blocks, and repartition is an extra all-to-all BARRIER that
-            # delays the first fetch task by the whole shuffle
-            to_fetch = to_fetch.repartition(n_blocks)
-        sidecar_ds = to_fetch.map_batches(
-            make_fetcher(shards, cfg.num_seen_shards, cfg.seed),
-            batch_format="pyarrow",
-            batch_size=256,
-            zero_copy_batch=True,
-        )
-        n_remaining = m["selected"] - m.get("resumed_rows", 0)
-        if storage.HAVE_LANCE:  # pragma: no cover - lance absent in sandbox
-            storage.write_table(sidecar_ds, sidecar_path)
-            m["sidecar_rows"] = rd.read_lance(sidecar_path).count()
-        else:
-            if n_remaining > 0:
-                sidecar_ds.write_parquet(sidecar_path, partition_cols=["part"])
-            # one manifest per completed part: the north_rule lineage unit
-            # (config lineage → frontier epoch → fetch partition).  One
-            # threaded footer scan serves both the per-part manifests and
-            # the epoch total.
-            os.makedirs(parts_dir, exist_ok=True)
-            rows_by_file = _parquet_rows_by_file(sidecar_path) \
-                if os.path.isdir(sidecar_path) else {}
-            if os.path.isdir(sidecar_path):
-                for d in sorted(os.listdir(sidecar_path)):
-                    if not d.startswith("part="):
-                        continue
-                    k = int(d.split("=")[1])
-                    if k in done_parts:
-                        continue
-                    pdir = os.path.join(sidecar_path, d)
-                    _write_ckpt(os.path.join(parts_dir, f"part={k}.json"), {
-                        "lineage_id": cfg.lineage_id(),
-                        "epoch": epoch,
-                        "part": k,
-                        "rows": sum(n for f, n in rows_by_file.items()
-                                    if f.startswith(pdir + os.sep)),
-                        "files": sorted(os.listdir(pdir)),
-                    })
-            m["sidecar_rows"] = sum(rows_by_file.values())
-        _lap("fetch_sidecar_write")
-
-        # deterministic crawl order for the epoch (total order, §2.6)
-        order_rows = selected.sort(
-            ["priority", "depth", "url_hash", "seed_id", "url"],
-            descending=[True, False, False, False, False],
-        ).select_columns(["url_canon"])
-        epoch_order = [r["url_canon"] for r in order_rows.take_all()] if collect_order else []
-        crawl_order.append(epoch_order)
-        _lap("order")
-
-        # join the concurrent next-frontier hand-off (distributed,
-        # partitioned: a parquet DIRECTORY written by the workers — the
-        # driver-side collect-and-concat it replaced serialized with link
-        # count and capped crawl scaling at ~0.5)
-        nf_thread.join()
-        if "error" in nf_result:
-            raise nf_result["error"]
-        edir = _epoch_dir(cfg, epoch)
-        nf_rows = nf_result["rows"]
-        _lap("next_frontier")
-        # leftover count by arithmetic — NOT leftover.count(), which would
-        # re-execute the filter pipeline just for a metric (VERDICT r1 #4)
-        m["leftover"] = m["after_budget_pool"] - m["selected"]
-        m["links"] = nf_rows - m["leftover"]
-
-        # seen-set delta: each shard writes ITS OWN file (the driver sees
-        # counts + paths only — never the concatenated key arrays)
-        delta_dir = os.path.join(edir, "seen_delta")
-        os.makedirs(delta_dir, exist_ok=True)
-        delta_counts = ray.get([
-            s.write_delta.remote(os.path.join(delta_dir, f"shard={i}.npy"))
-            for i, s in enumerate(shards)])
-        m["seen_delta_rows"] = int(sum(delta_counts))
-        pol_metrics = ray.get([p.metrics.remote() for p in policies])
-        m["robots_denied_total"] = sum(p["denied_robots"] for p in pol_metrics)
-        _write_ckpt(
-            os.path.join(edir, "manifest.json"),
-            {
-                "lineage_id": cfg.lineage_id(),
-                "epoch": epoch,
-                "metrics": m,
-                "crawl_order": epoch_order,
-                "sidecar_partition": sidecar_path,
-                "sidecar_files": sorted(os.listdir(sidecar_path)),
-            },
-        )
-        metrics.append(m)
-        frontier_tbl = None
-        frontier_src = nf_dir if nf_rows else None
-        frontier_rows = nf_rows
-
-    seen_count = int(sum(ray.get([s.size.remote() for s in shards])))
-    if collect_seen:  # test-only: full snapshot for bit-for-bit oracles
-        seen = np.sort(np.concatenate(
-            ray.get([s.snapshot.remote() for s in shards])))
-    else:
-        seen = np.array([], dtype=np.uint64)
-    # release the state actors' CPU reservations — leaked actors accumulate
-    # across runs in one session and starve later pipelines of slots
-    for a in shards + policies:
-        ray.kill(a)
+            seen = np.array([], dtype=np.uint64)
+    finally:
+        # release the state actors' CPU reservations — leaked actors
+        # accumulate across runs in one session and starve later
+        # pipelines; an exception mid-epoch must not leak them either
+        for a in shards + policies:
+            ray.kill(a)
     return {
         "crawl_order": crawl_order,
         "seen": [int(x) for x in seen],

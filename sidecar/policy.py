@@ -29,7 +29,16 @@ import numpy as np
 
 @runtime_checkable
 class FrontierPolicy(Protocol):
-    """Priority + politeness-budget policy for the crawl frontier."""
+    """Priority + politeness-budget policy for the crawl frontier.
+
+    Determinism contract — hooks must be ELEMENTWISE pure: each output
+    element may depend only on ITS OWN row's inputs (url/priority/depth,
+    or host/default), never on the other rows in the array.  The engine
+    invokes hooks on block/group slices whose boundaries vary with
+    parallelism, while the oracle invokes them per row — a batch-relative
+    computation (e.g. normalizing by the slice max) would be "pure" per
+    call yet diverge run to run.
+    """
 
     name: str
 

@@ -82,6 +82,14 @@ class CuckooFilter:
         self.max_kicks = max_kicks
         self.table = np.zeros((n_buckets, slots), dtype=np.uint16)  # 0 = empty
         self.count = 0
+        # eviction stash: when max_kicks is exhausted, the orphaned VICTIM
+        # fingerprint (some previously-inserted key's!) lands here instead
+        # of vanishing — losing it would make that key's `contains` answer
+        # "definitely not", a seen-set FALSE NEGATIVE (a re-fetch / duplicate
+        # row at high load), which a cuckoo filter must never produce.
+        # Fingerprint-only membership keeps the stash bytes-small; it can
+        # only add false positives, which the exact backstop resolves.
+        self.stash: set[int] = set()
 
     def _fp(self, h: int) -> int:
         fp = (h >> 48) & 0xFFFF
@@ -118,13 +126,18 @@ class CuckooFilter:
                 row[free[0]] = fp
                 self.count += 1
                 return True
-        return False  # full — caller falls back to exact set only
+        # table saturated: `fp` is now the evicted VICTIM (the new key was
+        # placed during the first kick) — stash it so no key loses membership
+        self.stash.add(int(fp))
+        self.count += 1
+        return False  # full — caller should grow/rebuild when this recurs
 
     def contains(self, h: int) -> bool:
         fp = self._fp(h)
         i1 = self._i1(h)
         i2 = self._i2(i1, fp)
-        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any()
+                    or fp in self.stash)
 
     def contains_many(self, hashes: np.ndarray) -> np.ndarray:
         h = hashes.astype(np.uint64)
@@ -135,7 +148,11 @@ class CuckooFilter:
         t = self.table
         hit1 = (t[i1] == fp[:, None]).any(axis=1)
         hit2 = (t[i2] == fp[:, None]).any(axis=1)
-        return hit1 | hit2
+        out = hit1 | hit2
+        if self.stash:
+            out |= np.isin(fp, np.fromiter(self.stash, dtype=np.uint16,
+                                           count=len(self.stash)))
+        return out
 
     def _place_batch(self, buckets: np.ndarray, fps: np.ndarray) -> np.ndarray:
         """Vectorized free-slot placement: put each (bucket, fp) into one of

@@ -161,7 +161,7 @@ def out_links(url_canon: str, n_hosts: int = 20, seed: int = 42) -> list[tuple[s
     links = []
     for j in range(fan):
         rj = _h(seed, "link", url_canon, j)
-        if rj % 10 < 4:
+        if rj % 10 < 4 or len(hs) == 1:  # single-host graphs degrade to it
             host = HOT_HOST
         else:
             host = hs[rj % (len(hs) - 1) + 1]

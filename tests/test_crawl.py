@@ -439,3 +439,83 @@ def test_select_budget_all_filtered_keeps_selected_column():
     out = fr.select_budget(rd.from_pandas(df), 3, size_hint=0)
     assert "selected" in out.schema().names
     assert out.count() == 0
+
+
+def test_cuckoo_saturation_no_false_negatives():
+    """Eviction past capacity must never lose a previously-inserted key's
+    membership: the orphaned victim fingerprint lands in the stash."""
+    cf = state.CuckooFilter(n_buckets=1 << 4, slots=2, max_kicks=8)
+    keys = np.random.RandomState(3).randint(
+        0, 2**63, size=200, dtype=np.int64).astype(np.uint64)  # ~6x capacity
+    for k in keys:
+        cf.add(int(k))
+    got = cf.contains_many(keys)
+    assert got.all()  # zero false negatives, even far past saturation
+    for k in keys:
+        assert cf.contains(int(k))
+
+
+def test_zero_budget_epoch_completes_cleanly(tmp_path):
+    """An epoch that selects nothing (every candidate budget-filtered) must
+    record an empty epoch and terminate like the oracle — not crash on a
+    never-created sidecar directory."""
+
+    class ZeroBudget:
+        name = "zero-budget"
+
+        def link_priority(self, urls, priorities, depths):
+            return np.asarray(priorities, dtype=np.float64)
+
+        def host_budget(self, hosts, default):
+            return np.zeros(len(hosts), dtype=np.int64)
+
+    r = run_crawl(_cfg(str(tmp_path / "zb"), max_epochs=2, policy=ZeroBudget()))
+    assert all(len(e) == 0 for e in r["crawl_order"])
+    assert r["seen_count"] == 0
+    assert all(m.get("sidecar_rows", 0) == 0 for m in r["metrics"])
+
+
+def test_resume_ignores_part_manifests_with_other_partition_count(tmp_path):
+    """Part numbers are url_hash % P: a part manifest written under a
+    different num_fetch_partitions (or another run) must be ignored, not
+    honored — honoring it marks never-fetched URLs as done and silently
+    drops them."""
+    import glob
+    import json as _json
+    import os
+
+    out = str(tmp_path / "cp")
+    full = run_crawl(_cfg(out))  # complete 3-epoch reference run
+
+    # simulate a crash mid-epoch-2: drop its epoch manifest but leave its
+    # part manifests REWRITTEN as if produced under P=999
+    e2 = os.path.join(out, "_ckpt", "epoch=2")
+    os.remove(os.path.join(e2, "manifest.json"))
+    import shutil
+    shutil.rmtree(os.path.join(e2, "seen_delta"), ignore_errors=True)
+    shutil.rmtree(os.path.join(e2, "next_frontier"), ignore_errors=True)
+    for fn in glob.glob(os.path.join(e2, "parts", "part=*.json")):
+        man = _json.load(open(fn))
+        man["num_fetch_partitions"] = 999
+        with open(fn, "w") as f:
+            _json.dump(man, f)
+
+    r = run_crawl(_cfg(out), resume=True)
+    assert r["crawl_order"] == full["crawl_order"]
+    assert r["seen"] == full["seen"]
+    # epoch 2 was fully re-fetched (foreign-P manifests ignored)
+    assert "resumed_parts" not in r["metrics"][2]
+
+
+def test_fresh_run_into_used_out_dir_ignores_stale_parts(tmp_path):
+    """resume=False must not adopt a previous run's part manifests or data."""
+    out = str(tmp_path / "cf")
+    first = run_crawl(_cfg(out))
+    second = run_crawl(_cfg(out))  # fresh run, same out_dir, resume=False
+    assert second["crawl_order"] == first["crawl_order"]
+    assert second["seen"] == first["seen"]
+    assert all("resumed_parts" not in m for m in second["metrics"])
+    # sidecar output was rewritten, not duplicated alongside stale files
+    rows = sum(m.get("sidecar_rows", 0) for m in second["metrics"])
+    want = sum(m.get("sidecar_rows", 0) for m in first["metrics"])
+    assert rows == want
