@@ -41,7 +41,11 @@ def rate_at(n_workers: int) -> float:
     chunks = [(i * N_ROWS // N_CHUNKS, (i + 1) * N_ROWS // N_CHUNKS)
               for i in range(N_CHUNKS)]
     with Pool(n_workers) as p:
-        p.map(_work, chunks[:4])  # warm the workers (imports)
+        # warm EVERY worker (imports): chunksize=1 with 2x n_workers tiny
+        # tasks reaches all processes — warming only a fixed 4 left cold
+        # workers paying import cost inside the hi level's timed region,
+        # biasing the ceiling (and thus eff_vs_ceiling) optimistically
+        p.map(_work, [(0, 50)] * (n_workers * 2), chunksize=1)
         t0 = time.perf_counter()
         p.map(_work, chunks)
         dt = time.perf_counter() - t0

@@ -60,6 +60,11 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
+    unknown = only - set(qs)
+    if unknown:
+        for u in sorted(unknown):
+            print(f"FAIL {u}: no such query")
+        failures += len(unknown)
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -87,6 +92,12 @@ def main() -> int:
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 eq = np.allclose(a.astype(float), b.astype(float),
                                  rtol=0, atol=0, equal_nan=True)
+            elif a.dtype.kind != b.dtype.kind and not (
+                    {a.dtype.kind, b.dtype.kind} <= {"i", "u"}):
+                # driver hashes values WITH their schema: silently coercing
+                # the oracle into the query's dtype would hide a mismatch
+                # the driver gate reports
+                eq = False
             else:
                 eq = a.equals(b.astype(a.dtype))
             if not eq:
