@@ -55,13 +55,19 @@ BENCH_QUERIES = (
     "dedup_decontam",
     "dedup_embedding_cosine",
     "sim_ann_topk",
+    "sim_ann_int8_rerank",
     "rel_pricing_summary",
     "rel_top_revenue_orders",
     "rel_events_windowed",
     "rel_orders_lineitem_join",
+    "rel_pivot_events",
+    "rel_stratified_sample",
     "text_token_count",
     "text_tfidf_topk",
     "multimodal_image_stats",
+    "multimodal_phash_neardup",
+    "prep_token_budget",
+    "prep_pairs",
     "cdxj_merge",
     "crawl_demo",
 )
