@@ -41,8 +41,6 @@ def _resize_area(gray: np.ndarray, n: int) -> np.ndarray:
     h, w = gray.shape
     ys = (np.arange(n + 1, dtype=np.int64) * h) // n
     xs = (np.arange(n + 1, dtype=np.int64) * w) // n
-    ys[1:] = np.maximum(ys[1:], ys[:-1] + 1) if h >= n else ys[1:]
-    xs[1:] = np.maximum(xs[1:], xs[:-1] + 1) if w >= n else xs[1:]
     y0 = ys[:-1].clip(max=h - 1)
     x0 = xs[:-1].clip(max=w - 1)
     y1 = np.maximum(ys[1:], ys[:-1] + 1).clip(max=h)

@@ -52,6 +52,12 @@ def soft404_batch(texts: pa.Array, mask: np.ndarray | None = None) -> np.ndarray
     if n == 0:
         return out
     arr = arr.fill_null("") if arr.null_count else arr
+    # blank out non-applicable rows BEFORE the lowercase copy and the 9
+    # substring scans: the mask (html+200 rows) typically covers a small
+    # fraction of an image-heavy batch, and scanning every payload for
+    # results that are discarded as NaN wastes the dominant share of work
+    if mask is not None:
+        arr = pc.if_else(pa.array(mask), arr, "")
     lower = pc.utf8_lower(arr)
     z = np.full(n, _BIAS, dtype=np.float64)
     for phrase, w in _FEATURES:

@@ -40,6 +40,8 @@ def token_count(sf_dir: str) -> "rd.Dataset":
     return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_BROADCAST_CACHE: dict = {}  # per-worker deserialized broadcast memo
+
 STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
              "this", "with", "for", "as", "on", "at", "by", "from")
 
@@ -51,18 +53,28 @@ def quality_score(sf_dir: str) -> "rd.Dataset":
     IEEE division so the oracle hashes bit-equal."""
     sw = set(STOPWORDS)
 
+    sw_arr = sorted(sw)
+
     def f(batch: pa.Table) -> pa.Table:
         text = batch.column("text").fill_null("")
+        toks = pc.split_pattern(text, " ")
+        sizes = pc.cast(pc.list_value_length(toks), pa.int64())
         n_chars = pc.cast(pc.utf8_length(text), pa.int64())
-        n_tokens = pc.cast(pc.list_value_length(pc.split_pattern(text, " ")), pa.int64())
+        n_tokens = sizes
         # chars excluding the (n_tokens-1) separators, per token, as float64
         avg = pc.divide(
             pc.cast(pc.add(pc.subtract(n_chars, n_tokens), 1), pa.float64()),
             pc.cast(n_tokens, pa.float64()),
         )
-        n_stop = pa.array(
-            [sum(1 for t in (s or "").split(" ") if t in sw)
-             for s in text.to_pylist()], pa.int64())
+        # vectorized stopword count: is_in over the flattened tokens, then
+        # per-row segment sums via the list offsets (no per-row Python)
+        hits = pc.is_in(pc.list_flatten(toks),
+                        value_set=pa.array(sw_arr)) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ends = np.cumsum(sizes.to_numpy(zero_copy_only=False))
+        csum = np.concatenate([[0], np.cumsum(hits)])
+        starts = np.concatenate([[0], ends[:-1]])
+        n_stop = pa.array(csum[ends] - csum[starts], pa.int64())
         n_punct = pc.cast(
             pc.count_substring_regex(text, "[^A-Za-z0-9 ]"), pa.int64())
         return pa.table(
@@ -113,11 +125,24 @@ def lang_counts(sf_dir: str) -> "rd.Dataset":
     """lang, n — grouped counts with per-batch partial pre-aggregation before
     the (tiny) global groupby — the scale pattern for counters (A1)."""
 
+    # Ray's sort-based aggregate cannot order null keys, so the null GROUP
+    # (which the SQL GROUP BY emits — value_counts' default dropna silently
+    # removed those rows) rides the shuffle as a sentinel and decodes after.
+    _NULL = "\x00<null>"
+
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
-        s = pd.Series(batch.column("lang").to_pylist()).value_counts()
-        return pa.table({"lang": s.index.astype(str), "partial_n": s.values.astype(np.int64)})
+        s = pd.Series(batch.column("lang").to_pylist()).value_counts(dropna=False)
+        langs = [_NULL if pd.isna(x) else str(x) for x in s.index]
+        return pa.table({"lang": pa.array(langs, pa.string()),
+                         "partial_n": s.values.astype(np.int64)})
+
+    def decode_null(batch: pa.Table) -> pa.Table:
+        langs = [None if x == _NULL else x
+                 for x in batch.column("lang").to_pylist()]
+        return batch.set_column(batch.schema.get_field_index("lang"), "lang",
+                                pa.array(langs, pa.string()))
 
     from ray.data.aggregate import Sum
 
@@ -126,6 +151,7 @@ def lang_counts(sf_dir: str) -> "rd.Dataset":
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("lang")
         .aggregate(Sum("partial_n", alias_name="n"))
+        .map_batches(decode_null, batch_format="pyarrow", zero_copy_batch=True)
     )
 
 
@@ -184,7 +210,15 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> "rd.Dataset":
     df_ref = ray.put(df_map)
 
     def score_topk(batch: pa.Table) -> pa.Table:
-        dfm = ray.get(df_ref)
+        # per-worker memo: ray.get of a pickled dict deserializes on every
+        # call — once per BATCH would cost O(batches x vocab); the module
+        # cache amortizes it to once per worker process
+        key = df_ref.hex()
+        dfm = _BROADCAST_CACHE.get(key)
+        if dfm is None:
+            dfm = ray.get(df_ref)
+            _BROADCAST_CACHE.clear()  # one live vocab per worker
+            _BROADCAST_CACHE[key] = dfm
         ids, terms, tfs, dfs, ranks = [], [], [], [], []
         for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("text").to_pylist()):

@@ -1000,3 +1000,31 @@ class TestTokenBudget:
         assert len(want) < len(t)
         per_src = got.groupby("source")["n_tokens"].sum()
         assert (per_src <= TOKEN_BUDGET).all()
+
+
+class TestLangCountsNullGroup:
+    def test_null_lang_is_a_group(self, tmp_path):
+        """SQL GROUP BY emits a NULL group; value_counts' default dropna
+        silently removed those rows from the count entirely."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq2
+
+        from sidecar.ops.text import lang_counts
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "lang": pa.array(["en", None, "en", None], pa.string()),
+            "text": pa.array(["a", "b", "c", "d"], pa.string()),
+        })
+        pq2.write_table(t, str(tmp_path / "documents.parquet"))
+        got = lang_counts(str(tmp_path)).to_pandas()
+        want = duckdb.sql(
+            f"SELECT lang, count(*)::BIGINT AS n FROM "
+            f"read_parquet('{tmp_path}/documents.parquet') GROUP BY lang"
+        ).df()
+        g = got.sort_values("n").reset_index(drop=True)
+        w = want.sort_values("n").reset_index(drop=True)
+        assert len(g) == len(w) == 2
+        assert int(g[g.lang.isna()]["n"].iloc[0]) == 2
+        assert int(g[g.lang == "en"]["n"].iloc[0]) == 2
