@@ -163,10 +163,35 @@ def entry() -> Any:
     return flagship("/root/testdata/sf0.001")
 
 
+# Oracle-backed queries deliberately parked OUTSIDE the driver's 50-row
+# CORRECTNESS window (the driver snapshots only the FIRST 50 queries()
+# entries): trivially-green two rounds running, they yield their slots to
+# the reference-parity pipelines.  tools/validate_queries.py still runs them.
+_TAIL_ORACLES = ("rel_union_nations", "rel_systematic_sample",
+                 "rel_except_customers")
+_DRIVER_WINDOW = 50
+
+
+def _driver_order(qs: dict) -> dict:
+    """Reorder queries so every oracle-backed entry (minus the declared
+    ``_TAIL_ORACLES``) lands inside the driver's ``_DRIVER_WINDOW``-row
+    CORRECTNESS snapshot; rows-only entries follow (VERDICT r2 #1)."""
+    with_oracle = set(oracle_sql())
+    head = [k for k in qs if k in with_oracle and k not in _TAIL_ORACLES]
+    assert len(head) <= _DRIVER_WINDOW, (
+        f"{len(head)} oracle-backed queries exceed the driver's "
+        f"{_DRIVER_WINDOW}-row window; park more in _TAIL_ORACLES")
+    return {k: qs[k] for k in head + [k for k in qs if k not in set(head)]}
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2 plus the
     training-data operator families (dedup / similarity / text / multimodal).
     Each callable takes ``sf_dir`` and returns a Dataset / DataFrame / Table.
+
+    Ordering contract: the driver snapshots only the first 50 entries into
+    CORRECTNESS_r{N}.json, so ``_driver_order`` puts every oracle-backed
+    entry inside that window (enforced by tools/validate_queries.py).
     """
     from sidecar.flagship import flagship, images_dataset
     from sidecar.ops import dedup, multimodal, prep, relational, similarity, text
@@ -352,7 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return merge_cdxj(meta, orig).map_batches(
             cast_matched, batch_format="pyarrow", zero_copy_batch=True)
 
-    return {
+    return _driver_order({
         # --- text analysis (documents) -----------------------------------
         "text_token_count": text.token_count,
         "text_quality_score": text.quality_score,
@@ -432,7 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_video_frame_sample": mm_video_frame_sample,
         "multimodal_image_resize": mm_image_resize,
         "crawl_demo": crawl_demo,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:

@@ -60,6 +60,17 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     failures = 0
+    # Driver-window gate (VERDICT r2 #1/#9): the driver snapshots only the
+    # first _DRIVER_WINDOW queries() entries into CORRECTNESS_r{N}.json, so
+    # every oracle-backed entry (minus the declared tail parkings) must sit
+    # inside that window or it grades "untested" at the gate that counts.
+    window = getattr(e, "_DRIVER_WINDOW", 50)
+    tail_ok = set(getattr(e, "_TAIL_ORACLES", ()))
+    for pos, name in enumerate(qs):
+        if pos >= window and name in oracles and name not in tail_ok:
+            print(f"FAIL {name}: oracle-backed query at position {pos} "
+                  f"is outside the driver's {window}-row window")
+            failures += 1
     unknown = only - set(qs)
     if unknown:
         for u in sorted(unknown):
