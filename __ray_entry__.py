@@ -293,6 +293,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table({"url_hash": pa.array([f"{h:016x}" for h in res["seen"]],
                                               pa.string())})
 
+    def crawl_sql_exact(sf_dir: str):
+        """The REAL 3-epoch crawl loop (frontier dedup → seen anti-join →
+        robots filter → per-host budget top-k → fetch+sidecar parquet) over
+        the SQL-reproducible md5 graph — the driver replays the ENTIRE crawl
+        in DuckDB (md5_number_upper == little-endian first-8 md5 bytes, see
+        synth._h_md5) and hash-compares the fetched (url, url_canon, epoch)
+        set.  This is the north_rule's "reproduces the crawl ordering and
+        final URL-seen set" contract as a driver-EXACT row; the blake2b twin
+        (crawl_demo) stays bit-for-bit-tested in pytest."""
+        import tempfile
+
+        import pyarrow as pa
+        import pyarrow.compute as pc_
+
+        from sidecar.crawl import CrawlConfig, run_crawl
+
+        out = tempfile.mkdtemp(prefix="crawl_sql_", dir="/tmp")
+        run_crawl(CrawlConfig(n_seeds=40, n_hosts=8, budget_per_host=4,
+                              max_epochs=3, max_depth=3, seed=42, graph="md5",
+                              out_dir=out, num_seen_shards=2,
+                              num_policy_actors=2, num_fetch_partitions=4),
+                  collect_order=False, collect_seen=False)
+
+        def project(batch: pa.Table) -> pa.Table:
+            epoch = pc_.subtract(
+                pc_.cast(batch.column("ts"), pa.int64()),
+                pa.scalar(20210101000000, pa.int64()))
+            return pa.table({
+                "url": batch.column("url"),
+                "url_canon": batch.column("image_id"),
+                "epoch": epoch,
+            })
+
+        return read_parquet_clean(
+            f"{out}/sidecar", columns=["image_id", "url", "ts"]).map_batches(
+            project, batch_format="pyarrow", zero_copy_batch=True)
+
     def cdxj_merge_demo(sf_dir: str):
         """Left-outer CDXJ enrichment merge (J1): meta CDXJ from the sidecar
         pipeline joined onto an original-index CDXJ of the same URLs."""
@@ -443,6 +480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_small_qty_lineitems": relational.small_qty_lineitems,
         "rel_distinct_count": relational.distinct_count_custkey,
         "rel_approx_distinct": relational.approx_distinct_custkey,  # rows-only (sketch)
+        # --- crawl engine: driver-EXACT row (whole crawl replayed in SQL) --
+        "crawl_sql_exact": crawl_sql_exact,
         # --- crawl/sidecar engine (rows-only: synthesized payload path) --
         "sidecar_extract": sidecar_extract,
         "sidecar_extract_dedup": sidecar_extract_dedup,
@@ -977,6 +1016,161 @@ def oracle_sql() -> dict[str, str]:
                              ELSE '' END || '}}' AS "json",
                    m::BIGINT AS matched
             FROM fr
+        """,
+        # The whole 3-epoch crawl replayed in SQL (no tables — the graph is
+        # pure md5 arithmetic; DuckDB md5_number_upper == synth._h_md5).
+        # Per epoch: dedup-by-url keep-best → anti-join vs fetched → robots
+        # (prefix / allow-override / $-anchored rules on the page id) →
+        # per-host top-4 by (priority DESC, depth, seed_id, url).  Priorities
+        # are URL-determined and collision-free per host (tests assert), so
+        # the engine's url_hash tie-break never fires.
+        "crawl_sql_exact": """
+            WITH hostlist AS (
+              SELECT CASE WHEN i = 0 THEN 'hot.example.com'
+                          ELSE printf('host%02d.example.com', i::INT) END AS host
+              FROM generate_series(0, 7) t(i)),
+            robr AS (
+              SELECT host,
+                     (r % 4 = 0) AS has_rules,
+                     (r % 10)::VARCHAR AS d,
+                     ((r >> 4) % 2 = 0) AS has_allow,
+                     ((r >> 5) % 4 = 0) AS anchored
+              FROM (SELECT host,
+                           md5_number_upper('42' || chr(31) || 'robots'
+                                            || chr(31) || host) AS r
+                    FROM hostlist)),
+            seeds AS (
+              SELECT i AS seed_id,
+                     md5_number_upper('42' || chr(31) || 'seed'
+                                      || chr(31) || i::VARCHAR) AS r
+              FROM generate_series(0, 39) t(i)),
+            c0 AS (
+              SELECT 'https://' || host || '/seed/' || seed_id::VARCHAR AS url,
+                     'http://' || host || '/seed/' || seed_id::VARCHAR AS canon,
+                     host, 0 AS depth, seed_id, NULL::VARCHAR AS pid
+              FROM (SELECT seed_id,
+                           CASE WHEN r % 8 = 0 THEN 'hot.example.com'
+                                ELSE printf('host%02d.example.com',
+                                            (r % 8)::INT) END AS host
+                    FROM seeds)),
+            c0p AS (
+              SELECT *, (md5_number_upper('42' || chr(31) || 'prio'
+                                          || chr(31) || url)
+                         % 1000000000) / 1e9 AS priority
+              FROM c0),
+            r0 AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY host
+                  ORDER BY priority DESC, depth, seed_id, url) AS rn
+              FROM c0p),
+            sel0 AS (SELECT url, canon, host, depth, seed_id, pid, priority
+                     FROM r0 WHERE rn <= 4),
+            left0 AS (SELECT url, canon, host, depth, seed_id, pid, priority
+                      FROM r0 WHERE rn > 4),
+            l0 AS (
+              SELECT seed_id, depth + 1 AS depth,
+                     md5_number_upper('42' || chr(31) || 'link' || chr(31)
+                                      || canon || chr(31) || j::VARCHAR) AS rj
+              FROM (SELECT canon, depth, seed_id,
+                           (md5_number_upper('42' || chr(31) || 'links'
+                                             || chr(31) || canon)
+                            % 9)::BIGINT AS fan
+                    FROM sel0),
+                   generate_series(0, 8) g(j)
+              WHERE j < fan),
+            links0 AS (
+              SELECT 'https://' || host || '/page/' || pid AS url,
+                     'http://' || host || '/page/' || pid AS canon,
+                     host, depth, seed_id, pid
+              FROM (SELECT seed_id, depth,
+                           CASE WHEN rj % 10 < 4 THEN 'hot.example.com'
+                                ELSE printf('host%02d.example.com',
+                                            (1 + rj % 7)::INT) END AS host,
+                           (CASE WHEN (rj >> 8) % 10 < 3 THEN rj % 40
+                                 ELSE rj % 100000 END)::VARCHAR AS pid
+                    FROM l0)),
+            c1p AS (
+              SELECT *, (md5_number_upper('42' || chr(31) || 'prio'
+                                          || chr(31) || url)
+                         % 1000000000) / 1e9 AS priority
+              FROM (SELECT url, canon, host, depth, seed_id, pid FROM links0
+                    UNION ALL
+                    SELECT url, canon, host, depth, seed_id, pid FROM left0)),
+            d1 AS (
+              SELECT * FROM c1p
+              QUALIFY row_number() OVER (
+                  PARTITION BY url
+                  ORDER BY priority DESC, depth, seed_id) = 1),
+            a1 AS (
+              SELECT c.* FROM d1 c JOIN robr r USING (host)
+              WHERE c.url NOT IN (SELECT url FROM sel0)
+                AND (c.pid IS NULL OR NOT (r.has_rules AND
+                     (CASE WHEN r.anchored THEN c.pid = r.d
+                           ELSE starts_with(c.pid, r.d)
+                                AND NOT (r.has_allow
+                                         AND starts_with(c.pid, r.d || '0'))
+                      END)))),
+            r1 AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY host
+                  ORDER BY priority DESC, depth, seed_id, url) AS rn
+              FROM a1),
+            sel1 AS (SELECT url, canon, host, depth, seed_id, pid, priority
+                     FROM r1 WHERE rn <= 4),
+            left1 AS (SELECT url, canon, host, depth, seed_id, pid, priority
+                      FROM r1 WHERE rn > 4),
+            l1 AS (
+              SELECT seed_id, depth + 1 AS depth,
+                     md5_number_upper('42' || chr(31) || 'link' || chr(31)
+                                      || canon || chr(31) || j::VARCHAR) AS rj
+              FROM (SELECT canon, depth, seed_id,
+                           (md5_number_upper('42' || chr(31) || 'links'
+                                             || chr(31) || canon)
+                            % 9)::BIGINT AS fan
+                    FROM sel1),
+                   generate_series(0, 8) g(j)
+              WHERE j < fan),
+            links1 AS (
+              SELECT 'https://' || host || '/page/' || pid AS url,
+                     'http://' || host || '/page/' || pid AS canon,
+                     host, depth, seed_id, pid
+              FROM (SELECT seed_id, depth,
+                           CASE WHEN rj % 10 < 4 THEN 'hot.example.com'
+                                ELSE printf('host%02d.example.com',
+                                            (1 + rj % 7)::INT) END AS host,
+                           (CASE WHEN (rj >> 8) % 10 < 3 THEN rj % 40
+                                 ELSE rj % 100000 END)::VARCHAR AS pid
+                    FROM l1)),
+            c2p AS (
+              SELECT *, (md5_number_upper('42' || chr(31) || 'prio'
+                                          || chr(31) || url)
+                         % 1000000000) / 1e9 AS priority
+              FROM (SELECT url, canon, host, depth, seed_id, pid FROM links1
+                    UNION ALL
+                    SELECT url, canon, host, depth, seed_id, pid FROM left1)),
+            d2 AS (
+              SELECT * FROM c2p
+              QUALIFY row_number() OVER (
+                  PARTITION BY url
+                  ORDER BY priority DESC, depth, seed_id) = 1),
+            a2 AS (
+              SELECT c.* FROM d2 c JOIN robr r USING (host)
+              WHERE c.url NOT IN (SELECT url FROM sel0
+                                  UNION ALL SELECT url FROM sel1)
+                AND (c.pid IS NULL OR NOT (r.has_rules AND
+                     (CASE WHEN r.anchored THEN c.pid = r.d
+                           ELSE starts_with(c.pid, r.d)
+                                AND NOT (r.has_allow
+                                         AND starts_with(c.pid, r.d || '0'))
+                      END)))),
+            sel2 AS (
+              SELECT url, canon FROM a2
+              QUALIFY row_number() OVER (
+                  PARTITION BY host
+                  ORDER BY priority DESC, depth, seed_id, url) <= 4)
+            SELECT url, canon AS url_canon, 0::BIGINT AS epoch FROM sel0
+            UNION ALL SELECT url, canon, 1::BIGINT FROM sel1
+            UNION ALL SELECT url, canon, 2::BIGINT FROM sel2
         """,
         "rel_supplier_part_join": """
             SELECT l.l_suppkey, l.l_partkey,

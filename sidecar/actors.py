@@ -137,11 +137,13 @@ class SeenShard:
 class HostPolicy:
     """Politeness + robots for the hosts sharded onto this actor."""
 
-    def __init__(self, actor_id: int, budget_per_epoch: int, n_hosts: int = 20, seed: int = 42):
+    def __init__(self, actor_id: int, budget_per_epoch: int, n_hosts: int = 20,
+                 seed: int = 42, graph: str = "b2"):
         self.actor_id = actor_id
         self.budget = budget_per_epoch
         self.tokens: dict[tuple[str, int], int] = {}  # (host, epoch) -> remaining
-        self._robots = synth.robots_rules(n_hosts=n_hosts, seed=seed)  # cache built once
+        self._robots = synth.robots_rules(n_hosts=n_hosts, seed=seed,
+                                          graph=graph)  # cache built once
         self.granted: int = 0
         self.denied_robots: int = 0
 
@@ -210,9 +212,10 @@ def make_seen_shards(num_shards: int, **kwargs) -> list:
 
 
 def make_host_policies(num_actors: int, budget_per_epoch: int, n_hosts: int = 20,
-                       seed: int = 42) -> list:
+                       seed: int = 42, graph: str = "b2") -> list:
     return [
-        HostPolicy.remote(i, budget_per_epoch, n_hosts=n_hosts, seed=seed)
+        HostPolicy.remote(i, budget_per_epoch, n_hosts=n_hosts, seed=seed,
+                          graph=graph)
         for i in range(num_actors)
     ]
 

@@ -61,6 +61,10 @@ class CrawlConfig:
     num_policy_actors: int = 4
     num_fetch_partitions: int = 16
     out_dir: str = "/tmp/crawl_out"
+    # synthetic-graph hash family: "b2" (blake2b, the frozen default) or
+    # "md5" (SQL-reproducible — the whole crawl replays in DuckDB, which is
+    # what makes crawl_sql_exact a driver-EXACT oracle row)
+    graph: str = "b2"
     # user-extension hook (SURVEY.md §2.9): a sidecar.policy.FrontierPolicy
     # overriding link priorities / per-host budgets; None = built-in behavior
     policy: object | None = None
@@ -71,6 +75,8 @@ class CrawlConfig:
         excluded so a resumed run may extend or re-place the same crawl."""
         sem = {k: v for k, v in asdict(self).items()
                if k in ("n_seeds", "n_hosts", "budget_per_host", "max_depth", "seed")}
+        if self.graph != "b2":  # keep pre-r3 lineage ids stable
+            sem["graph"] = self.graph
         if self.policy is not None:  # policy changes crawl semantics
             sem["policy"] = getattr(self.policy, "name", type(self.policy).__name__)
         return hashlib.blake2b(
@@ -204,14 +210,16 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
     os.makedirs(cfg.out_dir, exist_ok=True)
     shards = make_seen_shards(cfg.num_seen_shards)
     policies = make_host_policies(
-        cfg.num_policy_actors, cfg.budget_per_host, n_hosts=cfg.n_hosts, seed=cfg.seed
+        cfg.num_policy_actors, cfg.budget_per_host, n_hosts=cfg.n_hosts,
+        seed=cfg.seed, graph=cfg.graph,
     )
 
     start_epoch = 0
     crawl_order: list[list[str]] = []
     metrics: list[dict] = []
     frontier_tbl: pa.Table | None = fr.candidates_from_urls(
-        [dict(s, depth=0) for s in synth.make_seeds(cfg.n_seeds, cfg.n_hosts, cfg.seed)],
+        [dict(s, depth=0)
+         for s in synth.make_seeds(cfg.n_seeds, cfg.n_hosts, cfg.seed, cfg.graph)],
         epoch=0,
     )
 
@@ -351,6 +359,7 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
                     batch_format="pyarrow",
                 ),
                 epoch, cfg.n_hosts, cfg.seed, policy=cfg.policy,
+                graph=cfg.graph,
             )
 
             def bump(t: pa.Table) -> pa.Table:

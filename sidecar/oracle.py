@@ -36,16 +36,17 @@ def crawl(
     max_depth: int = 3,
     seed: int = 42,
     policy=None,
+    graph: str = "b2",
 ) -> dict:
     """Run the reference crawl; returns
     ``{"crawl_order": [[url_canon,...] per epoch], "seen": sorted url_hash
     list, "fetched": {url_canon: sidecar-relevant fields}, "metrics": [...]}``.
     """
-    robots = synth.robots_rules(n_hosts=n_hosts, seed=seed)
+    robots = synth.robots_rules(n_hosts=n_hosts, seed=seed, graph=graph)
     seen: set[int] = set()
     frontier: list[dict] = [
         _mk_candidate(s["url"], s["priority"], 0, s["seed_id"])
-        for s in synth.make_seeds(n_seeds, n_hosts, seed)
+        for s in synth.make_seeds(n_seeds, n_hosts, seed, graph)
     ]
     crawl_order: list[list[str]] = []
     metrics: list[dict] = []
@@ -114,7 +115,7 @@ def crawl(
                 "caption": row["caption"],
             }
             if c["depth"] < max_depth:
-                for link_url, prio in synth.out_links(c["url_canon"], n_hosts, seed):
+                for link_url, prio in synth.out_links(c["url_canon"], n_hosts, seed, graph):
                     if policy is not None:
                         import numpy as np
 

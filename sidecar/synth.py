@@ -52,6 +52,28 @@ def _h(*parts: object) -> int:
     return int.from_bytes(b.digest(), "big")
 
 
+def _h_md5(*parts: object) -> int:
+    """SQL-reproducible 64-bit hash: DuckDB's ``md5_number_upper(s)`` is the
+    LITTLE-endian read of the first 8 digest bytes, so an oracle query can
+    recompute this exactly as
+    ``md5_number_upper(p0 || chr(31) || p1 || ...)``.  Used by the
+    ``graph="md5"`` crawl graph whose whole 3-epoch crawl is replayed in
+    pure SQL by the driver's correctness gate (crawl_sql_exact)."""
+    b = hashlib.md5("\x1f".join(str(p) for p in parts).encode())
+    return int.from_bytes(b.digest()[:8], "little")
+
+
+def _priority_md5(url: str, seed: int) -> float:
+    """md5-graph priorities are a function of the URL ALONE (unlike the
+    blake2b graph's per-link-instance priorities): duplicate candidates for
+    one URL then always TIE on priority, so the frontier's total order
+    ``(-priority, depth, url_hash, seed_id, url)`` degrades to the
+    SQL-computable ``(depth, seed_id)`` inside a URL group, and distinct
+    URLs get 1-in-1e9 priorities (verified collision-free per host per
+    epoch for the shipped config by tests/test_crawl.py)."""
+    return float(_h_md5(seed, "prio", url) % 1_000_000_000) / 1e9
+
+
 def make_pixels(key: str, w: int, h: int, seed: int = 42) -> np.ndarray:
     """Seeded gradient + noise pattern, HxWx3 uint8 (FIXTURES.md §1)."""
     rng = np.random.Generator(np.random.PCG64(_h(seed, "pixels", key) & 0x7FFFFFFFFFFFFFFF))
@@ -137,47 +159,58 @@ def hosts(n_hosts: int = 20) -> list[str]:
     return [HOT_HOST] + [f"host{i:02d}.example.com" for i in range(1, n_hosts)]
 
 
-def make_seeds(n_seeds: int = 100, n_hosts: int = 20, seed: int = 42) -> list[dict]:
-    """Seed list: ~100 rows over ~n_hosts hosts with priorities."""
+def make_seeds(n_seeds: int = 100, n_hosts: int = 20, seed: int = 42,
+               graph: str = "b2") -> list[dict]:
+    """Seed list: ~100 rows over ~n_hosts hosts with priorities.
+    ``graph="md5"`` switches to the SQL-reproducible hash family (see
+    ``_h_md5``) with URL-determined priorities."""
     hs = hosts(n_hosts)
+    hf = _h_md5 if graph == "md5" else _h
     out = []
     for i in range(n_seeds):
-        r = _h(seed, "seed", i)
+        r = hf(seed, "seed", i)
         host = hs[r % len(hs)]
         url = f"https://{host}/seed/{i}"
-        out.append({
-            "seed_id": i, "url": url,
-            "priority": float((r >> 8) % 1000) / 1000.0,
-        })
+        prio = (_priority_md5(url, seed) if graph == "md5"
+                else float((r >> 8) % 1000) / 1000.0)
+        out.append({"seed_id": i, "url": url, "priority": prio})
     return out
 
 
-def out_links(url_canon: str, n_hosts: int = 20, seed: int = 42) -> list[tuple[str, float]]:
+def out_links(url_canon: str, n_hosts: int = 20, seed: int = 42,
+              graph: str = "b2") -> list[tuple[str, float]]:
     """Deterministic link discovery: fan-out 0–8 links per page, ~30%
-    duplicate targets, the hot host receives ~40% of all links (skew)."""
-    r = _h(seed, "links", url_canon)
+    duplicate targets, the hot host receives ~40% of all links (skew).
+    ``graph="md5"`` is the SQL-reproducible variant (same structure, md5
+    hashes, URL-determined priorities)."""
+    hf = _h_md5 if graph == "md5" else _h
+    r = hf(seed, "links", url_canon)
     fan = r % 9
     hs = hosts(n_hosts)
     links = []
     for j in range(fan):
-        rj = _h(seed, "link", url_canon, j)
+        rj = hf(seed, "link", url_canon, j)
         if rj % 10 < 4 or len(hs) == 1:  # single-host graphs degrade to it
             host = HOT_HOST
         else:
             host = hs[rj % (len(hs) - 1) + 1]
         # ~30% of links point at a small shared id space (duplicates)
-        page_id = rj % 40 if rj % 10 < 3 else rj % 100000
+        page_id = rj % 40 if (rj >> 8) % 10 < 3 else rj % 100000
+        if graph != "md5":  # preserve the frozen blake2b graph exactly
+            page_id = rj % 40 if rj % 10 < 3 else rj % 100000
         url = f"https://{host}/page/{page_id}"
-        links.append((url, float((rj >> 16) % 1000) / 1000.0))
+        prio = (_priority_md5(url, seed) if graph == "md5"
+                else float((rj >> 16) % 1000) / 1000.0)
+        links.append((url, prio))
     return links
 
 
-def robots_txt(host: str, seed: int = 42) -> str:
+def robots_txt(host: str, seed: int = 42, graph: str = "b2") -> str:
     """Deterministic robots.txt TEXT per host (parsed by sidecar.robots):
     ~25% of hosts disallow a path prefix; of those, half carry an Allow
     override and some a wildcard/$-anchored rule — exercising the RFC 9309
     longest-match + allow-wins-ties semantics."""
-    r = _h(seed, "robots", host)
+    r = (_h_md5 if graph == "md5" else _h)(seed, "robots", host)
     if r % 4 != 0:
         return "User-agent: *\nDisallow:\n"
     d = r % 10
@@ -191,11 +224,13 @@ def robots_txt(host: str, seed: int = 42) -> str:
     return "\n".join(lines) + "\n"
 
 
-def robots_rules(n_hosts: int = 20, seed: int = 42) -> dict[str, list]:
+def robots_rules(n_hosts: int = 20, seed: int = 42,
+                 graph: str = "b2") -> dict[str, list]:
     """Parsed robots rules per host (sidecar.robots rule lists)."""
     from sidecar.robots import parse_robots
 
-    return {host: parse_robots(robots_txt(host, seed)) for host in hosts(n_hosts)}
+    return {host: parse_robots(robots_txt(host, seed, graph))
+            for host in hosts(n_hosts)}
 
 
 def fetch_url(url_canon: str, seed: int = 42) -> dict:
