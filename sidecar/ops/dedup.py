@@ -287,13 +287,20 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
         return pa.table({"s": pa.array(list(c.keys()), pa.string()),
                          "p_df": pa.array(list(c.values()), pa.int64())})
 
-    df_counts: Counter = Counter()
-    for b in docs.map_batches(partial_df, batch_format="pyarrow",
-                              zero_copy_batch=True).iter_batches(
-                                  batch_format="pyarrow"):
-        for s, n in zip(b.column("s").to_pylist(), b.column("p_df").to_pylist()):
-            df_counts[s] += n
-    df_ref = ray.put(dict(df_counts))
+    # per-batch partials reduce DISTRIBUTED (groupby(s).sum — the same
+    # combiner-then-shuffle shape as every other aggregate here); the driver
+    # only zips the already-reduced vocab table into the broadcast dict, no
+    # per-(shingle,count) Python arithmetic on the driver (VERDICT r2 #3)
+    from ray.data.aggregate import Sum
+
+    df_counts: dict[str, int] = {}
+    for b in (docs.map_batches(partial_df, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby("s").aggregate(Sum("p_df", alias_name="df"))
+              .iter_batches(batch_format="pyarrow")):
+        df_counts.update(zip(b.column("s").to_pylist(),
+                             b.column("df").to_pylist()))
+    df_ref = ray.put(df_counts)
 
     # stage 2: prefix rows only — rarest-df-first order, tie-broken by the
     # shingle string (a total order shared by every task)

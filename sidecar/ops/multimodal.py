@@ -191,10 +191,25 @@ class LossyReencode:
         })
 
 
+# byte → popcount table: XOR distances sum 8 byte-lookups instead of the 64
+# shift-mask passes they replaced (~8× less work in the verify kernel)
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.int64)
+
+# chunk-PAIR band index pairs: C(8,2) = 28 two-chunk (16-bit) bands
+_CHUNK_PAIRS = [(b1, b2) for b1 in range(8) for b2 in range(b1 + 1, 8)]
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via the byte LUT."""
+    return _POP8[np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)].sum(axis=1)
+
+
 def phash_neardup(images_ds: "rd.Dataset | None", max_dist: int = 7,
                   *, batch_size: int = 64,
                   concurrency: "int | tuple | str | None" = None,
-                  stats_ds: "rd.Dataset | None" = None) -> "rd.Dataset":
+                  stats_ds: "rd.Dataset | None" = None,
+                  band_mode: str = "chunk") -> "rd.Dataset":
     """id_a, id_b, dist — image pairs whose 64-bit perceptual hashes differ
     in at most ``max_dist`` bits: near-duplicate detection over the decoded
     pixels (re-encodes, lossy round-trips), the image analog of MinHash-LSH.
@@ -204,15 +219,26 @@ def phash_neardup(images_ds: "rd.Dataset | None", max_dist: int = 7,
     pigeonhole, any pair at distance ≤ 7 shares at least one exact chunk, so
     banding has NO false negatives at this threshold.  Candidate pairs come
     from a (band, chunk)-keyed groupby over (id, phash)-sized rows — image
-    bytes never enter the shuffle — and are verified vectorized (XOR+popcount)
-    inside the group, where both phashes are already co-located; a
-    coarse-partition pair-dedup collapses multi-band collisions.  At web
-    scale, 8-bit chunks make N/256-sized buckets: switch to the C(8,2)=28
-    chunk-PAIR bands of 16 bits (guarantee dist ≤ 6, 2^16 buckets) — same
-    shuffle shape, one constant changed."""
+    bytes never enter the shuffle — and are verified vectorized (XOR + LUT
+    popcount) inside the group, where both phashes are already co-located; a
+    coarse-partition pair-dedup collapses multi-band collisions.
+
+    ``band_mode="chunk_pair"`` is the web-scale path: the C(8,2) = 28
+    two-chunk bands of 16 bits (2^16 bucket values, so buckets are ~N/65536
+    instead of ~N/256 — candidate verification shrinks ~256× on uniform
+    hashes) at the price of a tighter no-false-negative guarantee: by
+    pigeonhole it is exact for ``max_dist`` ≤ 6 (≤ 6 flipped bits dirty at
+    most 6 of the 8 chunks, so some PAIR of chunks is clean).  Same shuffle
+    shape; 28 key rows per image instead of 8."""
     import pandas as pd
 
     from sidecar.ops.dedup import NUM_SHUFFLE_PARTS, _dedup_pairs
+
+    if band_mode not in ("chunk", "chunk_pair"):
+        raise ValueError(f"unknown band_mode {band_mode!r}")
+    if band_mode == "chunk_pair" and max_dist > 6:
+        raise ValueError("chunk_pair banding is exact only for max_dist <= 6 "
+                         "(pigeonhole over C(8,2) 16-bit bands)")
 
     # ``stats_ds`` lets a caller that already paid the decode (e.g.
     # prep_images' final-stats pass) reuse its (id, phash) manifest instead
@@ -228,18 +254,28 @@ def phash_neardup(images_ds: "rd.Dataset | None", max_dist: int = 7,
         ph = batch.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
         u = ph.view(np.uint64)
         n = len(ids)
+        byte = [((u >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
+                for b in range(8)]
         bands, chunks, parts = [], [], []
-        for b in range(8):
-            chunk = ((u >> np.uint64(8 * b)) & np.uint64(0xFF)).astype(np.int64)
-            bands.append(np.full(n, b, dtype=np.int64))
-            chunks.append(chunk)
-            parts.append((chunk * 8 + b) % NUM_SHUFFLE_PARTS)
+        if band_mode == "chunk":
+            for b in range(8):
+                bands.append(np.full(n, b, dtype=np.int64))
+                chunks.append(byte[b])
+                parts.append((byte[b] * 8 + b) % NUM_SHUFFLE_PARTS)
+            n_bands = 8
+        else:  # chunk_pair: 16-bit value of each of the C(8,2) chunk pairs
+            for k, (b1, b2) in enumerate(_CHUNK_PAIRS):
+                chunk = byte[b1] * 256 + byte[b2]
+                bands.append(np.full(n, k, dtype=np.int64))
+                chunks.append(chunk)
+                parts.append((chunk * 31 + k) % NUM_SHUFFLE_PARTS)
+            n_bands = len(_CHUNK_PAIRS)
         return pa.table({
             "part": pa.array(np.concatenate(parts), pa.int64()),
             "band": pa.array(np.concatenate(bands), pa.int64()),
             "chunk": pa.array(np.concatenate(chunks), pa.int64()),
-            "image_id": pa.array(ids * 8, pa.string()),
-            "phash": pa.array(np.tile(ph, 8), pa.int64()),
+            "image_id": pa.array(ids * n_bands, pa.string()),
+            "phash": pa.array(np.tile(ph, n_bands), pa.int64()),
         })
 
     def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
@@ -251,10 +287,7 @@ def phash_neardup(images_ds: "rd.Dataset | None", max_dist: int = 7,
             ids = sub["image_id"].to_numpy()[order]
             ph = sub["phash"].to_numpy()[order].astype(np.int64).view(np.uint64)
             r, c = np.triu_indices(len(ids), k=1)
-            x = ph[r] ^ ph[c]
-            dist = np.zeros(len(x), dtype=np.int64)
-            for s in range(64):  # vectorized popcount
-                dist += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+            dist = _popcount64(ph[r] ^ ph[c])
             keep = dist <= max_dist
             out_a.append(ids[r[keep]])
             out_b.append(ids[c[keep]])

@@ -73,12 +73,13 @@ def prep_images(images_ds: "rd.Dataset", max_dist: int = 7) -> "rd.Dataset":
               .groupby("digest").aggregate(Min("image_id", alias_name="keep"))
               .iter_batches(batch_format="pyarrow")):
         survivors.update(b.column("keep").to_pylist())
-    surv_ref = ray.put(survivors)
+    # broadcast an Arrow array (zero-copy from plasma per worker) and filter
+    # with the vectorized is_in kernel — never a per-row Python membership
+    surv_ref = ray.put(pa.array(sorted(survivors), pa.string()))
 
     def keep_survivors(batch: pa.Table) -> pa.Table:
         sv = ray.get(surv_ref)
-        keep = [i in sv for i in batch.column("image_id").to_pylist()]
-        return batch.filter(pa.array(keep))
+        return batch.filter(pc.is_in(batch.column("image_id"), value_set=sv))
 
     kept = images_ds.map_batches(keep_survivors, batch_format="pyarrow",
                                  zero_copy_batch=True)
@@ -94,12 +95,12 @@ def prep_images(images_ds: "rd.Dataset", max_dist: int = 7) -> "rd.Dataset":
     dropped: set[str] = set()
     for b in pairs.iter_batches(batch_format="pyarrow"):
         dropped.update(b.column("id_b").to_pylist())
-    drop_ref = ray.put(dropped)
+    drop_ref = ray.put(pa.array(sorted(dropped), pa.string()))
 
     def finalize(batch: pa.Table) -> pa.Table:
         dr = ray.get(drop_ref)
-        keep = [i not in dr for i in batch.column("image_id").to_pylist()]
-        return batch.filter(pa.array(keep)).select(
+        keep = pc.invert(pc.is_in(batch.column("image_id"), value_set=dr))
+        return batch.filter(keep).select(
             ["image_id", "phash", "w", "h", "fmt"])
 
     return stats.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
@@ -279,9 +280,10 @@ def prep_pairs(images_ds: "rd.Dataset") -> "rd.Dataset":
         mn = np.minimum(w, h)
         mx = np.maximum(w, h)
         geo_ok = (mn >= PAIR_MIN_SIDE) & (mx <= PAIR_MAX_ASPECT * mn)
-        ntok = np.array(
-            [len(c.split()) if c else 0
-             for c in batch.column("caption").to_pylist()], dtype=np.int64)
+        # len(c.split()) == number of non-whitespace runs, as one Arrow kernel
+        ntok = pc.count_substring_regex(
+            batch.column("caption").fill_null(""), r"\S+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
         cap_ok = (ntok >= PAIR_MIN_TOKENS) & (ntok <= PAIR_MAX_TOKENS)
         keep = pa.array(fmt_ok & geo_ok & cap_ok)
         out = batch.select(["image_id", "w", "h", "fmt", "phash"]) \

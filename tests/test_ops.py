@@ -389,6 +389,50 @@ class TestPhashNearDup:
         # every emitted dist is within threshold
         assert (got["dist"] <= 7).all()
 
+    def test_chunk_pair_banding_equals_bruteforce(self, images_table):
+        """The web-scale C(8,2) 16-bit chunk-pair bands: pigeonhole-exact at
+        max_dist <= 6, same pairs as brute force (b16 re-encodes flip <= 7
+        bits, so the <= 6 subset is still non-trivial)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray.data as rd
+
+        from sidecar.ops.multimodal import lossy_reencode, phash_neardup
+        from sidecar import codecs
+        from sidecar.detect.phash import phash64
+
+        img_only = images_table.filter(
+            pc.is_in(images_table.column("fmt"),
+                     value_set=pa.array(["png", "ppm", "b16"]))).slice(0, 80)
+        base = rd.from_arrow(img_only)
+        both = base.union(lossy_reencode(base, concurrency=2))
+        got = phash_neardup(both, max_dist=6, band_mode="chunk_pair",
+                            concurrency=2).to_pandas()
+        got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+        items = []
+        for row in img_only.to_pylist():
+            px = codecs.decode(row["bytes"], row["fmt"])
+            items.append((row["image_id"], phash64(px)))
+            px2 = codecs.decode(codecs.encode(px, "b16"), "b16")
+            items.append((row["image_id"] + "~b16", phash64(px2)))
+        want = set()
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                (ia, pa_), (ib, pb) = items[i], items[j]
+                if bin(pa_ ^ pb).count("1") <= 6:
+                    want.add((min(ia, ib), max(ia, ib)))
+        assert got_pairs == want
+        assert len(want) > 0
+        assert (got["dist"] <= 6).all()
+
+    def test_chunk_pair_rejects_loose_threshold(self):
+        from sidecar.ops.multimodal import phash_neardup
+
+        with pytest.raises(ValueError):
+            phash_neardup(None, max_dist=7, band_mode="chunk_pair")
+
 
 class TestKmeans:
     def test_kmeans_matches_fixed_point_oracle(self):
