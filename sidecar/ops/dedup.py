@@ -465,33 +465,99 @@ def _normalized_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return ids, E / norms
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.4) -> "rd.Dataset":
-    """vec_a, vec_b — pairs with cosine similarity >= threshold.
+def embedding_near_dup(sf_dir: str, threshold: float = 0.4, *,
+                       broadcast: bool = False,
+                       num_blocks: int = 8) -> "rd.Dataset":
+    """vec_a, vec_b — pairs with cosine similarity >= threshold (EXACT).
 
-    Exact block×matrix plan: the full normalized matrix is broadcast once
-    (``ray.put``; 100M×64-f32 ≈ 25 GB is past broadcast range — at that scale
-    swap in the random-hyperplane LSH variant below), each map_batches task
-    matmuls its block against it and emits only (id, id) pairs.
+    Default plan (``broadcast=False``): block-PAIR co-partitioned exact
+    cosine, the no-broadcast twin (mirroring ``cdxj_merge(broadcast=...)``).
+    Vectors hash into ``num_blocks`` blocks by vec_id; each vector is
+    replicated to the ``num_blocks`` unordered block pairs containing its
+    block, one shuffle keyed by pair id, and each group matmuls side i
+    against side j (upper triangle when i == j).  A pair (a, b) lands in
+    exactly one group, so no pair dedup is needed.  Shuffle volume is
+    N x num_blocks rows and peak task memory is ~2N/num_blocks vectors:
+    pick num_blocks so a block fits a worker — nothing is ever broadcast
+    or driver-materialized, at any corpus size.
+
+    ``broadcast=True`` is the small-input fast path: the full normalized
+    matrix replicated once via ``ray.put`` (100M x 64-f32 ≈ 25 GB is past
+    broadcast range), each task matmuls its batch against it.  Both paths
+    are hash-exact against the same DuckDB oracle.
     """
-    ids, N = _normalized_embeddings(sf_dir)
-    mat_ref = ray.put((ids, N))
+    if broadcast:
+        ids, N = _normalized_embeddings(sf_dir)
+        mat_ref = ray.put((ids, N))
 
-    def f(batch: pa.Table) -> pa.Table:
-        all_ids, Nn = ray.get(mat_ref)
-        bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        B = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        nrm = np.linalg.norm(B, axis=1, keepdims=True)
+        def f(batch: pa.Table) -> pa.Table:
+            all_ids, Nn = ray.get(mat_ref)
+            bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            B = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            nrm = np.linalg.norm(B, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            S = (B / nrm) @ Nn.T
+            r, c = np.nonzero(S >= threshold)
+            a, b = bids[r], all_ids[c]
+            keep = a < b  # each unordered pair once; drops self-pairs
+            return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
+                             "vec_b": pa.array(b[keep], pa.int64())})
+
+        return (
+            read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+            .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        )
+
+    P = num_blocks
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = ids % P
+        emb = batch.column("embedding")
+        n = len(ids)
+        keys, blocks, take = [], [], []
+        for o in range(P):
+            lo = np.minimum(blk, o)
+            hi = np.maximum(blk, o)
+            keys.append(lo * P + hi)
+            blocks.append(blk)
+            take.append(np.arange(n))
+        return pa.table({
+            "pairkey": pa.array(np.concatenate(keys), pa.int64()),
+            "block": pa.array(np.concatenate(blocks), pa.int64()),
+            "vec_id": pa.array(np.tile(ids, P), pa.int64()),
+            "embedding": emb.take(pa.array(np.concatenate(take), pa.int64())),
+        })
+
+    def cross(g: pd.DataFrame) -> pd.DataFrame:
+        i, j = divmod(int(g["pairkey"].iloc[0]), P)
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        E = np.array(g["embedding"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(E, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
-        S = (B / nrm) @ Nn.T
-        r, c = np.nonzero(S >= threshold)
-        a, b = bids[r], all_ids[c]
-        keep = a < b  # each unordered pair once; drops self-pairs
-        return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
-                         "vec_b": pa.array(b[keep], pa.int64())})
+        E = E / nrm
+        if i == j:
+            S = E @ E.T
+            r, c = np.nonzero(S >= threshold)
+            a, b = ids[r], ids[c]
+            keep = a < b
+        else:
+            mi = g["block"].to_numpy() == i
+            Si = E[mi] @ E[~mi].T
+            r, c = np.nonzero(Si >= threshold)
+            a0, b0 = ids[mi][r], ids[~mi][c]
+            a, b = np.minimum(a0, b0), np.maximum(a0, b0)
+            keep = np.ones(len(a), dtype=bool)
+        return pd.DataFrame({"vec_a": pd.Series(a[keep], dtype="int64"),
+                             "vec_b": pd.Series(b[keep], dtype="int64")})
 
     return (
-        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+        .map_batches(replicate, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pairkey")
+        .map_groups(cross, batch_format="pandas")
     )
 
 

@@ -101,6 +101,21 @@ class TestDedup:
         want = {(int(ids[i]), int(ids[j])) for i, j in zip(r, c) if ids[i] < ids[j]}
         assert got == want and got
 
+    def test_embedding_near_dup_broadcast_twin_equal(self):
+        """The ray.put matmul fast path and the default block-pair
+        partitioned plan (no broadcast, no driver state) emit the same
+        exact pair set — at more than one block count."""
+        from sidecar.ops.dedup import embedding_near_dup
+
+        def pairs(**kw):
+            return {(a, b) for a, b in embedding_near_dup(
+                SF, threshold=0.4, **kw).to_pandas().itertuples(index=False)}
+
+        base = pairs(broadcast=True)
+        assert pairs() == base
+        assert pairs(num_blocks=3) == base
+        assert base
+
     def test_embedding_lsh_recall(self):
         from sidecar.ops.dedup import embedding_near_dup, embedding_near_dup_lsh
 

@@ -26,6 +26,35 @@ def test_storage_small_arrow_roundtrip(tmp_path):
     assert storage.read_arrow(p).equals(t)
 
 
+def test_storage_lance_branch(tmp_path, images_table):
+    """Exercises the Lance side of the adapter THE DAY pylance appears in
+    the environment (skip-marked until then): Dataset write_table →
+    read_images over a .lance dir, and the driver-side write_arrow /
+    read_arrow dataset round trip.  The Parquet fallback of the same calls
+    is covered unconditionally by the two tests above."""
+    import pytest
+
+    from sidecar import storage
+
+    if not storage.HAVE_LANCE:
+        pytest.skip("pylance not installed in this environment")
+
+    import ray.data as rd
+
+    path = str(tmp_path / "imgs.lance")
+    storage.write_table(rd.from_arrow(images_table), path)
+    assert storage.FORMAT == "lance"
+    back = storage.read_images(path).to_pandas().sort_values("image_id")
+    assert len(back) == images_table.num_rows
+    assert sorted(back.columns) == sorted(images_table.column_names)
+
+    import pyarrow as pa
+
+    t = pa.table({"a": [1, 2, 3]})
+    p = storage.write_arrow(t, str(tmp_path / "small_lance"))
+    assert storage.read_arrow(p).equals(t)
+
+
 def test_crawl_cli_main(tmp_path):
     """The ray-job-submit entry: runs inside the existing Ray session
     (guarded init) and prints a JSON summary."""
