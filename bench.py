@@ -70,6 +70,7 @@ BENCH_QUERIES = (
     "prep_pairs",
     "cdxj_merge",
     "crawl_demo",
+    "crawl_sql_exact",
 )
 
 

@@ -194,10 +194,11 @@ def out_links(url_canon: str, n_hosts: int = 20, seed: int = 42,
             host = HOT_HOST
         else:
             host = hs[rj % (len(hs) - 1) + 1]
-        # ~30% of links point at a small shared id space (duplicates)
-        page_id = rj % 40 if (rj >> 8) % 10 < 3 else rj % 100000
-        if graph != "md5":  # preserve the frozen blake2b graph exactly
-            page_id = rj % 40 if rj % 10 < 3 else rj % 100000
+        # ~30% of links point at a small shared id space (duplicates); the
+        # md5 graph reads a DIFFERENT bit range than the hot-host rule above
+        # (the frozen b2 graph reuses rj % 10 — preserved exactly)
+        dup = (rj >> 8) % 10 < 3 if graph == "md5" else rj % 10 < 3
+        page_id = rj % 40 if dup else rj % 100000
         url = f"https://{host}/page/{page_id}"
         prio = (_priority_md5(url, seed) if graph == "md5"
                 else float((rj >> 16) % 1000) / 1000.0)
