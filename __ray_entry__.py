@@ -178,9 +178,10 @@ def _driver_order(qs: dict) -> dict:
     CORRECTNESS snapshot; rows-only entries follow (VERDICT r2 #1)."""
     with_oracle = set(oracle_sql())
     head = [k for k in qs if k in with_oracle and k not in _TAIL_ORACLES]
-    assert len(head) <= _DRIVER_WINDOW, (
-        f"{len(head)} oracle-backed queries exceed the driver's "
-        f"{_DRIVER_WINDOW}-row window; park more in _TAIL_ORACLES")
+    if len(head) > _DRIVER_WINDOW:  # not assert: must survive python -O
+        raise ValueError(
+            f"{len(head)} oracle-backed queries exceed the driver's "
+            f"{_DRIVER_WINDOW}-row window; park more in _TAIL_ORACLES")
     return {k: qs[k] for k in head + [k for k in qs if k not in set(head)]}
 
 
@@ -276,13 +277,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         politeness actors) — sf_dir-independent; returns the final URL-seen
         set as sorted hex hashes (bit-for-bit reproducible, tests assert it
         equals the single-threaded oracle's)."""
-        import tempfile
+        import shutil
 
         import pyarrow as pa
 
         from sidecar.crawl import CrawlConfig, run_crawl
 
-        out = tempfile.mkdtemp(prefix="crawl_demo_", dir="/tmp")
+        out = "/tmp/graft_crawl_demo"  # fixed dir, replaced per run (no leak)
+        shutil.rmtree(out, ignore_errors=True)
         # shard/actor counts sized to the tiny demo workload (hash
         # partitioning makes the result identical at any shard count —
         # the bit-for-bit tests run the same config at multiple levels)
@@ -302,14 +304,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         set.  This is the north_rule's "reproduces the crawl ordering and
         final URL-seen set" contract as a driver-EXACT row; the blake2b twin
         (crawl_demo) stays bit-for-bit-tested in pytest."""
-        import tempfile
+        import os
+        import shutil
 
         import pyarrow as pa
         import pyarrow.compute as pc_
 
+        from sidecar import storage
         from sidecar.crawl import CrawlConfig, run_crawl
 
-        out = tempfile.mkdtemp(prefix="crawl_sql_", dir="/tmp")
+        # fixed per-pipeline dir, replaced each run — a mkdtemp per call
+        # leaked one multi-MB crawl tree per bench/driver invocation
+        out = "/tmp/graft_crawl_sql_exact"
+        shutil.rmtree(out, ignore_errors=True)
         run_crawl(CrawlConfig(n_seeds=40, n_hosts=8, budget_per_host=4,
                               max_epochs=3, max_depth=3, seed=42, graph="md5",
                               out_dir=out, num_seen_shards=2,
@@ -326,9 +333,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "epoch": epoch,
             })
 
-        return read_parquet_clean(
-            f"{out}/sidecar", columns=["image_id", "url", "ts"]).map_batches(
-            project, batch_format="pyarrow", zero_copy_batch=True)
+        cols = ["image_id", "url", "ts"]
+        side = f"{out}/sidecar"
+        if storage.HAVE_LANCE:  # run_crawl writes one Lance dataset per epoch
+            import ray.data as rd
+
+            epochs = [rd.read_lance(os.path.join(side, d), columns=cols)
+                      for d in sorted(os.listdir(side))]
+            ds = epochs[0]
+            for e in epochs[1:]:
+                ds = ds.union(e)
+        else:
+            ds = read_parquet_clean(side, columns=cols)
+        return ds.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     def cdxj_merge_demo(sf_dir: str):
         """Left-outer CDXJ enrichment merge (J1): meta CDXJ from the sidecar
