@@ -225,11 +225,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Perceptual near-dup over image rows ∪ their lossy (b16)
         re-encodes: each base/re-encode pair differs by ≤7 phash bits, so the
         banded plan must recover them (verified exactly vs brute force in
-        tests; rows-only here — phash of synthetic payloads isn't SQL)."""
+        tests; rows-only here — phash of synthetic payloads isn't SQL).
+        The (id, phash) manifest comes from the FUSED one-decode stage
+        (fused ≡ literal base ∪ reencode plan, asserted in tests)."""
         base = images_dataset(sf_dir).map_batches(
             _image_rows_only, batch_format="pyarrow", zero_copy_batch=True)
-        both = base.union(multimodal.lossy_reencode(base))
-        return multimodal.phash_neardup(both)
+        stats = multimodal.image_decode_stats_with_b16(base)
+        return multimodal.phash_neardup(None, stats_ds=stats)
 
     def mm_phash_components(sf_dir: str):
         """Cluster assembly over the perceptual pair graph (rows-only; the
@@ -237,8 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lands in one component — asserted exactly in tests)."""
         base = images_dataset(sf_dir).map_batches(
             _image_rows_only, batch_format="pyarrow", zero_copy_batch=True)
-        both = base.union(multimodal.lossy_reencode(base))
-        return multimodal.phash_components(both)
+        stats = multimodal.image_decode_stats_with_b16(base)
+        return multimodal.phash_components(None, stats_ds=stats)
 
     def mm_audio_features(sf_dir: str):
         """Audio feature-extract PLUMBING over opaque binary payloads (the

@@ -66,6 +66,52 @@ class ImageDecodeStats:
         })
 
 
+class ImageDecodeStatsWithB16:
+    """Fused stage: ONE decode per image emits BOTH stats rows — the
+    image's own and its deterministic lossy (b16) re-encode's — without
+    ever running the encode+decode round trip: ``decode_b16(encode_b16(px))
+    == ((px >> 1) << 1) | 1`` exactly (the quantization identity the codec
+    guarantees; asserted row-for-row against the literal
+    ``stats(base ∪ lossy_reencode(base))`` plan in tests).  This is the A3
+    compute-once pattern applied to the near-dup sweep's decode — the sweep
+    was decode-bound, and this halves its payload work."""
+
+    def __init__(self) -> None:
+        self.decode = codecs.decode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, ws, hs, fmts, ph, sr, sg, sb = [], [], [], [], [], [], [], []
+
+        def emit(image_id, px, fmt):
+            ids.append(image_id)
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+            fmts.append(fmt)
+            ph.append(np.int64(np.uint64(phash64(px))).item())
+            s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            sr.append(int(s[0])); sg.append(int(s[1])); sb.append(int(s[2]))
+
+        for image_id, data, fmt in zip(
+            batch.column("image_id").to_pylist(),
+            batch.column("bytes").to_pylist(),
+            batch.column("fmt").to_pylist(),
+        ):
+            px = self.decode(data, fmt)
+            emit(image_id, px, fmt)
+            emit(image_id + "~b16",
+                 ((px >> 1) << 1 | 1).astype(np.uint8), "b16")
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(fmts, pa.string()),
+            "phash": pa.array(ph, pa.int64()),
+            "sum_r": pa.array(sr, pa.int64()),
+            "sum_g": pa.array(sg, pa.int64()),
+            "sum_b": pa.array(sb, pa.int64()),
+        })
+
+
 class ImageResize:
     """Actor-pool stage: decode → nearest-neighbor resize → re-encode.
 
@@ -334,6 +380,7 @@ def _pool_size(requested: "int | tuple | str") -> "int | tuple":
 # (real image libs, model warm-up).
 _DECODE_STATS = ImageDecodeStats()
 _LOSSY_REENCODE = LossyReencode()
+_DECODE_STATS_B16 = ImageDecodeStatsWithB16()
 
 
 def _decode_stats_batch(batch: pa.Table) -> pa.Table:
@@ -342,6 +389,32 @@ def _decode_stats_batch(batch: pa.Table) -> pa.Table:
 
 def _lossy_reencode_batch(batch: pa.Table) -> pa.Table:
     return _LOSSY_REENCODE(batch)
+
+
+def _decode_stats_b16_batch(batch: pa.Table) -> pa.Table:
+    return _DECODE_STATS_B16(batch)
+
+
+def image_decode_stats_with_b16(images_ds: "rd.Dataset", *,
+                                batch_size: int = 64,
+                                concurrency: "int | tuple | str | None" = None,
+                                ) -> "rd.Dataset":
+    """Stats manifest of base ∪ lossy-b16-re-encode in ONE decode pass —
+    row-equal to ``image_decode_stats(ds.union(lossy_reencode(ds)))`` (the
+    fused-vs-literal test asserts it) at about half the payload compute.
+    Feed as ``stats_ds=`` into :func:`phash_neardup` / the components
+    sweep."""
+    if concurrency is None:
+        return images_ds.map_batches(
+            _decode_stats_b16_batch, batch_format="pyarrow",
+            batch_size=batch_size, zero_copy_batch=True)
+    return images_ds.map_batches(
+        ImageDecodeStatsWithB16,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+        concurrency=_pool_size(concurrency),
+    )
 
 
 def image_decode_stats(images_ds: "rd.Dataset", *, batch_size: int = 64,
@@ -396,9 +469,11 @@ def image_resize(images_ds: "rd.Dataset", out_w: int = 32, out_h: int = 32,
     )
 
 
-def phash_components(images_ds: "rd.Dataset", max_dist: int = 7,
+def phash_components(images_ds: "rd.Dataset | None", max_dist: int = 7,
                      *, batch_size: int = 64,
-                     concurrency: "int | tuple | str | None" = None) -> "pa.Table":
+                     concurrency: "int | tuple | str | None" = None,
+                     stats_ds: "rd.Dataset | None" = None,
+                     band_mode: str = "chunk") -> "pa.Table":
     """image_id, component_id — connected components over the perceptual
     near-dup pair graph (``phash_neardup``): the cluster-assembly step that
     turns pairwise phash hits into image dedup groups, the image mirror of
@@ -414,7 +489,8 @@ def phash_components(images_ds: "rd.Dataset", max_dist: int = 7,
     from sidecar.ops.dedup import union_find_components
 
     pairs = phash_neardup(images_ds, max_dist,
-                          batch_size=batch_size, concurrency=concurrency)
+                          batch_size=batch_size, concurrency=concurrency,
+                          stats_ds=stats_ds, band_mode=band_mode)
     return union_find_components(
         pairs.iter_batches(batch_format="pyarrow", batch_size=4096),
         "id_a", "id_b", "image_id", "component_id", pa.string())

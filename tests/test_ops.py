@@ -448,6 +448,30 @@ class TestPhashNearDup:
         with pytest.raises(ValueError):
             phash_neardup(None, max_dist=7, band_mode="chunk_pair")
 
+    def test_fused_b16_stats_equals_literal_plan(self, images_table):
+        """image_decode_stats_with_b16 (one decode per image, quantization
+        identity instead of the encode+decode round trip) is row-equal to
+        the literal image_decode_stats(base ∪ lossy_reencode(base))."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        import ray.data as rd
+
+        from sidecar.ops.multimodal import (
+            image_decode_stats, image_decode_stats_with_b16, lossy_reencode)
+
+        img_only = images_table.filter(
+            pc.is_in(images_table.column("fmt"),
+                     value_set=pa.array(["png", "ppm", "b16"]))).slice(0, 60)
+        base = rd.from_arrow(img_only)
+        fused = image_decode_stats_with_b16(base).to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        literal = image_decode_stats(
+            base.union(lossy_reencode(base))).to_pandas() \
+            .sort_values("image_id").reset_index(drop=True)
+        assert fused.equals(literal)
+        assert len(fused) == 2 * img_only.num_rows
+
 
 class TestKmeans:
     def test_kmeans_matches_fixed_point_oracle(self):
