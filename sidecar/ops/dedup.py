@@ -663,13 +663,147 @@ def union_find_components(pairs_iter, a_col: str, b_col: str,
     })
 
 
-def lsh_components(sf_dir: str) -> "pa.Table":
+def label_propagation_components(pairs_ds: "rd.Dataset", a_col: str,
+                                 b_col: str, id_col: str, comp_col: str,
+                                 max_rounds: int = 64) -> "pa.Table":
+    """DISTRIBUTED connected components: iterative min-label propagation —
+    the at-scale twin of :func:`union_find_components` (which streams the
+    edge list to one driver).  Repeats "every node takes the min label of
+    itself and its neighbors" until fixpoint: O(diameter) rounds (near-dup
+    graphs are shallow — dup clusters are cliques-ish), each round two
+    coarse hash-partitioned shuffles of (node, label)/(node, nbr) rows.
+    Nothing node- or edge-sized ever lands on the driver: the convergence
+    test is a distributed ``sum("changed")`` and labels stay a Dataset
+    between rounds.  Works for int64 and string ids (min = lexicographic).
+    """
+    import pandas as pd
+
+    from zlib import crc32
+
+    def _part(col: pa.ChunkedArray) -> pa.Array:
+        if pa.types.is_integer(col.type):
+            v = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.array(v % NUM_SHUFFLE_PARTS, pa.int64())
+        return pa.array(
+            np.array([crc32(str(x).encode()) % NUM_SHUFFLE_PARTS
+                      for x in col.to_pylist()], dtype=np.int64), pa.int64())
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        a, b = batch.column(a_col).combine_chunks(), batch.column(b_col).combine_chunks()
+        node = pa.concat_arrays([a.cast(a.type), b.cast(b.type)])
+        nbr = pa.concat_arrays([b.cast(b.type), a.cast(a.type)])
+        t = pa.table({"node": node, "nbr": nbr})
+        return t.append_column("part", _part(t.column("node")))
+
+    edges = pairs_ds.map_batches(edge_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates("node")
+        return pd.DataFrame({"node": u["node"], "label": u["node"],
+                             "part": u["part"]})
+
+    labels = edges.groupby("part").map_groups(
+        init_labels, batch_format="pandas").materialize()
+
+    node_t = None
+    for b in edges.iter_batches(batch_format="pyarrow", batch_size=1):
+        node_t = b.column("node").type if b.num_rows else node_t
+        break
+    if node_t is None:  # empty graph
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         comp_col: pa.array([], pa.int64())})
+
+    for _ in range(max_rounds):
+        # stage 1 (co-partitioned on node): label flows across each edge.
+        # Filter arrow-side FIRST — converting the whole (nulls-bearing)
+        # group to pandas would coerce int64 labels to float64.
+        def scatter(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+
+            is_lbl = pc_.is_null(t.column("nbr"))
+            lp = t.filter(is_lbl).select(["node", "label"]).to_pandas()
+            ep = t.filter(pc_.invert(is_lbl)).select(["node", "nbr"]).to_pandas()
+            cand = ep.merge(lp, on="node")[["nbr", "label"]] \
+                .rename(columns={"nbr": "node"})
+            return pa.table({
+                "node": pa.array(
+                    pd.concat([lp["node"], cand["node"]], ignore_index=True),
+                    node_t),
+                "label": pa.array(
+                    pd.concat([lp["label"], cand["label"]], ignore_index=True),
+                    node_t),
+                "is_old": pa.array([True] * len(lp) + [False] * len(cand)),
+            })
+
+        def tag_labels(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "part": batch.column("part"),
+                "node": batch.column("node"),
+                "label": batch.column("label"),
+                "nbr": pa.nulls(batch.num_rows, batch.column("node").type),
+            })
+
+        def tag_edges(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "part": batch.column("part"),
+                "node": batch.column("node"),
+                "label": pa.nulls(batch.num_rows, batch.column("node").type),
+                "nbr": batch.column("nbr"),
+            })
+
+        flowed = (labels.map_batches(tag_labels, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+                  .union(edges.map_batches(tag_edges, batch_format="pyarrow",
+                                           zero_copy_batch=True))
+                  .groupby("part").map_groups(scatter,
+                                              batch_format="pyarrow"))
+
+        # stage 2 (re-partition on the RECEIVING node): min label per node,
+        # changed flag vs the node's old label
+        def repart(batch: pa.Table) -> pa.Table:
+            return batch.append_column("part", _part(batch.column("node")))
+
+        def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+            new = g.groupby("node", sort=False)["label"].min()
+            old = g[g["is_old"]].set_index("node")["label"]
+            out = new.reset_index()
+            out["changed"] = (new != old.reindex(new.index)).to_numpy() \
+                .astype("int64")
+            out["part"] = g["part"].iloc[0]
+            return out
+
+        labels2 = (flowed.map_batches(repart, batch_format="pyarrow")
+                   .groupby("part").map_groups(reduce_min,
+                                               batch_format="pandas")
+                   ).materialize()
+        n_changed = labels2.sum("changed")
+        labels = labels2.drop_columns(["changed"]).materialize()
+        if not n_changed:
+            break
+
+    out = labels.drop_columns(["part"]).rename_columns([id_col, comp_col]) \
+        .sort(id_col)
+    import pyarrow as _pa
+
+    return _pa.concat_tables(
+        b if isinstance(b, _pa.Table) else _pa.Table.from_batches([b])
+        for b in out.iter_batches(batch_format="pyarrow"))
+
+
+def lsh_components(sf_dir: str, method: str = "driver") -> "pa.Table":
     """doc_id, component_id — connected components over the MinHash-LSH
     candidate-pair graph: the cluster-assembly step that turns pairwise
     near-dup hits into dedup groups (component_id = min doc_id reachable).
     Pairs are computed distributed (``minhash_lsh_pairs``); cluster assembly
-    + the at-scale fallback live in :func:`union_find_components` (whose
-    semantics the recursive-CTE oracle checks)."""
+    is ``method="driver"`` (streamed union-find, edge lists are tiny) or
+    ``method="distributed"`` (iterative min-label propagation — the path
+    for edge lists that outgrow one node; asserted equal in tests).  The
+    recursive-CTE oracle checks either."""
+    if method == "distributed":
+        return label_propagation_components(
+            minhash_lsh_pairs(sf_dir), "doc_a", "doc_b",
+            "doc_id", "component_id")
     return union_find_components(lsh_pairs_iter(sf_dir), "doc_a", "doc_b",
                                  "doc_id", "component_id", pa.int64())
 

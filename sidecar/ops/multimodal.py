@@ -473,7 +473,8 @@ def phash_components(images_ds: "rd.Dataset | None", max_dist: int = 7,
                      *, batch_size: int = 64,
                      concurrency: "int | tuple | str | None" = None,
                      stats_ds: "rd.Dataset | None" = None,
-                     band_mode: str = "chunk") -> "pa.Table":
+                     band_mode: str = "chunk",
+                     method: str = "driver") -> "pa.Table":
     """image_id, component_id — connected components over the perceptual
     near-dup pair graph (``phash_neardup``): the cluster-assembly step that
     turns pairwise phash hits into image dedup groups, the image mirror of
@@ -486,11 +487,15 @@ def phash_components(images_ds: "rd.Dataset | None", max_dist: int = 7,
     min-label propagation (groupby(node).aggregate(Min(label)) to fixpoint)
     exactly as documented for lsh_components (dedup.py:549).
     """
-    from sidecar.ops.dedup import union_find_components
+    from sidecar.ops.dedup import (label_propagation_components,
+                                   union_find_components)
 
     pairs = phash_neardup(images_ds, max_dist,
                           batch_size=batch_size, concurrency=concurrency,
                           stats_ds=stats_ds, band_mode=band_mode)
+    if method == "distributed":  # edges outgrow one node: min-label rounds
+        return label_propagation_components(
+            pairs, "id_a", "id_b", "image_id", "component_id")
     return union_find_components(
         pairs.iter_batches(batch_format="pyarrow", batch_size=4096),
         "id_a", "id_b", "image_id", "component_id", pa.string())

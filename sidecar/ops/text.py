@@ -173,7 +173,7 @@ def token_count_regex(sf_dir: str) -> "rd.Dataset":
     return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def tfidf_topk(sf_dir: str, k: int = 5) -> "rd.Dataset":
+def tfidf_topk(sf_dir: str, k: int = 5, *, broadcast: bool = True) -> "rd.Dataset":
     """doc_id, term, tf, df, rank — each document's k most distinctive terms
     by tf·idf with idf = 1/df (rank-equivalent per doc to any monotone idf,
     and hash-exact: score = tf::DOUBLE / df is ONE IEEE division of the same
@@ -183,10 +183,12 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> "rd.Dataset":
     Two passes over documents (tokenize is cheap; no intermediate
     materialization): pass 1 computes document frequency per term via
     per-batch partial distinct + a vocab-keyed groupby, collected and
-    broadcast once via ray.put (at 100 TB the vocab outgrows a broadcast and
-    this becomes a hash-partitioned join on term — same plan as
-    ngram_jaccard's inverted index); pass 2 re-tokenizes, scores and emits
-    the per-doc top-k, shuffle-free."""
+    broadcast once via ray.put; pass 2 re-tokenizes, scores and emits the
+    per-doc top-k, shuffle-free.  ``broadcast=False`` is the vocab-scale
+    twin (the vocab never lands on the driver): the reduced df table joins
+    the (doc, term, tf) rows through a hash-partitioned join on term, then
+    one doc-keyed shuffle ranks per-doc top-k — output identical (asserted
+    in tests)."""
     from collections import Counter
 
     from ray.data.aggregate import Sum
@@ -197,6 +199,9 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> "rd.Dataset":
             c.update(set((t or "").split(" ")))
         return pa.table({"term": pa.array(list(c.keys()), pa.string()),
                          "p_df": pa.array(list(c.values()), pa.int64())})
+
+    if not broadcast:
+        return _tfidf_topk_partitioned(sf_dir, k, partial_df)
 
     df_map: dict[str, int] = {}
     for b in (read_documents(sf_dir)
@@ -238,6 +243,87 @@ def tfidf_topk(sf_dir: str, k: int = 5) -> "rd.Dataset":
 
     return read_documents(sf_dir).map_batches(score_topk, batch_format="pyarrow",
                                               zero_copy_batch=True)
+
+
+def _tfidf_topk_partitioned(sf_dir: str, k: int, partial_df) -> "rd.Dataset":
+    """tfidf_topk's no-broadcast plan: df table ⋈ tf rows on term (tagged
+    co-partition), then per-doc top-k in a doc-keyed shuffle.  The driver
+    never holds the vocab."""
+    from collections import Counter
+
+    from zlib import crc32
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    NPARTS = 64
+
+    df_ds = (read_documents(sf_dir)
+             .map_batches(partial_df, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("term").aggregate(Sum("p_df", alias_name="df")))
+
+    def tag_df(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        jp = np.array([crc32(t.encode()) % NPARTS for t in terms],
+                      dtype=np.int64)
+        n = len(terms)
+        return pa.table({
+            "jpart": pa.array(jp, pa.int64()),
+            "term": batch.column("term"),
+            "n": pc.cast(batch.column("df"), pa.int64()),
+            "doc_id": pa.nulls(n, pa.int64()),
+        })
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            for term, tf in Counter((text or "").split(" ")).items():
+                ids.append(doc_id)
+                terms.append(term)
+                tfs.append(tf)
+        jp = np.array([crc32(t.encode()) % NPARTS for t in terms],
+                      dtype=np.int64)
+        return pa.table({
+            "jpart": pa.array(jp, pa.int64()),
+            "term": pa.array(terms, pa.string()),
+            "n": pa.array(tfs, pa.int64()),
+            "doc_id": pa.array(ids, pa.int64()),
+        })
+
+    def join_on_term(t: pa.Table) -> pa.Table:
+        is_df = pc.is_null(t.column("doc_id"))
+        dfs = t.filter(is_df).select(["term", "n"]).to_pandas() \
+            .rename(columns={"n": "df"})
+        tfs = t.filter(pc.invert(is_df)).select(["doc_id", "term", "n"]) \
+            .to_pandas().rename(columns={"n": "tf"})
+        m = tfs.merge(dfs, on="term")
+        m["dpart"] = m["doc_id"].to_numpy() % NPARTS
+        return pa.Table.from_pandas(m, preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    def topk_per_doc(g: pd.DataFrame) -> pa.Table:
+        g = g.assign(score=-(g["tf"].to_numpy() / g["df"].to_numpy()))
+        g = g.sort_values(["doc_id", "score", "term"], kind="mergesort")
+        rank = g.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+        g = g.assign(rank=rank)[lambda d: d["rank"] <= k]
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "term": pa.array(g["term"], pa.string()),
+            "tf": pa.array(g["tf"].to_numpy(), pa.int64()),
+            "df": pa.array(g["df"].to_numpy(), pa.int64()),
+            "rank": pa.array(g["rank"].to_numpy(), pa.int64()),
+        })
+
+    joined = (df_ds.map_batches(tag_df, batch_format="pyarrow")
+              .union(read_documents(sf_dir).map_batches(
+                  tf_rows, batch_format="pyarrow", zero_copy_batch=True))
+              .groupby("jpart").map_groups(join_on_term,
+                                           batch_format="pyarrow"))
+    return joined.groupby("dpart").map_groups(topk_per_doc,
+                                              batch_format="pandas")
 
 
 def bigram_topk(sf_dir: str, k: int = 100) -> "pd.DataFrame":

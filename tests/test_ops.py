@@ -323,6 +323,20 @@ class TestNewText:
             assert list(g["tf"]) == [tf for _, _, tf in want]
             assert list(g["df"]) == [df_counts[t] for _, t, _ in want]
 
+    def test_tfidf_topk_partitioned_twin_equal(self):
+        """The hash-partitioned-join vocab-scale path (broadcast=False; the
+        driver never holds the vocab) emits the identical rows as the
+        broadcast plan."""
+        from sidecar.ops.text import tfidf_topk
+
+        cols = ["doc_id", "rank", "term", "tf", "df"]
+        base = tfidf_topk(SF, k=5).to_pandas()[cols] \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        part = tfidf_topk(SF, k=5, broadcast=False).to_pandas()[cols] \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        assert part.equals(base)
+        assert len(base) > 0
+
     def test_bigram_topk(self):
         from collections import Counter
 
@@ -365,6 +379,40 @@ class TestDedupComponents:
                 want[x] = m
         got = lsh_components(SF).to_pandas()
         assert dict(zip(got["doc_id"], got["component_id"])) == want
+
+    def test_lsh_components_distributed_equals_driver(self):
+        """The iterative min-label-propagation path (nothing node/edge-sized
+        on the driver) produces the identical component map as the streamed
+        union-find — on the real LSH pair graph and on a constructed long
+        chain (propagation needs multiple rounds there)."""
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from sidecar.ops.dedup import (label_propagation_components,
+                                       lsh_components)
+
+        base = lsh_components(SF).to_pandas()
+        dist = lsh_components(SF, method="distributed").to_pandas()
+        assert dict(zip(dist["doc_id"], dist["component_id"])) == \
+            dict(zip(base["doc_id"], base["component_id"]))
+
+        # 12-node path graph: diameter 11 forces many propagation rounds
+        chain = pa.table({"doc_a": pa.array(list(range(11)), pa.int64()),
+                          "doc_b": pa.array(list(range(1, 12)), pa.int64())})
+        got = label_propagation_components(
+            rd.from_arrow(chain), "doc_a", "doc_b",
+            "doc_id", "component_id").to_pandas()
+        assert (got["component_id"] == 0).all() and len(got) == 12
+
+        # string ids (the phash_components shape)
+        s = pa.table({"id_a": pa.array(["a", "b", "x"], pa.string()),
+                      "id_b": pa.array(["b", "c", "y"], pa.string())})
+        got = label_propagation_components(
+            rd.from_arrow(s), "id_a", "id_b",
+            "image_id", "component_id").to_pandas()
+        assert dict(zip(got["image_id"], got["component_id"])) == {
+            "a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 class TestPhashNearDup:
