@@ -658,6 +658,8 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num-seen-shards", type=int, default=8)
     p.add_argument("--num-policy-actors", type=int, default=4)
+    p.add_argument("--graph", choices=["b2", "md5"], default="b2",
+                   help="synthetic-graph hash family (md5 = SQL-replayable)")
     p.add_argument("--out-dir", default="/tmp/crawl_out")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--config", default=None,
@@ -685,6 +687,7 @@ def main(argv: list[str] | None = None) -> dict:
         max_depth=args.max_depth, seed=args.seed,
         num_seen_shards=args.num_seen_shards,
         num_policy_actors=args.num_policy_actors, out_dir=args.out_dir,
+        graph=args.graph,
     )
     defaults = {k: p.get_default(k) for k in cli}
     merged = dict(file_cfg)
