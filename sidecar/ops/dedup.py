@@ -706,13 +706,23 @@ def label_propagation_components(pairs_ds: "rd.Dataset", a_col: str,
     labels = edges.groupby("part").map_groups(
         init_labels, batch_format="pandas").materialize()
 
-    node_t = None
-    for b in edges.iter_batches(batch_format="pyarrow", batch_size=1):
-        node_t = b.column("node").type if b.num_rows else node_t
-        break
-    if node_t is None:  # empty graph
-        return pa.table({id_col: pa.array([], pa.int64()),
-                         comp_col: pa.array([], pa.int64())})
+    # node type from the materialized edges' schema (no batch probing — the
+    # first batch may be an empty block); for an all-empty graph fall back
+    # to the input's already-known schema (fetch_if_missing=False never
+    # re-executes the pairs pipeline) so the empty result keeps the id
+    # dtype, matching union_find_components' typed empty output
+    def _field_type(sch, name):
+        base = getattr(sch, "base_schema", sch) if sch is not None else None
+        return (base.field(name).type
+                if base is not None and name in base.names else None)
+
+    node_t = _field_type(edges.schema(), "node")
+    if node_t is None or edges.count() == 0:  # empty graph
+        t = (node_t
+             or _field_type(pairs_ds.schema(fetch_if_missing=False), a_col)
+             or pa.int64())
+        return pa.table({id_col: pa.array([], t),
+                         comp_col: pa.array([], t)})
 
     for _ in range(max_rounds):
         # stage 1 (co-partitioned on node): label flows across each edge.
@@ -781,14 +791,17 @@ def label_propagation_components(pairs_ds: "rd.Dataset", a_col: str,
         labels = labels2.drop_columns(["changed"]).materialize()
         if not n_changed:
             break
+    else:
+        # silent non-convergence would return labels mid-propagation —
+        # components quietly split.  Min-label needs O(diameter) rounds, so
+        # only a pathologically deep graph gets here; fail loudly.
+        raise RuntimeError(
+            f"label propagation did not converge within {max_rounds} rounds "
+            f"(graph diameter exceeds max_rounds); raise max_rounds")
 
     out = labels.drop_columns(["part"]).rename_columns([id_col, comp_col]) \
         .sort(id_col)
-    import pyarrow as _pa
-
-    return _pa.concat_tables(
-        b if isinstance(b, _pa.Table) else _pa.Table.from_batches([b])
-        for b in out.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
 
 
 def lsh_components(sf_dir: str, method: str = "driver") -> "pa.Table":

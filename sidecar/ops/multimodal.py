@@ -29,6 +29,40 @@ from sidecar import codecs
 from sidecar.detect.phash import phash64
 
 
+class _StatsAcc:
+    """Per-batch accumulator for the decode-stats row shape — the single
+    definition of the (w, h, fmt, phash, channel-sum) computation shared by
+    :class:`ImageDecodeStats` and :class:`ImageDecodeStatsWithB16`."""
+
+    def __init__(self) -> None:
+        self.ids, self.ws, self.hs, self.fmts = [], [], [], []
+        self.ph, self.sr, self.sg, self.sb = [], [], [], []
+
+    def emit(self, image_id: str, px: np.ndarray, fmt: str) -> None:
+        self.ids.append(image_id)
+        self.hs.append(px.shape[0])
+        self.ws.append(px.shape[1])
+        self.fmts.append(fmt)
+        # 2s-complement int64, matches synth
+        self.ph.append(np.int64(np.uint64(phash64(px))).item())
+        s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        self.sr.append(int(s[0]))
+        self.sg.append(int(s[1]))
+        self.sb.append(int(s[2]))
+
+    def table(self) -> pa.Table:
+        return pa.table({
+            "image_id": pa.array(self.ids, pa.string()),
+            "w": pa.array(self.ws, pa.int32()),
+            "h": pa.array(self.hs, pa.int32()),
+            "fmt": pa.array(self.fmts, pa.string()),
+            "phash": pa.array(self.ph, pa.int64()),
+            "sum_r": pa.array(self.sr, pa.int64()),
+            "sum_g": pa.array(self.sg, pa.int64()),
+            "sum_b": pa.array(self.sb, pa.int64()),
+        })
+
+
 class ImageDecodeStats:
     """Actor-pool stage: decode bytes per fmt → (w, h, phash, channel sums).
 
@@ -40,30 +74,14 @@ class ImageDecodeStats:
         self.decode = codecs.decode  # codec table bound once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, ws, hs, fmts, ph, sr, sg, sb = [], [], [], [], [], [], [], []
+        acc = _StatsAcc()
         for image_id, data, fmt in zip(
             batch.column("image_id").to_pylist(),
             batch.column("bytes").to_pylist(),
             batch.column("fmt").to_pylist(),
         ):
-            px = self.decode(data, fmt)
-            ids.append(image_id)
-            hs.append(px.shape[0])
-            ws.append(px.shape[1])
-            fmts.append(fmt)
-            ph.append(np.int64(np.uint64(phash64(px))).item())  # 2s-complement, matches synth
-            s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
-            sr.append(int(s[0])); sg.append(int(s[1])); sb.append(int(s[2]))
-        return pa.table({
-            "image_id": pa.array(ids, pa.string()),
-            "w": pa.array(ws, pa.int32()),
-            "h": pa.array(hs, pa.int32()),
-            "fmt": pa.array(fmts, pa.string()),
-            "phash": pa.array(ph, pa.int64()),
-            "sum_r": pa.array(sr, pa.int64()),
-            "sum_g": pa.array(sg, pa.int64()),
-            "sum_b": pa.array(sb, pa.int64()),
-        })
+            acc.emit(image_id, self.decode(data, fmt), fmt)
+        return acc.table()
 
 
 class ImageDecodeStatsWithB16:
@@ -80,36 +98,17 @@ class ImageDecodeStatsWithB16:
         self.decode = codecs.decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, ws, hs, fmts, ph, sr, sg, sb = [], [], [], [], [], [], [], []
-
-        def emit(image_id, px, fmt):
-            ids.append(image_id)
-            hs.append(px.shape[0])
-            ws.append(px.shape[1])
-            fmts.append(fmt)
-            ph.append(np.int64(np.uint64(phash64(px))).item())
-            s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
-            sr.append(int(s[0])); sg.append(int(s[1])); sb.append(int(s[2]))
-
+        acc = _StatsAcc()
         for image_id, data, fmt in zip(
             batch.column("image_id").to_pylist(),
             batch.column("bytes").to_pylist(),
             batch.column("fmt").to_pylist(),
         ):
             px = self.decode(data, fmt)
-            emit(image_id, px, fmt)
-            emit(image_id + "~b16",
-                 ((px >> 1) << 1 | 1).astype(np.uint8), "b16")
-        return pa.table({
-            "image_id": pa.array(ids, pa.string()),
-            "w": pa.array(ws, pa.int32()),
-            "h": pa.array(hs, pa.int32()),
-            "fmt": pa.array(fmts, pa.string()),
-            "phash": pa.array(ph, pa.int64()),
-            "sum_r": pa.array(sr, pa.int64()),
-            "sum_g": pa.array(sg, pa.int64()),
-            "sum_b": pa.array(sb, pa.int64()),
-        })
+            acc.emit(image_id, px, fmt)
+            acc.emit(image_id + "~b16",
+                     ((px >> 1) << 1 | 1).astype(np.uint8), "b16")
+        return acc.table()
 
 
 class ImageResize:

@@ -259,6 +259,11 @@ def _tfidf_topk_partitioned(sf_dir: str, k: int, partial_df) -> "rd.Dataset":
 
     NPARTS = 64
 
+    def jpart(terms: list) -> pa.Array:
+        return pa.array(
+            np.array([crc32(t.encode()) % NPARTS for t in terms],
+                     dtype=np.int64), pa.int64())
+
     df_ds = (read_documents(sf_dir)
              .map_batches(partial_df, batch_format="pyarrow",
                           zero_copy_batch=True)
@@ -266,14 +271,11 @@ def _tfidf_topk_partitioned(sf_dir: str, k: int, partial_df) -> "rd.Dataset":
 
     def tag_df(batch: pa.Table) -> pa.Table:
         terms = batch.column("term").to_pylist()
-        jp = np.array([crc32(t.encode()) % NPARTS for t in terms],
-                      dtype=np.int64)
-        n = len(terms)
         return pa.table({
-            "jpart": pa.array(jp, pa.int64()),
+            "jpart": jpart(terms),
             "term": batch.column("term"),
             "n": pc.cast(batch.column("df"), pa.int64()),
-            "doc_id": pa.nulls(n, pa.int64()),
+            "doc_id": pa.nulls(len(terms), pa.int64()),
         })
 
     def tf_rows(batch: pa.Table) -> pa.Table:
@@ -284,10 +286,8 @@ def _tfidf_topk_partitioned(sf_dir: str, k: int, partial_df) -> "rd.Dataset":
                 ids.append(doc_id)
                 terms.append(term)
                 tfs.append(tf)
-        jp = np.array([crc32(t.encode()) % NPARTS for t in terms],
-                      dtype=np.int64)
         return pa.table({
-            "jpart": pa.array(jp, pa.int64()),
+            "jpart": jpart(terms),
             "term": pa.array(terms, pa.string()),
             "n": pa.array(tfs, pa.int64()),
             "doc_id": pa.array(ids, pa.int64()),
