@@ -583,3 +583,19 @@ def test_md5_graph_sql_replay_matches_oracle(md5_oracle):
             for c in urls}
     assert got == want
     assert len(rows) == len(got)  # no duplicate fetches
+
+
+def test_md5_graph_resume_identical(md5_oracle, tmp_path):
+    """Checkpoint/resume on the md5 graph: a 1-epoch run resumed to 3
+    reproduces the uninterrupted crawl bit-for-bit (lineage includes the
+    graph family, so a b2 resume into an md5 out_dir is rejected)."""
+    out = str(tmp_path / "m_resume")
+    cfg = dict(_SQL_CFG, out_dir=out, num_seen_shards=2,
+               num_policy_actors=2, num_fetch_partitions=4)
+    run_crawl(CrawlConfig(**{**cfg, "max_epochs": 1}))
+    r = run_crawl(CrawlConfig(**cfg), resume=True)
+    assert r["crawl_order"] == md5_oracle["crawl_order"]
+    assert r["seen"] == md5_oracle["seen"]
+
+    with pytest.raises(AssertionError):
+        run_crawl(CrawlConfig(**{**cfg, "graph": "b2"}), resume=True)
