@@ -146,6 +146,7 @@ class HostPolicy:
                                           graph=graph)  # cache built once
         self.granted: int = 0
         self.denied_robots: int = 0
+        self._denied_keys: dict = {}  # epoch -> batch keys already folded
 
     def robots_disallowed(self, hosts: list[str], paths: list[str]) -> list[bool]:
         from sidecar.robots import is_allowed
@@ -167,8 +168,26 @@ class HostPolicy:
         crawl); workers hold a read-only epoch snapshot."""
         return self._robots
 
-    def note_denied(self, n: int) -> None:
-        """Fold worker-side robots denials back into this cache's metrics."""
+    def note_denied(self, n: int, key: "str | None" = None,
+                    epoch: "int | None" = None) -> None:
+        """Fold worker-side robots denials back into this cache's metrics.
+
+        ``key`` (a content hash of the reporting batch) makes the fold
+        IDEMPOTENT under Ray task retries / lineage re-execution — the same
+        batch re-reporting after a worker death must not double-count
+        (``add_many`` got the same treatment; metrics reproducibility is a
+        north_rule contract).  Keys are kept per epoch and pruned once the
+        epoch advances past them, so memory stays bounded by two epochs'
+        batch counts."""
+        if key is not None:
+            seen = self._denied_keys.setdefault(epoch, set())
+            if key in seen:
+                return
+            seen.add(key)
+            if epoch is not None:
+                for e in [e for e in self._denied_keys
+                          if e is not None and e < epoch - 1]:
+                    del self._denied_keys[e]
         self.denied_robots += int(n)
 
     def grant(self, host: str, epoch: int, n: int,
@@ -201,6 +220,11 @@ class HostPolicy:
             self.tokens[key] = remaining - take
             total += take
         self.granted += total
+        # prune buckets of finished epochs (epochs only advance; keeping the
+        # previous one tolerates a resumed re-run of the current epoch) —
+        # without this the dict grows hosts x epochs for the actor's lifetime
+        for k in [k for k in self.tokens if k[1] < epoch - 1]:
+            del self.tokens[k]
         return total
 
     def metrics(self) -> dict:

@@ -138,7 +138,9 @@ def get_sidecar_fields(original_obj: dict, meta_obj: dict) -> dict:
     """Field enrichment (merge_cdxj.py:30-56) with the quirks intact."""
     if meta_obj.get("Identified-Payload-Type"):
         ipt = meta_obj["Identified-Payload-Type"]
-        # python-magic preferred over fido (merge_cdxj.py:36-40)
+        # python-magic preferred over fido (merge_cdxj.py:36-40).  The bare
+        # ipt["fido"] KeyError on a typed-but-fido-less object is DELIBERATE
+        # parity: the reference indexes ['fido'] the same way at :40
         original_obj["mime-detected"] = ipt.get("python-magic") or ipt["fido"]
     if meta_obj.get("Preservation-Identifier"):
         original_obj["puid"] = meta_obj["Preservation-Identifier"]
@@ -154,7 +156,9 @@ def get_sidecar_fields(original_obj: dict, meta_obj: dict) -> dict:
 
 
 def parse_cdxj_lines(lines_ds) -> "rd.Dataset":
-    """read_text lines → CDXJ table with a lineno order column (F14)."""
+    """read_text lines → (surt, ts, json) CDXJ table (F14).  No order
+    column: output order is whatever the merge sorts by (callers that need
+    input-line order attach their own lineno — see cli.cmd_merge)."""
 
     def parse(batch: pa.Table) -> pa.Table:
         surts, tss, js = [], [], []

@@ -231,15 +231,24 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
             restore_futs = []
             for e in range(last + 1):
                 man = json.load(open(os.path.join(_epoch_dir(cfg, e), "manifest.json")))
-                assert man["lineage_id"] == cfg.lineage_id(), "config/lineage mismatch"
+                if man["lineage_id"] != cfg.lineage_id():
+                    # explicit raise, not assert: a cross-config resume must
+                    # hard-fail even under python -O
+                    raise ValueError(
+                        f"config/lineage mismatch resuming {cfg.out_dir}: "
+                        f"epoch {e} was written by {man['lineage_id']}, "
+                        f"this config is {cfg.lineage_id()}")
                 ddir = os.path.join(_epoch_dir(cfg, e), "seen_delta")
                 legacy = os.path.join(_epoch_dir(cfg, e), "seen_delta.npy")
                 if os.path.isdir(ddir):  # per-shard delta files: one scatter
-                    # task per file — the driver touches paths only
+                    # task per file — the driver touches paths only.  Filter
+                    # to *.npy: a crash during write_delta can leave a
+                    # truncated shard=K.npy.tmp that np.load would choke on
                     restore_futs.extend(
                         _restore_delta_file.remote(
                             os.path.join(ddir, fn), shards, cfg.num_seen_shards)
-                        for fn in sorted(os.listdir(ddir)))
+                        for fn in sorted(os.listdir(ddir))
+                        if fn.endswith(".npy"))
                 elif os.path.exists(legacy):  # pre-r2 single-file layout
                     restore_futs.append(_restore_delta_file.remote(
                         legacy, shards, cfg.num_seen_shards))
@@ -378,6 +387,13 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
 
             def _write_next_frontier() -> None:
                 try:
+                    # clear first: write_parquet APPENDS (UUID filenames never
+                    # collide), so stale files from a crashed attempt — or a
+                    # previous run reusing this out_dir — would silently ride
+                    # along into the next epoch's frontier
+                    import shutil as _sh
+
+                    _sh.rmtree(nf_dir, ignore_errors=True)
                     next_frontier.write_parquet(nf_dir)
                     nf_result["rows"] = _parquet_rows(nf_dir)
                 except BaseException as e:  # re-raised on join
@@ -649,18 +665,26 @@ def main(argv: list[str] | None = None) -> dict:
     """
     import argparse
 
+    # argparse defaults are None SENTINELS so "flag was given on the command
+    # line" is distinguishable from "flag omitted" — an explicit --seed 42
+    # must beat a config file's seed even though 42 is also the default
+    DEFAULTS = dict(
+        n_seeds=100, n_hosts=20, budget_per_host=5, max_epochs=3,
+        max_depth=3, seed=42, num_seen_shards=8, num_policy_actors=4,
+        graph="b2", out_dir="/tmp/crawl_out",
+    )
     p = argparse.ArgumentParser(description="Ray-Data-native crawl driver")
-    p.add_argument("--n-seeds", type=int, default=100)
-    p.add_argument("--n-hosts", type=int, default=20)
-    p.add_argument("--budget-per-host", type=int, default=5)
-    p.add_argument("--max-epochs", type=int, default=3)
-    p.add_argument("--max-depth", type=int, default=3)
-    p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--num-seen-shards", type=int, default=8)
-    p.add_argument("--num-policy-actors", type=int, default=4)
-    p.add_argument("--graph", choices=["b2", "md5"], default="b2",
+    p.add_argument("--n-seeds", type=int, default=None)
+    p.add_argument("--n-hosts", type=int, default=None)
+    p.add_argument("--budget-per-host", type=int, default=None)
+    p.add_argument("--max-epochs", type=int, default=None)
+    p.add_argument("--max-depth", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--num-seen-shards", type=int, default=None)
+    p.add_argument("--num-policy-actors", type=int, default=None)
+    p.add_argument("--graph", choices=["b2", "md5"], default=None,
                    help="synthetic-graph hash family (md5 = SQL-replayable)")
-    p.add_argument("--out-dir", default="/tmp/crawl_out")
+    p.add_argument("--out-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--config", default=None,
                    help="YAML/JSON file of CrawlConfig fields (CLI flags win)")
@@ -681,18 +705,13 @@ def main(argv: list[str] | None = None) -> dict:
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False)
 
-    cli = dict(
-        n_seeds=args.n_seeds, n_hosts=args.n_hosts,
-        budget_per_host=args.budget_per_host, max_epochs=args.max_epochs,
-        max_depth=args.max_depth, seed=args.seed,
-        num_seen_shards=args.num_seen_shards,
-        num_policy_actors=args.num_policy_actors, out_dir=args.out_dir,
-        graph=args.graph,
-    )
-    defaults = {k: p.get_default(k) for k in cli}
-    merged = dict(file_cfg)
-    merged.update({k: v for k, v in cli.items() if v != defaults[k]})
-    cfg = CrawlConfig(**{**cli, **merged})
+    given = {k: v for k, v in vars(args).items()
+             if k in DEFAULTS and v is not None}
+    cfg_fields = set(CrawlConfig.__dataclass_fields__)
+    merged = {**DEFAULTS,
+              **{k: v for k, v in file_cfg.items() if k in cfg_fields},
+              **given}  # precedence: defaults < config file < explicit flags
+    cfg = CrawlConfig(**merged)
     result = run_crawl(cfg, resume=args.resume, collect_order=False,
                        collect_seen=False)
     summary = {

@@ -195,14 +195,24 @@ def filter_robots(frontier: "rd.Dataset", host_policies: list, num_actors: int,
         n_denied = int(denied.sum())
         if n_denied:
             # attribute counts to the denied hosts' cache shards (O(1) actor work)
+            import hashlib
+
             from sidecar.actors import host_shard
 
             per_actor: dict[int, int] = {}
             for host in (hosts[i] for i in np.flatnonzero(denied)):
                 a = host_shard(host, num_actors)
                 per_actor[a] = per_actor.get(a, 0) + 1
+            # batch content key + epoch make the fold idempotent under Ray
+            # task retries (the actor drops a re-reported key)
+            bkey = hashlib.blake2b(
+                batch.column("url_hash").to_numpy(zero_copy_only=False)
+                .astype(np.uint64).tobytes(), digest_size=8).hexdigest()
+            ep = (int(batch.column("epoch")[0].as_py())
+                  if "epoch" in batch.column_names and batch.num_rows else None)
             # awaited so the counts land before the epoch-end metrics read
-            ray.get([handles[a].note_denied.remote(c) for a, c in per_actor.items()])
+            ray.get([handles[a].note_denied.remote(c, bkey, ep)
+                     for a, c in per_actor.items()])
         return batch.filter(pa.array(~denied))
 
     return frontier.map_batches(f, batch_format="pyarrow", batch_size=8192,

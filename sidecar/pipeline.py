@@ -91,8 +91,11 @@ def extract_sidecar_batch(batch: pa.Table, registry=None) -> pa.Table:
         else np.full(n, 200, dtype=np.int64)
     )
 
-    # F3: empty-payload filter (reference :213-215)
-    nonempty = pc.greater(pc.binary_length(payload), 0).to_numpy(zero_copy_only=False)
+    # F3: empty-payload filter (reference :213-215).  fill_null: a NULL
+    # payload cell counts as empty — without it the comparison yields an
+    # object array holding None and every downstream boolean & raises
+    nonempty = pc.fill_null(pc.greater(pc.binary_length(payload), 0), False) \
+        .to_numpy(zero_copy_only=False).astype(bool)
     ctx = proto.DetectCtx(payload=payload, caption=caption.fill_null(""),
                           nonempty=nonempty, status=status)
 

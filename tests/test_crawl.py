@@ -96,7 +96,7 @@ def test_cuckoo_and_bloom():
 def test_lineage_mismatch_rejected(tmp_path):
     out = str(tmp_path / "c5")
     run_crawl(_cfg(out, max_epochs=1))
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="lineage mismatch"):
         run_crawl(_cfg(out, max_epochs=3, n_seeds=31), resume=True)
 
 
@@ -597,5 +597,57 @@ def test_md5_graph_resume_identical(md5_oracle, tmp_path):
     assert r["crawl_order"] == md5_oracle["crawl_order"]
     assert r["seen"] == md5_oracle["seen"]
 
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError, match="lineage mismatch"):
         run_crawl(CrawlConfig(**{**cfg, "graph": "b2"}), resume=True)
+
+
+def test_dedup_by_url_hash_equals_folded_dedup():
+    """The standalone A4 dedup operator (frontier.dedup_by_url_hash) keeps
+    exactly the rows select_budget(dedup=True) keeps — the two keep-best
+    implementations must not drift."""
+    import ray.data as rd
+
+    from sidecar import frontier as fr
+
+    rows = []
+    for i in range(300):
+        rows.append({"url": f"https://h{i % 5}.example.com/p/{i % 40}",
+                     "priority": float((i * 37) % 11) / 11.0,
+                     "depth": i % 3, "seed_id": i})
+    tbl = fr.candidates_from_urls(rows, epoch=0)
+
+    stand = fr.dedup_by_url_hash(rd.from_arrow(tbl)).to_pandas()
+    folded = fr.select_budget(rd.from_arrow(tbl), budget=10 ** 9,
+                              dedup=True).to_pandas()
+
+    key = ["url_hash", "priority", "depth", "seed_id"]
+    a = stand[key].sort_values(key).reset_index(drop=True)
+    b = folded[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) < len(rows)  # duplicates actually existed
+
+
+def test_reused_out_dir_next_frontier_not_appended(tmp_path):
+    """write_parquet appends: a fresh (non-resume) run reusing an out_dir
+    must clear each epoch's next_frontier before writing, or the previous
+    run's frontier rows ride along and double every later epoch."""
+    out = str(tmp_path / "c")
+    r1 = run_crawl(_cfg(out, max_epochs=2))
+    r2 = run_crawl(_cfg(out, max_epochs=2))
+    assert r2["metrics"][0]["links"] == r1["metrics"][0]["links"]
+    assert r2["metrics"][1]["candidates"] == r1["metrics"][1]["candidates"]
+    assert r2["seen"] == r1["seen"]
+
+
+def test_resume_ignores_partial_delta_tmp_files(tmp_path):
+    """A truncated shard=K.npy.tmp left by a crash during write_delta must
+    not break a later resume (only *.npy files are restored)."""
+    import os
+
+    out = str(tmp_path / "c")
+    run_crawl(_cfg(out, max_epochs=1))
+    ddir = os.path.join(out, "_ckpt", "epoch=0", "seen_delta")
+    with open(os.path.join(ddir, "shard=9.npy.tmp"), "wb") as f:
+        f.write(b"\x01\x02trunc")
+    r = run_crawl(_cfg(out, max_epochs=2), resume=True)
+    assert r["epochs_run"] == 2

@@ -152,3 +152,24 @@ def test_dedup_digest_plan_equals_plain_extract():
     b = norm(sidecar_dataset_dedup_digest(rd.from_arrow(tbl)))
     pd.testing.assert_frame_equal(a, b)
     assert a["payload_digest"].nunique() < len(a)  # duplication actually present
+
+
+def test_extract_tolerates_null_payload():
+    """A NULL bytes cell counts as empty payload (dropped by F3) instead of
+    poisoning the boolean masks with None."""
+    import pyarrow as pa
+
+    from sidecar.pipeline import extract_sidecar_batch
+
+    batch = pa.table({
+        "image_id": pa.array(["a", "b"], pa.string()),
+        "bytes": pa.array([b"hello world text", None], pa.binary()),
+        "w": pa.array([0, 0], pa.int32()),
+        "h": pa.array([0, 0], pa.int32()),
+        "fmt": pa.array(["text", "text"], pa.string()),
+        "caption": pa.array(["hi", "yo"], pa.string()),
+        "phash": pa.array([0, 0], pa.int64()),
+    })
+    out = extract_sidecar_batch(batch)
+    assert out.num_rows == 1
+    assert out.column("image_id").to_pylist() == ["a"]

@@ -67,3 +67,24 @@ def test_crawl_cli_main(tmp_path):
     assert summary["epochs_run"] == 1
     assert summary["urls_seen"] > 0
     assert summary["metrics"][0]["sidecar_rows"] > 0
+
+
+def test_crawl_cli_explicit_flag_beats_config_file(tmp_path):
+    """An explicitly-given CLI flag wins over the config file even when its
+    value equals the argparse default (sentinel-default merge)."""
+    import json
+
+    from sidecar.crawl import CrawlConfig, main
+
+    cfgf = tmp_path / "cfg.json"
+    cfgf.write_text(json.dumps({"n_seeds": 12, "max_epochs": 5,
+                                "num_fetch_partitions": 4}))
+    out = str(tmp_path / "c")
+    s = main(["--config", str(cfgf), "--max-epochs", "3",  # == default!
+              "--n-hosts", "5", "--out-dir", out])
+    # file's n_seeds=12 and num_fetch_partitions pass through; explicit
+    # --max-epochs 3 beats the file's 5 even though 3 is the default
+    want = CrawlConfig(n_seeds=12, n_hosts=5, max_epochs=3,
+                       num_fetch_partitions=4, out_dir=out)
+    assert s["lineage_id"] == want.lineage_id()
+    assert s["epochs_run"] <= 3
