@@ -749,7 +749,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_orderpriority,
                    round(o_totalprice * 100)::BIGINT AS o_totalprice_cents
             FROM orders
-            WHERE ((o_orderkey * 2654435761) % 4294967296) % 1000 <
+            -- key reduced mod 2^32 before the multiply, in UBIGINT: the
+            -- product then fits 64 unsigned bits (identical result mod
+            -- 2^32; an unreduced BIGINT multiply overflows for large keys)
+            WHERE (((o_orderkey::UBIGINT % 4294967296) * 2654435761)
+                   % 4294967296) % 1000 <
                   CASE o_orderpriority
                        WHEN '1-URGENT' THEN 400
                        WHEN '2-HIGH' THEN 250

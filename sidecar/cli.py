@@ -58,11 +58,14 @@ def _split_http_payload(payload: str) -> tuple[str, int]:
     status 200 (resource records / synthetic fixtures have no status line)."""
     if not payload.startswith("HTTP/"):
         return payload, 200
-    for sep in ("\r\n\r\n", "\n\n"):
-        idx = payload.find(sep)
-        if idx >= 0:
-            head, body = payload[:idx], payload[idx + len(sep):]
-            break
+    # headers end at the EARLIEST blank line of either convention — probing
+    # CRLF first would mis-split an LF-headered payload whose BODY contains
+    # a CRLF blank line (dropping the real body as "headers")
+    cuts = [(payload.find(sep), sep) for sep in ("\r\n\r\n", "\n\n")]
+    cuts = [(i, sep) for i, sep in cuts if i >= 0]
+    if cuts:
+        idx, sep = min(cuts)
+        head, body = payload[:idx], payload[idx + len(sep):]
     else:
         head, body = payload, ""
     first = head.split("\n", 1)[0].strip()
@@ -82,35 +85,46 @@ def records_to_images(records_ds: "rd.Dataset", *, source_is_warc: bool = True
     HTTP response blocks are split: detectors run on the BODY only and the
     real status gates soft-404 (reference :213, :263-265)."""
 
-    def f(batch: pa.Table) -> pa.Table:
-        ids, urls, tss, blobs, rec_ids, winfo_ids, statuses = \
-            [], [], [], [], [], [], []
-        for row in batch.to_pylist():
-            if row["rec_type"] not in ("response", "resource"):
-                continue
-            if row["url"].startswith("dns:"):
-                continue
-            body, status = _split_http_payload(row["payload"])
-            ids.append(row["url"])
-            urls.append(row["url"])
-            tss.append(row["ts"])
-            blobs.append(body.encode("utf-8", "replace"))
-            rec_ids.append(row["headers"].get("WARC-Record-ID", ""))
-            winfo_ids.append(row["headers"].get("WARC-Warcinfo-ID", ""))
-            statuses.append(status)
-        n = len(ids)
-        return pa.table({
-            "image_id": pa.array(ids, pa.string()),
-            "url": pa.array(urls, pa.string()),
-            "ts": pa.array(tss, pa.string()),
-            "bytes": pa.array(blobs, pa.binary()),
-            "caption": pa.array([""] * n, pa.string()),
-            "concurrent_id": pa.array(rec_ids, pa.string()),
-            "warcinfo_id": pa.array(winfo_ids, pa.string()),
-            "status": pa.array(statuses, pa.int64()),
-        })
+    return records_ds.map_batches(_records_to_images_batch,
+                                  batch_format="pyarrow", zero_copy_batch=True)
 
-    return records_ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+def _records_to_images_batch(batch: pa.Table, *,
+                             keep_path: bool = False) -> pa.Table:
+    """The ONE implementation of the record filters + HTTP split (used by
+    both the single-file and batch CLIs — ``keep_path`` adds the source
+    path as the batch mode's ``part`` routing column)."""
+    ids, urls, tss, blobs, paths, rec_ids, winfo_ids, statuses = \
+        [], [], [], [], [], [], [], []
+    for row in batch.to_pylist():
+        if row["rec_type"] not in ("response", "resource"):
+            continue
+        if row["url"].startswith("dns:"):
+            continue
+        body, status = _split_http_payload(row["payload"])
+        ids.append(row["url"])
+        urls.append(row["url"])
+        tss.append(row["ts"])
+        blobs.append(body.encode("utf-8", "replace"))
+        if keep_path:
+            paths.append(row["path"])
+        rec_ids.append(row["headers"].get("WARC-Record-ID", ""))
+        winfo_ids.append(row["headers"].get("WARC-Warcinfo-ID", ""))
+        statuses.append(status)
+    n = len(ids)
+    cols = {
+        "image_id": pa.array(ids, pa.string()),
+        "url": pa.array(urls, pa.string()),
+        "ts": pa.array(tss, pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+        "caption": pa.array([""] * n, pa.string()),
+        "concurrent_id": pa.array(rec_ids, pa.string()),
+        "warcinfo_id": pa.array(winfo_ids, pa.string()),
+        "status": pa.array(statuses, pa.int64()),
+    }
+    if keep_path:
+        cols["part"] = pa.array(paths, pa.string())  # rides through extraction
+    return pa.table(cols)
 
 
 def cmd_sidecar(archive_dir: str, warc_file: str, operator: str | None = None,
@@ -126,7 +140,9 @@ def cmd_sidecar(archive_dir: str, warc_file: str, operator: str | None = None,
         else os.path.join(archive_dir, warc_file)
     name = os.path.basename(warc_file)
     is_warc = not warc.is_arc_name(name)
-    records = warc.read_warc_text(src)
+    # materialize once: count() + the sidecar write would otherwise each
+    # execute the full read+gunzip+record-split lineage (datasets are lazy)
+    records = warc.read_warc_text(src).materialize()
     total_read = records.count()
     sidecar_ds = pipeline.sidecar_dataset(records_to_images(records))
     out_path = os.path.join(archive_dir, warc.sidecar_name(name))
@@ -168,45 +184,32 @@ def cmd_sidecar_all(archive_dir: str, operator: str | None = None,
     todo = [f for f in all_files
             if not os.path.exists(os.path.join(
                 archive_dir, warc.sidecar_name(os.path.basename(f))))]
+    # x.warc and x.warc.gz share one sidecar name — two concurrent writers
+    # of one output path would interleave; keep the first, warn on the rest
+    by_out: dict[str, str] = {}
+    for f in todo:
+        out = warc.sidecar_name(os.path.basename(f))
+        if out in by_out:
+            import logging as _logging
+
+            _logging.getLogger("sidecar.cli").warning(
+                "sidecar-all: %s and %s map to the same sidecar %s; "
+                "skipping %s", by_out[out], f, out, f)
+        else:
+            by_out[out] = f
+    todo = list(by_out.values())
     if not todo:
         return {"files": len(all_files), "processed": 0, "skipped": len(all_files)}
 
     records = warc.read_warc_text(todo)
 
-    # records_to_images' filters (incl. HTTP body/status split), with the
+    # the shared record filters (incl. HTTP body/status split), with the
     # source path kept as the routing key
-    def f(batch: pa.Table) -> pa.Table:
-        ids, urls, tss, blobs, paths, rec_ids, winfo_ids, statuses = \
-            [], [], [], [], [], [], [], []
-        for row in batch.to_pylist():
-            if row["rec_type"] not in ("response", "resource"):
-                continue
-            if row["url"].startswith("dns:"):
-                continue
-            body, status = _split_http_payload(row["payload"])
-            ids.append(row["url"])
-            urls.append(row["url"])
-            tss.append(row["ts"])
-            blobs.append(body.encode("utf-8", "replace"))
-            paths.append(row["path"])
-            rec_ids.append(row["headers"].get("WARC-Record-ID", ""))
-            winfo_ids.append(row["headers"].get("WARC-Warcinfo-ID", ""))
-            statuses.append(status)
-        n = len(ids)
-        return pa.table({
-            "image_id": pa.array(ids, pa.string()),
-            "url": pa.array(urls, pa.string()),
-            "ts": pa.array(tss, pa.string()),
-            "bytes": pa.array(blobs, pa.binary()),
-            "caption": pa.array([""] * n, pa.string()),
-            "part": pa.array(paths, pa.string()),  # rides through extraction
-            "concurrent_id": pa.array(rec_ids, pa.string()),
-            "warcinfo_id": pa.array(winfo_ids, pa.string()),
-            "status": pa.array(statuses, pa.int64()),
-        })
+    import functools
 
-    sidecar_ds = pipeline.sidecar_dataset(
-        records.map_batches(f, batch_format="pyarrow", zero_copy_batch=True))
+    sidecar_ds = pipeline.sidecar_dataset(records.map_batches(
+        functools.partial(_records_to_images_batch, keep_path=True),
+        batch_format="pyarrow", zero_copy_batch=True))
 
     def write_one(g: pd.DataFrame) -> pd.DataFrame:
         src = g["part"].iloc[0]
@@ -214,7 +217,11 @@ def cmd_sidecar_all(archive_dir: str, operator: str | None = None,
         out_path = os.path.join(archive_dir, warc.sidecar_name(name))
         is_warc = not warc.is_arc_name(name)
         n = 0
-        with open(out_path, "w") as fh:
+        # atomic tmp+rename (same invariant as merge_one): resume treats an
+        # existing output as done, so a crash mid-write must not leave a
+        # truncated file behind
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as fh:
             fh.write(warc.warcinfo_record_text(warc.sidecar_name(name),
                                                operator, publisher,
                                                source_name=name))
@@ -223,6 +230,7 @@ def cmd_sidecar_all(archive_dir: str, operator: str | None = None,
                     fh.write(warc.metadata_record_text(
                         row, source_is_warc=is_warc))
                     n += 1
+        os.replace(tmp, out_path)
         return pd.DataFrame({"path": [src], "records_written": [n]})
 
     per_file = sidecar_ds.groupby("part").map_groups(
@@ -307,8 +315,13 @@ def cmd_cdxj_all(archive_dir: str) -> dict:
     def write_one(g: pd.DataFrame) -> pd.DataFrame:
         src = g["part"].iloc[0]
         out_path = os.path.join(archive_dir, warc.cdxj_name_from_sidecar(src))
-        with open(out_path, "w") as fh:
+        # atomic tmp+rename (same invariant as merge_one): resume treats an
+        # existing output as done, so a crash mid-write must not leave a
+        # truncated file behind
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as fh:
             fh.writelines(g["line"])
+        os.replace(tmp, out_path)
         return pd.DataFrame({"path": [src], "lines": [len(g)]})
 
     per_file = (records.map_batches(to_lines, batch_format="pyarrow",
@@ -442,9 +455,9 @@ def cmd_merge_all(meta_dir: str, warc_cdxj_dir: str, cdxj_dir: str) -> dict:
                 mj = build.get(s + " " + t)
                 # truthiness: an empty meta object {} is no match
                 # (merge_cdxj.py:72) — the original line passes through
-                if mj is not None and json.loads(mj):
-                    j = json.dumps(get_sidecar_fields(json.loads(j),
-                                                      json.loads(mj)))
+                mo = json.loads(mj) if mj is not None else None
+                if mo:
+                    j = json.dumps(get_sidecar_fields(json.loads(j), mo))
                     edited += 1
                 fh.write(cdxj_line(s, t, j))
         os.replace(tmp_path, out_path)

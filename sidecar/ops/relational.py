@@ -1009,7 +1009,6 @@ def range_join_acctbal(sf_dir: str, band: float = 10.0) -> "rd.Dataset":
         if cust.empty or supp.empty:
             return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
                                  "p_n": pd.Series([], dtype="int64")})
-        bucket = g["bucket"].iloc[0]
         # count only pairs whose CUSTOMER lives in this bucket (it does by
         # construction) — each pair counted exactly once across buckets
         cb = np.sort(cust["bal"].to_numpy())
@@ -1105,10 +1104,14 @@ def stratified_sample(sf_dir: str) -> "rd.Dataset":
     global rate).
 
     The hash is Knuth's multiplicative scheme ``(key·2654435761) mod 2^32``
-    — pure int64 arithmetic, so it is bit-identical in numpy and ANSI SQL
+    — pure integer arithmetic, so it is bit-identical in numpy and ANSI SQL
     (no md5 per-row loop) and the whole operator is a shuffle-free
     vectorized filter: sampling 100 TB touches each block exactly once and
-    moves nothing."""
+    moves nothing.  The key is reduced mod 2^32 BEFORE the multiply (the
+    product then fits 64 unsigned bits on both engines — mathematically
+    identical mod 2^32, but an unreduced int64 multiply would wrap
+    differently than SQL for keys above ~3.5e9, i.e. exactly the 100-TB
+    key range)."""
     strata = list(STRATA_PERMILLE)
     quotas = np.array([STRATA_PERMILLE[s] for s in strata], dtype=np.int64)
 
@@ -1116,8 +1119,9 @@ def stratified_sample(sf_dir: str) -> "rd.Dataset":
         keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
         prio = np.asarray(batch.column("o_orderpriority"))
         quota = np.select([prio == s for s in strata], quotas, default=0)
-        h = (keys * _KNUTH) % (1 << 32)
-        keep = (h % 1000) < quota
+        h = ((keys.astype(np.uint64) % np.uint64(1 << 32))
+             * np.uint64(_KNUTH)) % np.uint64(1 << 32)
+        keep = (h % np.uint64(1000)).astype(np.int64) < quota
         return pa.table({
             "o_orderkey": pa.array(keys[keep], pa.int64()),
             "o_orderpriority": pa.array(prio[keep], pa.string()),

@@ -54,7 +54,11 @@ def ann_topk(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
         out_q, out_v, out_s = [], [], []
         kk = min(k + 1, S.shape[1])  # +1: self may be in this block
         for row, qid in enumerate(qi):
-            idx = np.argpartition(-S[row], kk - 1)[:kk]
+            # tie-DETERMINISTIC cut: lexsort by (-score, vec_id) so equal
+            # scores straddling the k-boundary keep the lower vec_id —
+            # matching final_topk's tie-break (a bare argpartition breaks
+            # ties by introselect ordering, which varies with block shape)
+            idx = np.lexsort((ids, -S[row]))[:kk]
             for j in idx:
                 if ids[j] != qid:
                     out_q.append(qid)

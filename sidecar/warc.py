@@ -266,10 +266,16 @@ def parse_arc_bytes(data: bytes) -> list[dict]:
               and parts[-3].isdigit() and len(parts[-3]) >= 8)
         if not ok:
             malformed += 1
-            nxt = data.find(b"\n\n", line_end)
-            if nxt < 0:
+            # resync at the next blank line of EITHER convention — a CRLF
+            # file contains no b"\n\n", and searching only for it would
+            # silently drop every record after one bad header
+            cuts = [(data.find(sep, line_end), sep)
+                    for sep in (b"\r\n\r\n", b"\n\n")]
+            cuts = [(j, sep) for j, sep in cuts if j >= 0]
+            if not cuts:
                 break
-            i = nxt + 2
+            nxt, sep = min(cuts)
+            i = nxt + len(sep)
             continue
         url = " ".join(parts[:-4])
         ts, ln = parts[-3], int(parts[-1])

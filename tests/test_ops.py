@@ -1159,3 +1159,21 @@ class TestLangCountsNullGroup:
         assert len(g) == len(w) == 2
         assert int(g[g.lang.isna()]["n"].iloc[0]) == 2
         assert int(g[g.lang == "en"]["n"].iloc[0]) == 2
+
+
+def test_stratified_hash_sql_parity_at_large_keys():
+    """The Knuth sampling hash must match DuckDB beyond the int64-multiply
+    wrap point (~3.5e9) — the 100-TB key range the operator advertises."""
+    import duckdb
+    import numpy as np
+
+    keys = np.array([1, 999_983, 3_500_000_001, 2**33 + 7, 2**62 + 12_345],
+                    dtype=np.int64)
+    h = (((keys.astype(np.uint64) % np.uint64(1 << 32))
+          * np.uint64(2654435761)) % np.uint64(1 << 32)) % np.uint64(1000)
+    con = duckdb.connect()
+    for k, want in zip(keys, h):
+        got = con.sql(
+            f"SELECT ((({k}::UBIGINT % 4294967296) * 2654435761) "
+            f"% 4294967296) % 1000").fetchone()[0]
+        assert int(got) == int(want), k
