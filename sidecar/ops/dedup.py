@@ -63,21 +63,25 @@ def _minhash_sig(shingles: list[str]) -> list[str] | None:
 
 # ---------------------------------------------------------------- exact dedup
 
+def fp_rows_batch(batch: pa.Table) -> pa.Table:
+    """(fp, doc_id) rows: md5 content fingerprint per document — the ONE
+    definition shared by exact_dedup and prep_corpus's stage 2."""
+    md5 = hashlib.md5
+    fps = [md5((t or "").encode()).hexdigest()
+           for t in batch.column("text").to_pylist()]
+    return pa.table({"fp": pa.array(fps, pa.string()),
+                     "doc_id": batch.column("doc_id")})
+
+
 def exact_dedup(sf_dir: str) -> "rd.Dataset":
     """fp, keep_doc_id, n_dups — hash-partition by content fingerprint, keep
     the min doc_id per group (the distributed DIGEST_CACHE: groupby moves only
     (fp, doc_id) rows, one representative survives per distinct payload)."""
-
-    def fp_batch(batch: pa.Table) -> pa.Table:
-        md5 = hashlib.md5
-        fps = [md5((t or "").encode()).hexdigest() for t in batch.column("text").to_pylist()]
-        return pa.table({"fp": pa.array(fps, pa.string()), "doc_id": batch.column("doc_id")})
-
     from ray.data.aggregate import Count, Min
 
     return (
         read_documents(sf_dir)
-        .map_batches(fp_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(fp_rows_batch, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("fp")
         .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
     )
@@ -162,6 +166,32 @@ def _dedup_pairs(pairs_ds: "rd.Dataset", a: str = "doc_a", b: str = "doc_b",
     )
 
 
+def bucketize_batch(batch: pa.Table) -> pa.Table:
+    """(part, band, bucket, doc_id) LSH banding rows — the ONE banding
+    definition shared by minhash_lsh_pairs and prep_corpus's stage 3 (both
+    DuckDB oracles assume the identical md5 formulas)."""
+    md5 = hashlib.md5
+    bands, buckets, ids, parts = [], [], [], []
+    for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                            batch.column("text").to_pylist()):
+        sig = _minhash_sig(_shingles(text))
+        if sig is None:
+            continue
+        for b in range(NUM_BANDS):
+            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            digest = md5("|".join(chunk).encode()).hexdigest()
+            bands.append(b)
+            buckets.append(digest)
+            ids.append(doc_id)
+            parts.append(int(digest[:8], 16) % NUM_SHUFFLE_PARTS)
+    return pa.table({
+        "part": pa.array(parts, pa.int64()),
+        "band": pa.array(bands, pa.int64()),
+        "bucket": pa.array(buckets, pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+    })
+
+
 def minhash_lsh_pairs(sf_dir: str) -> "rd.Dataset":
     """doc_a, doc_b — distinct candidate near-dup pairs from LSH banding:
     shingle → minhash → band-bucket → coarse-partition groupby → pairs.
@@ -174,31 +204,9 @@ def minhash_lsh_pairs(sf_dir: str) -> "rd.Dataset":
     exactly the rows we want co-located.
     """
 
-    def bucketize(batch: pa.Table) -> pa.Table:
-        md5 = hashlib.md5
-        bands, buckets, ids, parts = [], [], [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            sig = _minhash_sig(_shingles(text))
-            if sig is None:
-                continue
-            for b in range(NUM_BANDS):
-                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-                digest = md5("|".join(chunk).encode()).hexdigest()
-                bands.append(b)
-                buckets.append(digest)
-                ids.append(doc_id)
-                parts.append(int(digest[:8], 16) % NUM_SHUFFLE_PARTS)
-        return pa.table({
-            "part": pa.array(parts, pa.int64()),
-            "band": pa.array(bands, pa.int64()),
-            "bucket": pa.array(buckets, pa.string()),
-            "doc_id": pa.array(ids, pa.int64()),
-        })
-
     candidates = (
         read_documents(sf_dir)
-        .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(bucketize_batch, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("part")
         .map_groups(lambda g: _pairs_within(g, ["band", "bucket"]),
                     batch_format="pandas")
@@ -574,8 +582,15 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
     happens only inside buckets, so cost scales with bucket occupancy, not
     corpus size squared.
     """
+    import pyarrow.parquet as pq
+
     rng = np.random.Generator(np.random.PCG64(seed))
-    dim = _normalized_embeddings(sf_dir)[1].shape[1]
+    # vector dimension from ONE row's list length — loading (and
+    # normalizing) the whole table on the driver just for shape[1] is
+    # exactly the materialization this operator exists to avoid
+    first = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(
+        0, columns=["embedding"]).column("embedding")
+    dim = len(first[0].as_py())
     planes = rng.standard_normal((n_tables, k_planes, dim))
     planes_ref = ray.put(planes)
 

@@ -284,6 +284,9 @@ def phash_neardup(images_ds: "rd.Dataset | None", max_dist: int = 7,
     if band_mode == "chunk_pair" and max_dist > 6:
         raise ValueError("chunk_pair banding is exact only for max_dist <= 6 "
                          "(pigeonhole over C(8,2) 16-bit bands)")
+    if band_mode == "chunk" and max_dist > 7:
+        raise ValueError("chunk banding is exact only for max_dist <= 7 "
+                         "(pigeonhole over 8 disjoint 8-bit chunks)")
 
     # ``stats_ds`` lets a caller that already paid the decode (e.g.
     # prep_images' final-stats pass) reuse its (id, phash) manifest instead

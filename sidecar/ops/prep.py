@@ -34,13 +34,11 @@ import ray
 import ray.data as rd
 
 from sidecar.ops.dedup import (
-    NUM_BANDS,
     NUM_SHUFFLE_PARTS,
-    ROWS_PER_BAND,
     _dedup_pairs,
-    _minhash_sig,
     _pairs_within,
-    _shingles,
+    bucketize_batch,
+    fp_rows_batch,
 )
 from sidecar.ops.text import read_documents
 
@@ -56,7 +54,16 @@ def prep_images(images_ds: "rd.Dataset", max_dist: int = 7) -> "rd.Dataset":
     (id, hash)-sized.  Driver state is id/digest sets only (broadcast;
     hash-semi-join at larger scale).  Near-dup semantics are the pigeonhole-
     exact ≤``max_dist``-bit banding of ``multimodal.phash_neardup``."""
+    from sidecar.codecs import IMAGE_FMTS
     from sidecar.ops.multimodal import image_decode_stats, phash_neardup
+
+    # stage 0: decodable-image gate INSIDE the operator (an IMAGES-shaped
+    # table may carry html/text payload rows — synth emits ~20%; without
+    # the gate the decode stage would KeyError on their fmt)
+    fmt_set = pa.array(sorted(IMAGE_FMTS))
+    images_ds = images_ds.map_batches(
+        lambda b: b.filter(pc.is_in(b.column("fmt"), value_set=fmt_set)),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     # stage 1+2: digest per payload, survivors = min image_id per digest
     def digest_rows(batch: pa.Table) -> pa.Table:
@@ -119,17 +126,12 @@ def prep_corpus(sf_dir: str, min_chars: int = 50) -> "rd.Dataset":
 
     # stage 2: exact-dedup survivors (min doc_id per fingerprint) — the
     # groupby moves (fp, doc_id) rows only; survivor ids collect small
-    def fp_rows(batch: pa.Table) -> pa.Table:
-        md5 = hashlib.md5
-        fps = [md5((t or "").encode()).hexdigest()
-               for t in batch.column("text").to_pylist()]
-        return pa.table({"fp": pa.array(fps, pa.string()),
-                         "doc_id": batch.column("doc_id")})
-
+    # (fingerprint formula shared with dedup.exact_dedup: fp_rows_batch)
     from ray.data.aggregate import Min
 
     survivors: set[int] = set()
-    for b in (gated.map_batches(fp_rows, batch_format="pyarrow", zero_copy_batch=True)
+    for b in (gated.map_batches(fp_rows_batch, batch_format="pyarrow",
+                                zero_copy_batch=True)
               .groupby("fp").aggregate(Min("doc_id", alias_name="keep"))
               .iter_batches(batch_format="pyarrow")):
         survivors.update(b.column("keep").to_pylist())
@@ -143,30 +145,12 @@ def prep_corpus(sf_dir: str, min_chars: int = 50) -> "rd.Dataset":
     kept = gated.map_batches(keep_survivors, batch_format="pyarrow",
                              zero_copy_batch=True)
 
-    # stage 3: LSH candidate pairs over the kept docs (identical banding to
-    # dedup.minhash_lsh_pairs); drop the larger id of each pair
-    def bucketize(batch: pa.Table) -> pa.Table:
-        md5 = hashlib.md5
-        bands, buckets, ids, parts = [], [], [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            sig = _minhash_sig(_shingles(text))
-            if sig is None:
-                continue
-            for b in range(NUM_BANDS):
-                chunk = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-                digest = md5("|".join(chunk).encode()).hexdigest()
-                bands.append(b)
-                buckets.append(digest)
-                ids.append(doc_id)
-                parts.append(int(digest[:8], 16) % NUM_SHUFFLE_PARTS)
-        return pa.table({"part": pa.array(parts, pa.int64()),
-                         "band": pa.array(bands, pa.int64()),
-                         "bucket": pa.array(buckets, pa.string()),
-                         "doc_id": pa.array(ids, pa.int64())})
-
+    # stage 3: LSH candidate pairs over the kept docs (the SAME banding
+    # implementation as dedup.minhash_lsh_pairs); drop the larger id of
+    # each pair
     pairs = _dedup_pairs(
-        kept.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        kept.map_batches(bucketize_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
         .groupby("part")
         .map_groups(lambda g: _pairs_within(g, ["band", "bucket"]),
                     batch_format="pandas"))

@@ -70,7 +70,9 @@ class BloomFilter:
 class CuckooFilter:
     """16-bit-fingerprint, 4-way-bucket cuckoo filter over uint64 keys.
 
-    Supports add/contains/delete with ~0.01% FP at 95% load.  Kept beside an
+    Supports add/contains (no delete — the seen set is append-only, and a
+    cuckoo delete would need stash/backstop coordination the design doesn't
+    carry) with ~0.01% FP at 95% load.  Kept beside an
     exact set in SeenShard (the filter is the scale architecture; the exact
     set the correctness backstop — a positive `contains` is verified there).
     """
