@@ -71,6 +71,9 @@ def main() -> int:
             print(f"FAIL {name}: oracle-backed query at position {pos} "
                   f"is outside the driver's {window}-row window")
             failures += 1
+    for orphan in sorted(set(oracles) - set(qs)):
+        print(f"FAIL {orphan}: oracle_sql entry has no queries() entry")
+        failures += 1
     unknown = only - set(qs)
     if unknown:
         for u in sorted(unknown):
