@@ -129,3 +129,42 @@ def test_sidecar_payload_roundtrip(caption):
     assert obj["Soft-404-Detected"] == float(parsed["Soft-404-Detected"])
     assert obj["Charset-Detected"]["encoding"] == \
         parsed["Charset-Detected"]["encoding"]
+
+
+@given(st.lists(st.text(alphabet=st.characters(codec="utf-8",
+                                               exclude_characters="\x00"),
+                        max_size=20), min_size=1, max_size=4))
+@settings(max_examples=60, deadline=None)
+def test_md5_graph_hash_matches_duckdb(parts):
+    """synth._h_md5 (the crawl_sql_exact graph hash) equals DuckDB's
+    md5_number_upper of the chr(31)-joined parts for arbitrary strings."""
+    import duckdb
+
+    from sidecar.synth import _h_md5
+
+    joined = "\x1f".join(parts)
+    con = duckdb.connect()
+    got = con.sql("SELECT md5_number_upper(?)", params=[joined]).fetchone()[0]
+    assert int(got) == _h_md5(*parts)
+
+
+@given(st.lists(st.integers(0, 2 ** 64 - 1), min_size=1, max_size=300))
+@settings(max_examples=60, deadline=None)
+def test_popcount64_lut(xs):
+    from sidecar.ops.multimodal import _popcount64
+
+    arr = np.array(xs, dtype=np.uint64)
+    want = np.array([bin(x).count("1") for x in xs], dtype=np.int64)
+    assert (_popcount64(arr) == want).all()
+
+
+@given(st.lists(st.integers(0, 2 ** 63 - 1), min_size=1, max_size=50))
+@settings(max_examples=40, deadline=None)
+def test_stratified_hash_uint64_parity(keys):
+    """The mask-first Knuth hash equals the arbitrary-precision Python
+    computation for any int64 key (no wrap divergence)."""
+    k = np.array(keys, dtype=np.int64)
+    h = (((k.astype(np.uint64) % np.uint64(1 << 32)) * np.uint64(2654435761))
+         % np.uint64(1 << 32)) % np.uint64(1000)
+    want = [((x % (1 << 32)) * 2654435761) % (1 << 32) % 1000 for x in keys]
+    assert h.astype(np.int64).tolist() == want
