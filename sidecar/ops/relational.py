@@ -263,17 +263,26 @@ def asof_last_order(sf_dir: str) -> "rd.Dataset":
     (ties on date broken by max orderkey; events with no prior order drop —
     inner semantics keep the output int64-clean for the hash compare).
 
-    Plan: tag + union both sides into one dataset, ONE shuffle keyed by
-    user, then a vectorized per-group searchsorted.  This is the standard
-    distributed as-of plan — co-partition both inputs on the equi-key, do
-    the inequality match sorted within the partition.
+    Plan: tag + union both sides into one dataset, ONE shuffle keyed by a
+    coarse ``user % NUM_AGG_PARTS`` partition (64 tasks at any scale — per-
+    USER map_groups would dispatch one pandas call per tiny group, the
+    pathology frontier.py's budget stage documents), then ONE lexsort +
+    grouped forward-fill inside the partition: sort (key, t_us,
+    orders-before-events, id), forward-fill the last order row position with
+    ``np.maximum.accumulate``, and keep matches whose filled order shares the
+    event's key.  Exactly equivalent to a per-user searchsorted — orders at
+    the same (key, t) sort before events (<= semantics) and ascending by id
+    (max-orderkey tie-break) — with zero per-user dispatch.
     """
 
     def ev_rows(batch: pa.Table) -> pa.Table:
         us = pc.cast(batch.column("ts"), pa.int64())
         n = batch.num_rows
+        key = pc.cast(batch.column("user_id"), pa.int64())
         return pa.table({
-            "key": pc.cast(batch.column("user_id"), pa.int64()),
+            "jpart": pc.cast(
+                pc.bit_wise_and(key, NUM_AGG_PARTS - 1), pa.int64()),
+            "key": key,
             "is_order": pa.array([0] * n, pa.int64()),
             "t_us": us,
             "id": pc.cast(batch.column("event_id"), pa.int64()),
@@ -282,28 +291,41 @@ def asof_last_order(sf_dir: str) -> "rd.Dataset":
     def ord_rows(batch: pa.Table) -> pa.Table:
         us = pc.cast(batch.column("o_orderdate"), pa.int64())
         n = batch.num_rows
+        key = pc.cast(batch.column("o_custkey"), pa.int64())
         return pa.table({
-            "key": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "jpart": pc.cast(
+                pc.bit_wise_and(key, NUM_AGG_PARTS - 1), pa.int64()),
+            "key": key,
             "is_order": pa.array([1] * n, pa.int64()),
             "t_us": us,
             "id": pc.cast(batch.column("o_orderkey"), pa.int64()),
         })
 
-    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
-        orders = g[g["is_order"] == 1].sort_values(["t_us", "id"])
-        events = g[g["is_order"] == 0]
-        if orders.empty or events.empty:
-            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
-                                 "user_id": pd.Series([], dtype="int64"),
-                                 "last_orderkey": pd.Series([], dtype="int64")})
-        ot = orders["t_us"].to_numpy()
-        oid = orders["id"].to_numpy()
-        idx = np.searchsorted(ot, events["t_us"].to_numpy(), side="right") - 1
-        ok = idx >= 0
+    def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy()
+        t = g["t_us"].to_numpy()
+        is_order = g["is_order"].to_numpy()
+        ids = g["id"].to_numpy()
+        # primary key last in lexsort; orders (is_order=1) before events at
+        # the same (key, t) — "order date <= event ts" includes equality —
+        # and orders ascending by id so the forward-fill lands on max id
+        order = np.lexsort((ids, -is_order, t, key))
+        k = key[order]
+        io = is_order[order]
+        di = ids[order]
+        pos = np.where(io == 1, np.arange(len(k)), -1)
+        last = np.maximum.accumulate(pos) if len(k) else pos
+        ev = io == 0
+        li = last[ev]
+        ok = li >= 0
+        # sorted by key first ⇒ the nearest preceding order row either
+        # shares the event's key (valid as-of match) or belongs to an
+        # earlier key (no prior order for this user)
+        ok[ok] = k[li[ok]] == k[ev][ok]
         return pd.DataFrame({
-            "event_id": events["id"].to_numpy()[ok],
-            "user_id": events["key"].to_numpy()[ok],
-            "last_orderkey": oid[idx[ok]],
+            "event_id": di[ev][ok],
+            "user_id": k[ev][ok],
+            "last_orderkey": di[li[ok]],
         })
 
     ev = read_parquet_clean(f"{sf_dir}/events.parquet",
@@ -312,7 +334,8 @@ def asof_last_order(sf_dir: str) -> "rd.Dataset":
     orders = read_parquet_clean(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(ord_rows, batch_format="pyarrow", zero_copy_batch=True)
-    return ev.union(orders).groupby("key").map_groups(asof_group, batch_format="pandas")
+    return (ev.union(orders).groupby("jpart")
+            .map_groups(asof_partition, batch_format="pandas"))
 
 
 def union_nations(sf_dir: str) -> "rd.Dataset":
@@ -386,36 +409,51 @@ def systematic_sample(sf_dir: str, every: int = 100) -> "rd.Dataset":
 
 def sessionize(sf_dir: str, gap_s: int = 1800) -> "rd.Dataset":
     """Session windows over the events log: per user, events separated by
-    more than ``gap_s`` start a new session.  One shuffle keyed by user;
-    the windowing itself is a vectorized sorted-group computation (Ray Data
-    has no event-time windows natively — this is the documented pattern:
-    partition by key, sort by ts inside the group).
+    more than ``gap_s`` start a new session.  One shuffle keyed by a coarse
+    ``user % NUM_AGG_PARTS`` partition (per-USER map_groups would dispatch
+    one pandas call per tiny group — the frontier.py budget-stage
+    pathology); inside the partition, ONE lexsort by (user, ts, event_id)
+    and boundary vectorization: a session starts where the user changes or
+    the gap exceeds gap_us, and per-session start/count/duration fall out
+    of the boundary indices (Ray Data has no event-time windows natively —
+    this is the documented pattern: co-partition by key, sort inside).
 
     Output: user_id, session_start_us, n_events, duration_us (all int64 —
     exactly hashable against the SQL lag/cumsum-window oracle).
     """
     gap_us = gap_s * 1_000_000
 
-    def sessions_of_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"])
+    def sessions_of_partition(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
         ts = g["ts_us"].to_numpy()
-        new = np.ones(len(ts), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sid = np.cumsum(new) - 1
-        out = pd.DataFrame({"ts_us": ts, "sid": sid})
-        agg = out.groupby("sid").agg(session_start_us=("ts_us", "min"),
-                                     n_events=("ts_us", "size"),
-                                     session_end_us=("ts_us", "max"))
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, u))
+        u, ts = u[order], ts[order]
+        n = len(ts)
+        if n == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "session_start_us": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "duration_us": pd.Series([], dtype="int64"),
+            })
+        new = np.ones(n, dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], n] - 1
         return pd.DataFrame({
-            "user_id": np.full(len(agg), g["user_id"].iloc[0], dtype=np.int64),
-            "session_start_us": agg["session_start_us"].to_numpy(),
-            "n_events": agg["n_events"].to_numpy().astype(np.int64),
-            "duration_us": (agg["session_end_us"] - agg["session_start_us"]).to_numpy(),
+            "user_id": u[starts],
+            "session_start_us": ts[starts],
+            "n_events": (np.r_[starts[1:], n] - starts).astype(np.int64),
+            "duration_us": ts[ends] - ts[starts],
         })
 
     def proj(batch: pa.Table) -> pa.Table:
+        uid = pc.cast(batch.column("user_id"), pa.int64())
         return pa.table({
-            "user_id": batch.column("user_id"),
+            "jpart": pc.cast(
+                pc.bit_wise_and(uid, NUM_AGG_PARTS - 1), pa.int64()),
+            "user_id": uid,
             "event_id": batch.column("event_id"),
             "ts_us": pc.cast(batch.column("ts"), pa.int64()),
         })
@@ -424,8 +462,8 @@ def sessionize(sf_dir: str, gap_s: int = 1800) -> "rd.Dataset":
         read_parquet_clean(f"{sf_dir}/events.parquet",
                         columns=["user_id", "event_id", "ts"])
         .map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(sessions_of_user, batch_format="pandas")
+        .groupby("jpart")
+        .map_groups(sessions_of_partition, batch_format="pandas")
     )
 
 
