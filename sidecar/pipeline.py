@@ -261,8 +261,11 @@ def sidecar_dataset_dedup_digest(images_ds, *, batch_size: int = 1024,
         return sub.append_column("dpart", pa.array(part, pa.int64()))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        d = g["bytes"].map(lambda b: hashlib.sha1(b or b"").hexdigest())
-        return g.loc[~d.duplicated()].drop(columns=["dpart"])
+        sha1 = hashlib.sha1
+        # direct comprehension over the values (no Series.map lambda
+        # dispatch); raw .digest() — the hash is only a dedup key here
+        d = [sha1(b or b"").digest() for b in g["bytes"].to_numpy()]
+        return g.loc[~pd.Series(d).duplicated().to_numpy()].drop(columns=["dpart"])
 
     uniq = (
         images_ds.map_batches(reps, batch_format="pyarrow",
