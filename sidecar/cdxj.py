@@ -172,18 +172,31 @@ def parse_cdxj_lines(lines_ds) -> "rd.Dataset":
     return lines_ds.map_batches(parse, batch_format="pyarrow")
 
 
-def merge_cdxj(meta_ds, original_ds, *, broadcast: bool = True) -> "rd.Dataset":
+# broadcast="auto" falls back to the hash-partitioned plan once the build
+# side outgrows this many keys — decided during the single build pass, so
+# the small-side case pays no extra execution of meta_ds
+MERGE_AUTO_BUILD_ROWS = 500_000
+
+
+def merge_cdxj(meta_ds, original_ds, *,
+               broadcast: "bool | str" = "auto") -> "rd.Dataset":
     """Left-outer enrich join of ``original_ds`` (CDXJ columns surt/ts/json,
     plus optional ``lineno``) against ``meta_ds`` (J1).
 
-    Broadcast plan (default): the meta side — one sidecar's index, small
-    relative to the probe — is collected once to a dict, put in the object
-    store once, and read by every map task (not re-shipped per batch).
-    Output adds a ``matched`` flag (edited/non-edited counters = a Sum over
-    it, merge_cdxj.py:61-62).
+    Broadcast plan: the meta side — one sidecar's index, small relative to
+    the probe — is collected once to a dict, put in the object store once,
+    and read by every map task (not re-shipped per batch).  Output adds a
+    ``matched`` flag (edited/non-edited counters = a Sum over it,
+    merge_cdxj.py:61-62).
+
+    ``broadcast="auto"`` (default) starts the broadcast build and falls
+    back to the hash-partitioned plan (``_merge_cdxj_partitioned``) the
+    moment the build dict passes MERGE_AUTO_BUILD_ROWS keys — one pass
+    either way; only the over-limit case re-executes meta_ds.
     """
-    if not broadcast:
+    if broadcast is False:
         return _merge_cdxj_partitioned(meta_ds, original_ds)
+    limit = MERGE_AUTO_BUILD_ROWS if broadcast == "auto" else None
 
     meta_dict: dict[str, dict] = {}
     for b in meta_ds.iter_batches(batch_format="pyarrow"):
@@ -194,6 +207,8 @@ def merge_cdxj(meta_ds, original_ds, *, broadcast: bool = True) -> "rd.Dataset":
             tbl.column("json").to_pylist(),
         ):
             meta_dict[s + " " + t] = json.loads(j)
+        if limit is not None and len(meta_dict) > limit:
+            return _merge_cdxj_partitioned(meta_ds, original_ds)
     meta_ref = ray.put(meta_dict)
 
     def enrich(batch: pa.Table) -> pa.Table:

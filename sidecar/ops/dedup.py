@@ -461,6 +461,13 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
 
 # ------------------------------------------------- embedding-cosine near-dup
 
+# broadcast="auto" switches to the block-pair partitioned plan when the full
+# normalized float64 matrix would exceed this (footer-only estimate): 128 MB
+# replicates cheaply via ray.put on any worker heap, while 100M x 64-f32
+# corpora (~25 GB) must never be broadcast
+EMB_AUTO_BROADCAST_BYTES = 128 * 1024 * 1024
+
+
 def _normalized_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """(ids, row-normalized float64 matrix) for the small broadcast side."""
     import pyarrow.parquet as pq
@@ -474,11 +481,15 @@ def _normalized_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 
 
 def embedding_near_dup(sf_dir: str, threshold: float = 0.4, *,
-                       broadcast: bool = False,
+                       broadcast: "bool | str" = "auto",
                        num_blocks: int = 8) -> "rd.Dataset":
     """vec_a, vec_b — pairs with cosine similarity >= threshold (EXACT).
 
-    Default plan (``broadcast=False``): block-PAIR co-partitioned exact
+    ``broadcast="auto"`` (default) picks the plan from the parquet FOOTER
+    (num_rows × probed dim × 8 bytes ≤ EMB_AUTO_BROADCAST_BYTES →
+    broadcast) — no data is read to decide.
+
+    Scale plan (``broadcast=False``): block-PAIR co-partitioned exact
     cosine, the no-broadcast twin (mirroring ``cdxj_merge(broadcast=...)``).
     Vectors hash into ``num_blocks`` blocks by vec_id; each vector is
     replicated to the ``num_blocks`` unordered block pairs containing its
@@ -491,9 +502,26 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4, *,
 
     ``broadcast=True`` is the small-input fast path: the full normalized
     matrix replicated once via ``ray.put`` (100M x 64-f32 ≈ 25 GB is past
-    broadcast range), each task matmuls its batch against it.  Both paths
-    are hash-exact against the same DuckDB oracle.
+    broadcast range), each task matmuls its batch against it.
+
+    Both paths emit the same pair set against the same DuckDB oracle on
+    any corpus with no threshold-boundary pairs; the scores are float64
+    matmuls whose BLAS summation order can differ BETWEEN plans by ~1 ulp,
+    so a pair with |cos − threshold| within ~1e-15 could in principle flip
+    on another BLAS build — the twin test asserts the synth corpora keep a
+    real margin (see test_embedding_near_dup_broadcast_twin_equal).
     """
+    if broadcast == "auto":
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+        n = pf.metadata.num_rows
+        if n == 0:
+            broadcast = True
+        else:
+            dim = len(pf.read_row_group(0, columns=["embedding"])
+                      .column("embedding")[0].as_py())
+            broadcast = n * dim * 8 <= EMB_AUTO_BROADCAST_BYTES
     if broadcast:
         ids, N = _normalized_embeddings(sf_dir)
         mat_ref = ray.put((ids, N))

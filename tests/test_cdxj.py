@@ -118,6 +118,21 @@ def test_merge_partitioned():
     _merge_case(broadcast=False)
 
 
+def test_merge_auto_small_and_overflow():
+    """broadcast="auto" (default): small build side behaves exactly like the
+    broadcast plan; with the build cap forced to 0 it must fall back to the
+    partitioned plan mid-build and still produce identical output."""
+    from sidecar import cdxj
+
+    _merge_case(broadcast="auto")
+    orig = cdxj.MERGE_AUTO_BUILD_ROWS
+    cdxj.MERGE_AUTO_BUILD_ROWS = 0
+    try:
+        _merge_case(broadcast="auto")
+    finally:
+        cdxj.MERGE_AUTO_BUILD_ROWS = orig
+
+
 def test_canonicalization_port_and_path_rules():
     """Public SURT details: default port dropped, non-default kept, duplicate
     slashes collapsed, %-escapes hex-uppercased, fragment dropped."""

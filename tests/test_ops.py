@@ -102,18 +102,38 @@ class TestDedup:
         assert got == want and got
 
     def test_embedding_near_dup_broadcast_twin_equal(self):
-        """The ray.put matmul fast path and the default block-pair
-        partitioned plan (no broadcast, no driver state) emit the same
-        exact pair set — at more than one block count."""
+        """The ray.put matmul fast path and the block-pair partitioned plan
+        (no broadcast, no driver state) emit the same exact pair set — at
+        more than one block count — and broadcast="auto" picks each plan by
+        the footer-size rule.  Twin equality is only meaningful if no pair
+        sits AT the threshold (BLAS matmul summation order differs between
+        the two plans' matrix shapes by ~1 ulp), so first assert the corpus
+        keeps a real margin around the boundary."""
+        from sidecar.ops import dedup
         from sidecar.ops.dedup import embedding_near_dup
+
+        t = pq.read_table(f"{SF}/embeddings.parquet")
+        E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        N = E / np.linalg.norm(E, axis=1, keepdims=True)
+        S = (N @ N.T)[np.triu_indices(len(N), k=1)]
+        margin = np.abs(S - 0.4).min()
+        assert margin > 1e-9, f"threshold-boundary pair (margin={margin})"
 
         def pairs(**kw):
             return {(a, b) for a, b in embedding_near_dup(
                 SF, threshold=0.4, **kw).to_pandas().itertuples(index=False)}
 
         base = pairs(broadcast=True)
-        assert pairs() == base
-        assert pairs(num_blocks=3) == base
+        assert pairs(broadcast=False) == base
+        assert pairs(broadcast=False, num_blocks=3) == base
+        assert pairs() == base  # auto: tiny table → broadcast plan
+        # auto with a 0-byte budget must take the partitioned plan
+        orig = dedup.EMB_AUTO_BROADCAST_BYTES
+        dedup.EMB_AUTO_BROADCAST_BYTES = 0
+        try:
+            assert pairs() == base
+        finally:
+            dedup.EMB_AUTO_BROADCAST_BYTES = orig
         assert base
 
     def test_embedding_lsh_recall(self):
