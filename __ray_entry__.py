@@ -38,6 +38,29 @@ mh AS (SELECT doc_id, p, min(md5(p::VARCHAR || '|' || s)) AS mh
 """
 
 
+def _scratch_dir(tag: str) -> str:
+    """Per-PROCESS scratch dir under a fixed parent: concurrent invocations
+    (bench + pytest, or two drivers) each get their own tree, so one run's
+    rmtree can never delete parquet/Lance files another lazily-built Dataset
+    is still reading.  No leak either: siblings whose owning pid is dead are
+    removed, and this process's own dir is recreated fresh."""
+    import os
+    import shutil
+
+    parent = f"/tmp/graft_{tag}"
+    os.makedirs(parent, exist_ok=True)
+    mine = os.path.join(parent, f"pid{os.getpid()}")
+    for d in os.listdir(parent):
+        full = os.path.join(parent, d)
+        if full == mine:
+            continue
+        pid = d.removeprefix("pid")
+        if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
+            shutil.rmtree(full, ignore_errors=True)
+    shutil.rmtree(mine, ignore_errors=True)
+    return mine
+
+
 def _synth_url_ts(doc_ids) -> tuple[list[str], list[str]]:
     """doc_id → (url, ts14) with SURT-exercising features (mixed case, www
     prefix, non-default port, unsorted query); SQL-reproducible."""
@@ -137,6 +160,149 @@ frag AS (SELECT x, url, surt, ts,
     END AS f_s404
     FROM u)
 """
+
+
+# crawl_sql_exact's shared configuration: the Ray crawl, the DuckDB replay
+# and the pytest 3-way contract all read THIS dict (scaled up in round 4 per
+# VERDICT #4: ~10^3 fetched rows, 16 hosts, budget 24, hot host at 60% of
+# link traffic so the budget stage's skew handling and the multi-shard seen
+# set run at non-toy cardinality).  Exactness precondition: every URL the
+# crawl can rank must carry a DISTINCT priority within its host (the
+# engine's url_hash tie-break is blake2b, not SQL-computable) — asserted
+# for this config by test_md5_graph_priorities_tie_free.
+_CRAWL_SQL_CFG = dict(n_seeds=400, n_hosts=16, budget_per_host=24,
+                      max_epochs=3, max_depth=3, seed=42, graph="md5",
+                      hot_frac=6)
+
+
+def _crawl_exact_sql(n_seeds: int, n_hosts: int, budget_per_host: int,
+                     seed: int, hot_frac: int, max_epochs: int = 3,
+                     **_ignored) -> str:
+    """The full crawl loop (dedup → seen anti-join → robots → per-host
+    budget top-k → fetch) replayed in pure SQL over the md5 graph —
+    parameterized template of the round-3 hand-expanded query.  Valid for
+    max_epochs <= 3 seeded at depth 0 (depth can reach at most epochs-1 <
+    max_depth=3, so the Ray side's depth gate never binds and the SQL needs
+    no depth filter)."""
+    H, S, B, HOT = n_hosts, n_seeds, budget_per_host, hot_frac
+    E = max_epochs
+    assert E <= 3, "template models <=3 epochs (no depth-gate CTE)"
+    sep = "|| chr(31) ||"
+    host_expr = (f"CASE WHEN rj % 10 < {HOT} THEN 'hot.example.com' "
+                 f"ELSE printf('host%02d.example.com', (1 + rj % {H - 1})::INT) END")
+    parts = [f"""
+        WITH hostlist AS (
+          SELECT CASE WHEN i = 0 THEN 'hot.example.com'
+                      ELSE printf('host%02d.example.com', i::INT) END AS host
+          FROM generate_series(0, {H - 1}) t(i)),
+        robr AS (
+          SELECT host,
+                 (r % 4 = 0) AS has_rules,
+                 (r % 10)::VARCHAR AS d,
+                 ((r >> 4) % 2 = 0) AS has_allow,
+                 ((r >> 5) % 4 = 0) AS anchored
+          FROM (SELECT host,
+                       md5_number_upper('{seed}' {sep} 'robots'
+                                        {sep} host) AS r
+                FROM hostlist)),
+        seeds AS (
+          SELECT i AS seed_id,
+                 md5_number_upper('{seed}' {sep} 'seed'
+                                  {sep} i::VARCHAR) AS r
+          FROM generate_series(0, {S - 1}) t(i)),
+        c0 AS (
+          SELECT 'https://' || host || '/seed/' || seed_id::VARCHAR AS url,
+                 'http://' || host || '/seed/' || seed_id::VARCHAR AS canon,
+                 host, 0 AS depth, seed_id, NULL::VARCHAR AS pid
+          FROM (SELECT seed_id,
+                       CASE WHEN r % {H} = 0 THEN 'hot.example.com'
+                            ELSE printf('host%02d.example.com',
+                                        (r % {H})::INT) END AS host
+                FROM seeds)),
+        c0p AS (
+          SELECT *, (md5_number_upper('{seed}' {sep} 'prio'
+                                      {sep} url)
+                     % 1000000000) / 1e9 AS priority
+          FROM c0),
+        r0 AS (
+          SELECT *, row_number() OVER (
+              PARTITION BY host
+              ORDER BY priority DESC, depth, seed_id, url) AS rn
+          FROM c0p),
+        sel0 AS (SELECT url, canon, host, depth, seed_id, pid, priority
+                 FROM r0 WHERE rn <= {B}),
+        left0 AS (SELECT url, canon, host, depth, seed_id, pid, priority
+                  FROM r0 WHERE rn > {B})"""]
+    for e in range(1, E):
+        p = e - 1
+        seen_union = "\n                              UNION ALL ".join(
+            f"SELECT url FROM sel{i}" for i in range(e))
+        parts.append(f""",
+        l{p} AS (
+          SELECT seed_id, depth + 1 AS depth,
+                 md5_number_upper('{seed}' {sep} 'link' {sep}
+                                  canon {sep} j::VARCHAR) AS rj
+          FROM (SELECT canon, depth, seed_id,
+                       (md5_number_upper('{seed}' {sep} 'links'
+                                         {sep} canon)
+                        % 9)::BIGINT AS fan
+                FROM sel{p}),
+               generate_series(0, 8) g(j)
+          WHERE j < fan),
+        links{p} AS (
+          SELECT 'https://' || host || '/page/' || pid AS url,
+                 'http://' || host || '/page/' || pid AS canon,
+                 host, depth, seed_id, pid
+          FROM (SELECT seed_id, depth,
+                       {host_expr} AS host,
+                       (CASE WHEN (rj >> 8) % 10 < 3 THEN rj % 40
+                             ELSE rj % 100000 END)::VARCHAR AS pid
+                FROM l{p})),
+        c{e}p AS (
+          SELECT *, (md5_number_upper('{seed}' {sep} 'prio'
+                                      {sep} url)
+                     % 1000000000) / 1e9 AS priority
+          FROM (SELECT url, canon, host, depth, seed_id, pid FROM links{p}
+                UNION ALL
+                SELECT url, canon, host, depth, seed_id, pid FROM left{p})),
+        d{e} AS (
+          SELECT * FROM c{e}p
+          QUALIFY row_number() OVER (
+              PARTITION BY url
+              ORDER BY priority DESC, depth, seed_id) = 1),
+        a{e} AS (
+          SELECT c.* FROM d{e} c JOIN robr r USING (host)
+          WHERE c.url NOT IN ({seen_union})
+            AND (c.pid IS NULL OR NOT (r.has_rules AND
+                 (CASE WHEN r.anchored THEN c.pid = r.d
+                       ELSE starts_with(c.pid, r.d)
+                            AND NOT (r.has_allow
+                                     AND starts_with(c.pid, r.d || '0'))
+                  END))))""")
+        if e < E - 1:
+            parts.append(f""",
+        r{e} AS (
+          SELECT *, row_number() OVER (
+              PARTITION BY host
+              ORDER BY priority DESC, depth, seed_id, url) AS rn
+          FROM a{e}),
+        sel{e} AS (SELECT url, canon, host, depth, seed_id, pid, priority
+                   FROM r{e} WHERE rn <= {B}),
+        left{e} AS (SELECT url, canon, host, depth, seed_id, pid, priority
+                    FROM r{e} WHERE rn > {B})""")
+        else:
+            parts.append(f""",
+        sel{e} AS (
+          SELECT url, canon FROM a{e}
+          QUALIFY row_number() OVER (
+              PARTITION BY host
+              ORDER BY priority DESC, depth, seed_id, url) <= {B})""")
+    finals = "\n        UNION ALL ".join(
+        f"SELECT url, canon{' AS url_canon' if i == 0 else ''}, "
+        f"{i}::BIGINT{' AS epoch' if i == 0 else ''} FROM sel{i}"
+        for i in range(E))
+    parts.append(f"\n        {finals}\n    ")
+    return "".join(parts)
 
 
 def _image_rows_only(batch):
@@ -279,14 +445,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         politeness actors) — sf_dir-independent; returns the final URL-seen
         set as sorted hex hashes (bit-for-bit reproducible, tests assert it
         equals the single-threaded oracle's)."""
-        import shutil
-
         import pyarrow as pa
 
         from sidecar.crawl import CrawlConfig, run_crawl
 
-        out = "/tmp/graft_crawl_demo"  # fixed dir, replaced per run (no leak)
-        shutil.rmtree(out, ignore_errors=True)
+        out = _scratch_dir("crawl_demo")  # per-process, stale pids reaped
         # shard/actor counts sized to the tiny demo workload (hash
         # partitioning makes the result identical at any shard count —
         # the bit-for-bit tests run the same config at multiple levels)
@@ -307,7 +470,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         final URL-seen set" contract as a driver-EXACT row; the blake2b twin
         (crawl_demo) stays bit-for-bit-tested in pytest."""
         import os
-        import shutil
 
         import pyarrow as pa
         import pyarrow.compute as pc_
@@ -315,14 +477,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from sidecar import storage
         from sidecar.crawl import CrawlConfig, run_crawl
 
-        # fixed per-pipeline dir, replaced each run — a mkdtemp per call
-        # leaked one multi-MB crawl tree per bench/driver invocation
-        out = "/tmp/graft_crawl_sql_exact"
-        shutil.rmtree(out, ignore_errors=True)
-        run_crawl(CrawlConfig(n_seeds=40, n_hosts=8, budget_per_host=4,
-                              max_epochs=3, max_depth=3, seed=42, graph="md5",
-                              out_dir=out, num_seen_shards=2,
-                              num_policy_actors=2, num_fetch_partitions=4),
+        # per-process dir under a fixed parent (a bare mkdtemp per call
+        # leaked one multi-MB crawl tree per bench/driver invocation; a
+        # FIXED dir raced concurrent invocations)
+        out = _scratch_dir("crawl_sql_exact")
+        run_crawl(CrawlConfig(out_dir=out, num_seen_shards=4,
+                              num_policy_actors=2, num_fetch_partitions=8,
+                              **_CRAWL_SQL_CFG),
                   collect_order=False, collect_seen=False)
 
         def project(batch: pa.Table) -> pa.Table:
@@ -1045,157 +1206,10 @@ def oracle_sql() -> dict[str, str]:
         # pure md5 arithmetic; DuckDB md5_number_upper == synth._h_md5).
         # Per epoch: dedup-by-url keep-best → anti-join vs fetched → robots
         # (prefix / allow-override / $-anchored rules on the page id) →
-        # per-host top-4 by (priority DESC, depth, seed_id, url).  Priorities
+        # per-host top-k by (priority DESC, depth, seed_id, url).  Priorities
         # are URL-determined and collision-free per host (tests assert), so
         # the engine's url_hash tie-break never fires.
-        "crawl_sql_exact": """
-            WITH hostlist AS (
-              SELECT CASE WHEN i = 0 THEN 'hot.example.com'
-                          ELSE printf('host%02d.example.com', i::INT) END AS host
-              FROM generate_series(0, 7) t(i)),
-            robr AS (
-              SELECT host,
-                     (r % 4 = 0) AS has_rules,
-                     (r % 10)::VARCHAR AS d,
-                     ((r >> 4) % 2 = 0) AS has_allow,
-                     ((r >> 5) % 4 = 0) AS anchored
-              FROM (SELECT host,
-                           md5_number_upper('42' || chr(31) || 'robots'
-                                            || chr(31) || host) AS r
-                    FROM hostlist)),
-            seeds AS (
-              SELECT i AS seed_id,
-                     md5_number_upper('42' || chr(31) || 'seed'
-                                      || chr(31) || i::VARCHAR) AS r
-              FROM generate_series(0, 39) t(i)),
-            c0 AS (
-              SELECT 'https://' || host || '/seed/' || seed_id::VARCHAR AS url,
-                     'http://' || host || '/seed/' || seed_id::VARCHAR AS canon,
-                     host, 0 AS depth, seed_id, NULL::VARCHAR AS pid
-              FROM (SELECT seed_id,
-                           CASE WHEN r % 8 = 0 THEN 'hot.example.com'
-                                ELSE printf('host%02d.example.com',
-                                            (r % 8)::INT) END AS host
-                    FROM seeds)),
-            c0p AS (
-              SELECT *, (md5_number_upper('42' || chr(31) || 'prio'
-                                          || chr(31) || url)
-                         % 1000000000) / 1e9 AS priority
-              FROM c0),
-            r0 AS (
-              SELECT *, row_number() OVER (
-                  PARTITION BY host
-                  ORDER BY priority DESC, depth, seed_id, url) AS rn
-              FROM c0p),
-            sel0 AS (SELECT url, canon, host, depth, seed_id, pid, priority
-                     FROM r0 WHERE rn <= 4),
-            left0 AS (SELECT url, canon, host, depth, seed_id, pid, priority
-                      FROM r0 WHERE rn > 4),
-            l0 AS (
-              SELECT seed_id, depth + 1 AS depth,
-                     md5_number_upper('42' || chr(31) || 'link' || chr(31)
-                                      || canon || chr(31) || j::VARCHAR) AS rj
-              FROM (SELECT canon, depth, seed_id,
-                           (md5_number_upper('42' || chr(31) || 'links'
-                                             || chr(31) || canon)
-                            % 9)::BIGINT AS fan
-                    FROM sel0),
-                   generate_series(0, 8) g(j)
-              WHERE j < fan),
-            links0 AS (
-              SELECT 'https://' || host || '/page/' || pid AS url,
-                     'http://' || host || '/page/' || pid AS canon,
-                     host, depth, seed_id, pid
-              FROM (SELECT seed_id, depth,
-                           CASE WHEN rj % 10 < 4 THEN 'hot.example.com'
-                                ELSE printf('host%02d.example.com',
-                                            (1 + rj % 7)::INT) END AS host,
-                           (CASE WHEN (rj >> 8) % 10 < 3 THEN rj % 40
-                                 ELSE rj % 100000 END)::VARCHAR AS pid
-                    FROM l0)),
-            c1p AS (
-              SELECT *, (md5_number_upper('42' || chr(31) || 'prio'
-                                          || chr(31) || url)
-                         % 1000000000) / 1e9 AS priority
-              FROM (SELECT url, canon, host, depth, seed_id, pid FROM links0
-                    UNION ALL
-                    SELECT url, canon, host, depth, seed_id, pid FROM left0)),
-            d1 AS (
-              SELECT * FROM c1p
-              QUALIFY row_number() OVER (
-                  PARTITION BY url
-                  ORDER BY priority DESC, depth, seed_id) = 1),
-            a1 AS (
-              SELECT c.* FROM d1 c JOIN robr r USING (host)
-              WHERE c.url NOT IN (SELECT url FROM sel0)
-                AND (c.pid IS NULL OR NOT (r.has_rules AND
-                     (CASE WHEN r.anchored THEN c.pid = r.d
-                           ELSE starts_with(c.pid, r.d)
-                                AND NOT (r.has_allow
-                                         AND starts_with(c.pid, r.d || '0'))
-                      END)))),
-            r1 AS (
-              SELECT *, row_number() OVER (
-                  PARTITION BY host
-                  ORDER BY priority DESC, depth, seed_id, url) AS rn
-              FROM a1),
-            sel1 AS (SELECT url, canon, host, depth, seed_id, pid, priority
-                     FROM r1 WHERE rn <= 4),
-            left1 AS (SELECT url, canon, host, depth, seed_id, pid, priority
-                      FROM r1 WHERE rn > 4),
-            l1 AS (
-              SELECT seed_id, depth + 1 AS depth,
-                     md5_number_upper('42' || chr(31) || 'link' || chr(31)
-                                      || canon || chr(31) || j::VARCHAR) AS rj
-              FROM (SELECT canon, depth, seed_id,
-                           (md5_number_upper('42' || chr(31) || 'links'
-                                             || chr(31) || canon)
-                            % 9)::BIGINT AS fan
-                    FROM sel1),
-                   generate_series(0, 8) g(j)
-              WHERE j < fan),
-            links1 AS (
-              SELECT 'https://' || host || '/page/' || pid AS url,
-                     'http://' || host || '/page/' || pid AS canon,
-                     host, depth, seed_id, pid
-              FROM (SELECT seed_id, depth,
-                           CASE WHEN rj % 10 < 4 THEN 'hot.example.com'
-                                ELSE printf('host%02d.example.com',
-                                            (1 + rj % 7)::INT) END AS host,
-                           (CASE WHEN (rj >> 8) % 10 < 3 THEN rj % 40
-                                 ELSE rj % 100000 END)::VARCHAR AS pid
-                    FROM l1)),
-            c2p AS (
-              SELECT *, (md5_number_upper('42' || chr(31) || 'prio'
-                                          || chr(31) || url)
-                         % 1000000000) / 1e9 AS priority
-              FROM (SELECT url, canon, host, depth, seed_id, pid FROM links1
-                    UNION ALL
-                    SELECT url, canon, host, depth, seed_id, pid FROM left1)),
-            d2 AS (
-              SELECT * FROM c2p
-              QUALIFY row_number() OVER (
-                  PARTITION BY url
-                  ORDER BY priority DESC, depth, seed_id) = 1),
-            a2 AS (
-              SELECT c.* FROM d2 c JOIN robr r USING (host)
-              WHERE c.url NOT IN (SELECT url FROM sel0
-                                  UNION ALL SELECT url FROM sel1)
-                AND (c.pid IS NULL OR NOT (r.has_rules AND
-                     (CASE WHEN r.anchored THEN c.pid = r.d
-                           ELSE starts_with(c.pid, r.d)
-                                AND NOT (r.has_allow
-                                         AND starts_with(c.pid, r.d || '0'))
-                      END)))),
-            sel2 AS (
-              SELECT url, canon FROM a2
-              QUALIFY row_number() OVER (
-                  PARTITION BY host
-                  ORDER BY priority DESC, depth, seed_id, url) <= 4)
-            SELECT url, canon AS url_canon, 0::BIGINT AS epoch FROM sel0
-            UNION ALL SELECT url, canon, 1::BIGINT FROM sel1
-            UNION ALL SELECT url, canon, 2::BIGINT FROM sel2
-        """,
+        "crawl_sql_exact": _crawl_exact_sql(**_CRAWL_SQL_CFG),
         "rel_supplier_part_join": """
             SELECT l.l_suppkey, l.l_partkey,
                    round(sum(l.l_quantity) * 100)::BIGINT AS sum_qty_cents,

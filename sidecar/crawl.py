@@ -65,6 +65,9 @@ class CrawlConfig:
     # "md5" (SQL-reproducible — the whole crawl replays in DuckDB, which is
     # what makes crawl_sql_exact a driver-EXACT oracle row)
     graph: str = "b2"
+    # fraction (in tenths) of discovered links pointed at the hot host —
+    # the skew knob for exercising hot-host salting; 4 = the frozen graphs
+    hot_frac: int = 4
     # user-extension hook (SURVEY.md §2.9): a sidecar.policy.FrontierPolicy
     # overriding link priorities / per-host budgets; None = built-in behavior
     policy: object | None = None
@@ -77,6 +80,8 @@ class CrawlConfig:
                if k in ("n_seeds", "n_hosts", "budget_per_host", "max_depth", "seed")}
         if self.graph != "b2":  # keep pre-r3 lineage ids stable
             sem["graph"] = self.graph
+        if self.hot_frac != 4:  # ditto pre-r4 ids
+            sem["hot_frac"] = self.hot_frac
         if self.policy is not None:  # policy changes crawl semantics
             sem["policy"] = getattr(self.policy, "name", type(self.policy).__name__)
         return hashlib.blake2b(
@@ -368,7 +373,7 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
                     batch_format="pyarrow",
                 ),
                 epoch, cfg.n_hosts, cfg.seed, policy=cfg.policy,
-                graph=cfg.graph,
+                graph=cfg.graph, hot_frac=cfg.hot_frac,
             )
 
             def bump(t: pa.Table) -> pa.Table:

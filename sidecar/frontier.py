@@ -322,7 +322,8 @@ def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int =
 
 
 def discover_links(selected: "rd.Dataset", epoch: int, n_hosts: int, seed: int,
-                   policy=None, graph: str = "b2") -> "rd.Dataset":
+                   policy=None, graph: str = "b2",
+                   hot_frac: int = 4) -> "rd.Dataset":
     """Deterministic link discovery from the fetched set (ST7's discovery
     half): one flat_map-shaped map_batches emitting next-epoch candidates.
     ``policy`` (a ``sidecar.policy.FrontierPolicy``) rewrites the
@@ -336,7 +337,8 @@ def discover_links(selected: "rd.Dataset", epoch: int, n_hosts: int, seed: int,
             batch.column("seed_id").to_pylist(),
         ):
             for link_url, prio in synth.out_links(canon, n_hosts=n_hosts,
-                                                  seed=seed, graph=graph):
+                                                  seed=seed, graph=graph,
+                                                  hot_frac=hot_frac):
                 rows.append(
                     {"url": link_url, "priority": prio, "depth": depth + 1,
                      "seed_id": seed_id}

@@ -37,6 +37,7 @@ def crawl(
     seed: int = 42,
     policy=None,
     graph: str = "b2",
+    hot_frac: int = 4,
 ) -> dict:
     """Run the reference crawl; returns
     ``{"crawl_order": [[url_canon,...] per epoch], "seen": sorted url_hash
@@ -115,7 +116,8 @@ def crawl(
                 "caption": row["caption"],
             }
             if c["depth"] < max_depth:
-                for link_url, prio in synth.out_links(c["url_canon"], n_hosts, seed, graph):
+                for link_url, prio in synth.out_links(c["url_canon"], n_hosts,
+                                                      seed, graph, hot_frac):
                     if policy is not None:
                         import numpy as np
 

@@ -178,11 +178,12 @@ def make_seeds(n_seeds: int = 100, n_hosts: int = 20, seed: int = 42,
 
 
 def out_links(url_canon: str, n_hosts: int = 20, seed: int = 42,
-              graph: str = "b2") -> list[tuple[str, float]]:
+              graph: str = "b2", hot_frac: int = 4) -> list[tuple[str, float]]:
     """Deterministic link discovery: fan-out 0–8 links per page, ~30%
-    duplicate targets, the hot host receives ~40% of all links (skew).
-    ``graph="md5"`` is the SQL-reproducible variant (same structure, md5
-    hashes, URL-determined priorities)."""
+    duplicate targets, the hot host receives ~``hot_frac``/10 of all links
+    (skew; default 40% — the frozen graphs).  ``graph="md5"`` is the
+    SQL-reproducible variant (same structure, md5 hashes, URL-determined
+    priorities)."""
     hf = _h_md5 if graph == "md5" else _h
     r = hf(seed, "links", url_canon)
     fan = r % 9
@@ -190,7 +191,7 @@ def out_links(url_canon: str, n_hosts: int = 20, seed: int = 42,
     links = []
     for j in range(fan):
         rj = hf(seed, "link", url_canon, j)
-        if rj % 10 < 4 or len(hs) == 1:  # single-host graphs degrade to it
+        if rj % 10 < hot_frac or len(hs) == 1:  # 1-host graphs degrade to it
             host = HOT_HOST
         else:
             host = hs[rj % (len(hs) - 1) + 1]

@@ -525,8 +525,16 @@ def test_fresh_run_into_used_out_dir_ignores_stale_parts(tmp_path):
 # md5 graph (crawl_sql_exact): the SQL-reproducible hash family
 # ---------------------------------------------------------------------------
 
-_SQL_CFG = dict(n_seeds=40, n_hosts=8, budget_per_host=4, max_epochs=3,
-                max_depth=3, seed=42, graph="md5")
+# THE shared crawl_sql_exact config — the Ray query, the DuckDB replay and
+# these tests must all exercise the same crawl (r4: 400 seeds / 16 hosts /
+# budget 24 / hot host 60% of link traffic → ~10^3 fetched rows)
+def _sql_cfg() -> dict:
+    import __ray_entry__ as e
+
+    return dict(e._CRAWL_SQL_CFG)
+
+
+_SQL_CFG = _sql_cfg()
 
 
 @pytest.fixture(scope="module")
@@ -556,16 +564,41 @@ def test_md5_graph_priorities_tie_free(md5_oracle):
     from sidecar import synth
     from sidecar.canon import host_of
 
-    urls = {s["url"] for s in synth.make_seeds(40, 8, 42, "md5")}
+    c = _SQL_CFG
+    urls = {s["url"] for s in synth.make_seeds(c["n_seeds"], c["n_hosts"],
+                                               c["seed"], "md5")}
     for fetched in md5_oracle["crawl_order"]:
         for canon in fetched:
-            urls.update(u for u, _ in synth.out_links(canon, 8, 42, "md5"))
+            urls.update(u for u, _ in synth.out_links(
+                canon, c["n_hosts"], c["seed"], "md5", c["hot_frac"]))
     prio_of = defaultdict(set)
     for u in urls:
-        p = synth._priority_md5(u, 42)
+        p = synth._priority_md5(u, c["seed"])
         assert p not in prio_of[host_of(u)], f"priority tie on {u}"
         prio_of[host_of(u)].add(p)
-    assert len(urls) > 300  # the check actually covered the reachable graph
+    assert len(urls) > 3000  # the check actually covered the reachable graph
+
+
+def test_md5_graph_is_hot_host_skewed(md5_oracle):
+    """The scaled config must actually exercise skew handling: the hot host
+    carries >50% of discovered-link traffic (the budget stage's salting
+    path) and the crawl fetches ~10^3 rows across 3 epochs."""
+    from collections import Counter
+
+    from sidecar import synth
+    from sidecar.canon import host_of
+
+    c = _SQL_CFG
+    link_host: Counter = Counter()
+    for fetched in md5_oracle["crawl_order"]:
+        for canon in fetched:
+            for u, _ in synth.out_links(canon, c["n_hosts"], c["seed"],
+                                        "md5", c["hot_frac"]):
+                link_host[host_of(u)] += 1
+    total = sum(link_host.values())
+    assert link_host["hot.example.com"] / total > 0.5
+    n_fetched = sum(len(ep) for ep in md5_oracle["crawl_order"])
+    assert 500 <= n_fetched <= 2000
 
 
 def test_md5_graph_sql_replay_matches_oracle(md5_oracle):
