@@ -172,22 +172,29 @@ class HostPolicy:
                     epoch: "int | None" = None) -> None:
         """Fold worker-side robots denials back into this cache's metrics.
 
-        ``key`` (a content hash of the reporting batch) makes the fold
-        IDEMPOTENT under Ray task retries / lineage re-execution — the same
-        batch re-reporting after a worker death must not double-count
+        ``key`` ("<task id>:<batch content hash>") makes the fold IDEMPOTENT
+        under Ray task retries / lineage re-execution — the same batch
+        re-reporting after a worker death must not double-count
         (``add_many`` got the same treatment; metrics reproducibility is a
         north_rule contract).  Keys are kept per epoch and pruned once the
         epoch advances past them, so memory stays bounded by two epochs'
-        batch counts."""
+        batch counts; callers that report WITHOUT an epoch column accumulate
+        under epoch=None, which is FIFO-capped instead (retries arrive close
+        in time, so evicting the oldest keys keeps idempotency for any
+        plausible retry window)."""
         if key is not None:
-            seen = self._denied_keys.setdefault(epoch, set())
+            # dict-as-ordered-set: insertion order drives the None-epoch cap
+            seen = self._denied_keys.setdefault(epoch, {})
             if key in seen:
                 return
-            seen.add(key)
+            seen[key] = None
             if epoch is not None:
                 for e in [e for e in self._denied_keys
                           if e is not None and e < epoch - 1]:
                     del self._denied_keys[e]
+            elif len(seen) > 65536:
+                for k in list(seen)[:32768]:
+                    del seen[k]
         self.denied_robots += int(n)
 
     def grant(self, host: str, epoch: int, n: int,

@@ -203,11 +203,18 @@ def filter_robots(frontier: "rd.Dataset", host_policies: list, num_actors: int,
             for host in (hosts[i] for i in np.flatnonzero(denied)):
                 a = host_shard(host, num_actors)
                 per_actor[a] = per_actor.get(a, 0) + 1
-            # batch content key + epoch make the fold idempotent under Ray
-            # task retries (the actor drops a re-reported key)
-            bkey = hashlib.blake2b(
+            # idempotency key = (task id, content hash): a Ray retry
+            # re-executes the SAME task id with the same batches, so the key
+            # re-reports and the actor drops it — while two distinct logical
+            # batches that happen to carry identical content land in
+            # different tasks and both count (content hash ALONE would
+            # wrongly dedup them).  No per-process state: any re-execution,
+            # warm worker or fresh, reproduces the same key.
+            tid = ray.get_runtime_context().get_task_id() or "driver"
+            chash = hashlib.blake2b(
                 batch.column("url_hash").to_numpy(zero_copy_only=False)
                 .astype(np.uint64).tobytes(), digest_size=8).hexdigest()
+            bkey = f"{tid}:{chash}"
             ep = (int(batch.column("epoch")[0].as_py())
                   if "epoch" in batch.column_names and batch.num_rows else None)
             # awaited so the counts land before the epoch-end metrics read

@@ -67,3 +67,30 @@ def test_synth_robots_variety():
     assert any("Allow: " in t for t in txts)
     assert any("$" in t for t in txts)
     assert any(t == "User-agent: *\nDisallow:\n" for t in txts)
+
+
+def test_note_denied_idempotency_and_none_epoch_cap():
+    """The metrics fold drops a re-reported (task, content) key, counts
+    distinct tasks with identical content separately, prunes per-epoch key
+    sets as the epoch advances, and FIFO-caps the epoch=None set."""
+    from sidecar.actors import HostPolicy
+
+    # HostPolicy is @ray.remote-decorated; unit-test the plain class
+    hp = HostPolicy.__ray_metadata__.modified_class(0, budget_per_epoch=5,
+                                                    n_hosts=4)
+    hp.note_denied(3, "t1:aaaa", 0)
+    hp.note_denied(3, "t1:aaaa", 0)          # retry of the same batch
+    assert hp.denied_robots == 3
+    hp.note_denied(3, "t2:aaaa", 0)          # distinct task, same content
+    assert hp.denied_robots == 6
+    hp.note_denied(1, "t3:bbbb", 2)          # epoch advance prunes epoch 0
+    assert 0 not in hp._denied_keys and 2 in hp._denied_keys
+
+    # epoch=None accumulates under a FIFO cap instead of epoch pruning
+    for i in range(65536 + 10):
+        hp.note_denied(0, f"t{i}:none", None)
+    assert len(hp._denied_keys[None]) <= 65536
+    # recent keys survive the eviction (retries arrive close in time)
+    hp.denied_robots = 0
+    hp.note_denied(5, f"t{65536 + 9}:none", None)
+    assert hp.denied_robots == 0
