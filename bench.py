@@ -74,6 +74,39 @@ BENCH_QUERIES = (
 )
 
 
+# Clean-window best-of-3 per-query times (sf0.1, 32 CPUs, fresh processes,
+# idle machine — BASELINE.md "Measured" sections; r4 adjudication for the
+# dedup family).  A run exceeding 2x its budget gets flagged in the JSON
+# tail (`budget_exceeded`) so interference-vs-regression questions are
+# answerable from the artifact alone (VERDICT r3 #3).  Queries without a
+# recorded clean best (new/rescaled this round) carry no budget.
+CLEAN_BEST_SEC = {
+    "sidecar_extract": 3.8,
+    "dedup_minhash_lsh": 3.2,
+    "dedup_passage": 2.2,
+    "dedup_decontam": 1.4,
+    "dedup_embedding_cosine": 1.1,
+    "sim_ann_topk": 0.9,
+    "sim_ann_int8_rerank": 1.7,
+    "rel_pricing_summary": 1.8,
+    "rel_top_revenue_orders": 2.0,
+    "rel_events_windowed": 1.8,
+    "rel_orders_lineitem_join": 3.5,
+    "rel_pivot_events": 1.0,
+    "rel_stratified_sample": 0.5,
+    "text_token_count": 0.45,
+    "text_tfidf_topk": 1.4,
+    "multimodal_image_stats": 3.6,
+    "multimodal_phash_neardup": 4.7,
+    "prep_token_budget": 1.3,
+    "prep_pairs": 3.7,
+    "cdxj_merge": 4.8,
+    "crawl_demo": 2.9,
+    "crawl_sql_exact": 5.2,  # r4 scale: 997 fetched rows (was 94)
+}
+BUDGET_FACTOR = 2.0
+
+
 def run_once(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -110,11 +143,17 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
     headline_s = time.perf_counter() - t0
 
     total = round(sum(times.values()) + headline_s, 3)
+    exceeded = [
+        {"query": q, "sec": t, "budget": round(CLEAN_BEST_SEC[q] * BUDGET_FACTOR, 2)}
+        for q, t in times.items()
+        if q in CLEAN_BEST_SEC and t > CLEAN_BEST_SEC[q] * BUDGET_FACTOR
+    ]
     return {
         "metric": "fetch+sidecar wall time (headline) + per-query times",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "budget_exceeded": exceeded,
         "headline_sidecar_sec": round(headline_s, 3),
         "headline_urls": n_urls,
         "headline_urls_per_sec": round(n_urls / headline_s, 2),
