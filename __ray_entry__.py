@@ -55,7 +55,16 @@ def _scratch_dir(tag: str) -> str:
         if full == mine:
             continue
         pid = d.removeprefix("pid")
-        if not (pid.isdigit() and os.path.exists(f"/proc/{pid}")):
+        alive = False
+        if pid.isdigit():
+            try:
+                os.kill(int(pid), 0)  # portable liveness probe (no signal)
+                alive = True
+            except ProcessLookupError:
+                alive = False
+            except PermissionError:  # exists, owned by someone else
+                alive = True
+        if not alive:
             shutil.rmtree(full, ignore_errors=True)
     shutil.rmtree(mine, ignore_errors=True)
     return mine

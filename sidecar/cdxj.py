@@ -194,7 +194,9 @@ def merge_cdxj(meta_ds, original_ds, *,
     moment the build dict passes MERGE_AUTO_BUILD_ROWS keys — one pass
     either way; only the over-limit case re-executes meta_ds.
     """
-    if broadcast is False:
+    # any falsy value (False / None / 0 — the pre-auto contract) means the
+    # partitioned plan; only True means an unbounded broadcast build
+    if broadcast != "auto" and broadcast is not True:
         return _merge_cdxj_partitioned(meta_ds, original_ds)
     limit = MERGE_AUTO_BUILD_ROWS if broadcast == "auto" else None
 

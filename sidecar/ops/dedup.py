@@ -485,9 +485,10 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4, *,
                        num_blocks: int = 8) -> "rd.Dataset":
     """vec_a, vec_b — pairs with cosine similarity >= threshold (EXACT).
 
-    ``broadcast="auto"`` (default) picks the plan from the parquet FOOTER
-    (num_rows × probed dim × 8 bytes ≤ EMB_AUTO_BROADCAST_BYTES →
-    broadcast) — no data is read to decide.
+    ``broadcast="auto"`` (default) picks the plan from the footer's
+    num_rows × the dim of ONE probed row (num_rows × dim × 8 bytes ≤
+    EMB_AUTO_BROADCAST_BYTES → broadcast) — one row read to decide, never
+    the corpus.
 
     Scale plan (``broadcast=False``): block-PAIR co-partitioned exact
     cosine, the no-broadcast twin (mirroring ``cdxj_merge(broadcast=...)``).
@@ -517,12 +518,16 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4, *,
         pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
         n = pf.metadata.num_rows
         if n == 0:
-            broadcast = True
+            broadcast = False  # partitioned plan is empty-safe (0 rows out);
+            # the broadcast build would matmul a 0-row matrix on the driver
         else:
-            dim = len(pf.read_row_group(0, columns=["embedding"])
-                      .column("embedding")[0].as_py())
+            # ONE row (page-granular read), not a whole row group — at the
+            # scale auto exists to protect, row group 0 alone can be
+            # hundreds of MB
+            first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+            dim = len(first.column("embedding")[0].as_py())
             broadcast = n * dim * 8 <= EMB_AUTO_BROADCAST_BYTES
-    if broadcast:
+    if broadcast is True:
         ids, N = _normalized_embeddings(sf_dir)
         mat_ref = ray.put((ids, N))
 

@@ -89,6 +89,17 @@ def pricing_summary(sf_dir: str) -> "rd.Dataset":
 
 
 NUM_AGG_PARTS = 64  # coarse shuffle partitions for high-cardinality groupbys
+if NUM_AGG_PARTS & (NUM_AGG_PARTS - 1):
+    raise ValueError("NUM_AGG_PARTS must stay a power of two: _jpart uses "
+                     "bit_wise_and, which equals % only then")
+
+
+def _jpart(key_i64: "pa.ChunkedArray | pa.Array") -> "pa.Array":
+    """int64 key → coarse shuffle partition, the ONE definition of the
+    ``key % NUM_AGG_PARTS`` rule for Arrow columns (numpy sites use
+    ``% NUM_AGG_PARTS`` directly; the module-load guard above keeps the two
+    idioms equal)."""
+    return pc.cast(pc.bit_wise_and(key_i64, NUM_AGG_PARTS - 1), pa.int64())
 
 
 def top_revenue_orders(sf_dir: str, k: int = 20) -> "pd.DataFrame":
@@ -280,8 +291,7 @@ def asof_last_order(sf_dir: str) -> "rd.Dataset":
         n = batch.num_rows
         key = pc.cast(batch.column("user_id"), pa.int64())
         return pa.table({
-            "jpart": pc.cast(
-                pc.bit_wise_and(key, NUM_AGG_PARTS - 1), pa.int64()),
+            "jpart": _jpart(key),
             "key": key,
             "is_order": pa.array([0] * n, pa.int64()),
             "t_us": us,
@@ -293,8 +303,7 @@ def asof_last_order(sf_dir: str) -> "rd.Dataset":
         n = batch.num_rows
         key = pc.cast(batch.column("o_custkey"), pa.int64())
         return pa.table({
-            "jpart": pc.cast(
-                pc.bit_wise_and(key, NUM_AGG_PARTS - 1), pa.int64()),
+            "jpart": _jpart(key),
             "key": key,
             "is_order": pa.array([1] * n, pa.int64()),
             "t_us": us,
@@ -451,8 +460,7 @@ def sessionize(sf_dir: str, gap_s: int = 1800) -> "rd.Dataset":
     def proj(batch: pa.Table) -> pa.Table:
         uid = pc.cast(batch.column("user_id"), pa.int64())
         return pa.table({
-            "jpart": pc.cast(
-                pc.bit_wise_and(uid, NUM_AGG_PARTS - 1), pa.int64()),
+            "jpart": _jpart(uid),
             "user_id": uid,
             "event_id": batch.column("event_id"),
             "ts_us": pc.cast(batch.column("ts"), pa.int64()),
