@@ -1197,3 +1197,90 @@ def test_stratified_hash_sql_parity_at_large_keys():
             f"SELECT ((({k}::UBIGINT % 4294967296) * 2654435761) "
             f"% 4294967296) % 1000").fetchone()[0]
         assert int(got) == int(want), k
+
+
+class TestCoarsePartitionKernels:
+    """Randomized equivalence for the round-4 coarse-partition rewrites:
+    the in-partition vectorized kernels (lexsort + forward-fill as-of,
+    boundary-mask sessionize) against brute-force per-user references, on
+    adversarial synthetic tables (heavy ties: few users, few timestamps)."""
+
+    def _write(self, tmp, rng, n_users=17, n_events=400, n_orders=300):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pqt
+
+        base = 1_600_000_000_000_000  # epoch us
+        ev = pd.DataFrame({
+            "event_id": np.arange(n_events, dtype=np.int64),
+            "ts": (base + rng.integers(0, 50, n_events) * 900_000_000)
+                .astype("datetime64[us]"),
+            "user_id": rng.integers(0, n_users, n_events).astype(np.int64),
+            "event_type": "x",
+            "value": 1.0,
+            "props": "",
+        })
+        od = pd.DataFrame({
+            "o_orderkey": np.arange(n_orders, dtype=np.int64),
+            "o_custkey": rng.integers(0, n_users, n_orders).astype(np.int64),
+            "o_orderstatus": "O",
+            "o_totalprice": 1.0,
+            "o_orderdate": (base + rng.integers(0, 50, n_orders) * 900_000_000)
+                .astype("datetime64[us]"),
+            "o_orderpriority": "1-URGENT",
+        })
+        pqt.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                        f"{tmp}/events.parquet")
+        pqt.write_table(pa.Table.from_pandas(od, preserve_index=False),
+                        f"{tmp}/orders.parquet")
+        return ev, od
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_asof_last_order_random(self, tmp_path, seed):
+        from sidecar.ops.relational import asof_last_order
+
+        rng = np.random.Generator(np.random.PCG64(seed))
+        ev, od = self._write(tmp_path, rng)
+        got = asof_last_order(str(tmp_path)).to_pandas()
+        got = set(map(tuple, got[["event_id", "user_id", "last_orderkey"]]
+                      .to_numpy()))
+        want = set()
+        ous = od["o_orderdate"].values.astype("datetime64[us]").astype(np.int64)
+        eus = ev["ts"].values.astype("datetime64[us]").astype(np.int64)
+        for i in range(len(ev)):
+            m = (od["o_custkey"].to_numpy() == ev["user_id"][i]) & (ous <= eus[i])
+            if m.any():
+                cand = od[m]
+                cus = ous[m]
+                best = cand["o_orderkey"].to_numpy()[
+                    np.lexsort((cand["o_orderkey"].to_numpy(), cus))][-1]
+                want.add((int(ev["event_id"][i]), int(ev["user_id"][i]),
+                          int(best)))
+        assert got == want and want
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_sessionize_random(self, tmp_path, seed):
+        from sidecar.ops.relational import sessionize
+
+        rng = np.random.Generator(np.random.PCG64(seed))
+        ev, _ = self._write(tmp_path, rng)
+        gap_us = 1800 * 1_000_000
+        got = sessionize(str(tmp_path)).to_pandas()
+        got = sorted(map(tuple, got[["user_id", "session_start_us",
+                                     "n_events", "duration_us"]].to_numpy()))
+        want = []
+        eus = ev["ts"].values.astype("datetime64[us]").astype(np.int64)
+        for u in np.unique(ev["user_id"]):
+            ts = np.sort(eus[ev["user_id"].to_numpy() == u])
+            start = ts[0]
+            prev = ts[0]
+            n = 1
+            for t in ts[1:]:
+                if t - prev > gap_us:
+                    want.append((int(u), int(start), n, int(prev - start)))
+                    start, n = t, 1
+                else:
+                    n += 1
+                prev = t
+            want.append((int(u), int(start), n, int(prev - start)))
+        assert got == sorted(want) and want
