@@ -195,7 +195,8 @@ def _crawl_exact_sql(n_seeds: int, n_hosts: int, budget_per_host: int,
     no depth filter)."""
     H, S, B, HOT = n_hosts, n_seeds, budget_per_host, hot_frac
     E = max_epochs
-    assert E <= 3, "template models <=3 epochs (no depth-gate CTE)"
+    if E > 3:  # not assert: must survive python -O
+        raise ValueError("template models <=3 epochs (no depth-gate CTE)")
     sep = "|| chr(31) ||"
     host_expr = (f"CASE WHEN rj % 10 < {HOT} THEN 'hot.example.com' "
                  f"ELSE printf('host%02d.example.com', (1 + rj % {H - 1})::INT) END")
@@ -347,17 +348,28 @@ _TAIL_ORACLES: tuple = ()
 _DRIVER_WINDOW = 50
 
 
+# rows-only entries promoted to the FRONT of the post-window tail: if the
+# driver's snapshot window ever grows past _DRIVER_WINDOW, the live-detector
+# pipelines gain rows-only driver evidence first (VERDICT r3 residual #3)
+_TAIL_PRIORITY = ("sidecar_extract", "multimodal_image_stats", "crawl_demo")
+
+
 def _driver_order(qs: dict) -> dict:
     """Reorder queries so every oracle-backed entry (minus the declared
     ``_TAIL_ORACLES``) lands inside the driver's ``_DRIVER_WINDOW``-row
-    CORRECTNESS snapshot; rows-only entries follow (VERDICT r2 #1)."""
+    CORRECTNESS snapshot; rows-only entries follow, ``_TAIL_PRIORITY``
+    first (VERDICT r2 #1, r3 residual #3)."""
     with_oracle = set(oracle_sql())
     head = [k for k in qs if k in with_oracle and k not in _TAIL_ORACLES]
     if len(head) > _DRIVER_WINDOW:  # not assert: must survive python -O
         raise ValueError(
             f"{len(head)} oracle-backed queries exceed the driver's "
             f"{_DRIVER_WINDOW}-row window; park more in _TAIL_ORACLES")
-    return {k: qs[k] for k in head + [k for k in qs if k not in set(head)]}
+    taken = set(head)
+    tail = [k for k in _TAIL_PRIORITY if k in qs and k not in taken]
+    taken.update(tail)
+    return {k: qs[k] for k in head + tail
+            + [k for k in qs if k not in taken]}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
