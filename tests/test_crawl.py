@@ -684,3 +684,39 @@ def test_resume_ignores_partial_delta_tmp_files(tmp_path):
         f.write(b"\x01\x02trunc")
     r = run_crawl(_cfg(out, max_epochs=2), resume=True)
     assert r["epochs_run"] == 2
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(n_seeds=40, n_hosts=8, budget_per_host=4, seed=42, hot_frac=4),
+    dict(n_seeds=120, n_hosts=5, budget_per_host=7, seed=7, hot_frac=5),
+    dict(n_seeds=60, n_hosts=12, budget_per_host=3, seed=42, hot_frac=6,
+         max_epochs=2),
+])
+def test_crawl_sql_template_matches_oracle_at_other_configs(cfg):
+    """_crawl_exact_sql is a parameterized TEMPLATE: its DuckDB replay must
+    equal the single-threaded oracle at configs other than the shipped
+    _CRAWL_SQL_CFG (including the r3 40/8/4 config, whose 94-row result is
+    frozen history, and a 2-epoch variant).  Guards the template's host /
+    seed / budget / hot-frac arithmetic against silent drift from synth."""
+    import duckdb
+
+    import __ray_entry__ as e
+
+    epochs = cfg.get("max_epochs", 3)
+    o = oracle.crawl(n_seeds=cfg["n_seeds"], n_hosts=cfg["n_hosts"],
+                     budget_per_host=cfg["budget_per_host"],
+                     max_epochs=epochs, max_depth=3, seed=cfg["seed"],
+                     graph="md5", hot_frac=cfg["hot_frac"])
+    sql = e._crawl_exact_sql(n_seeds=cfg["n_seeds"], n_hosts=cfg["n_hosts"],
+                             budget_per_host=cfg["budget_per_host"],
+                             seed=cfg["seed"], hot_frac=cfg["hot_frac"],
+                             max_epochs=epochs)
+    con = duckdb.connect()  # must outlive the relation (GC closes it)
+    rows = con.sql(sql).fetchall()
+    got = {(c, ep) for _, c, ep in rows}
+    want = {(c, ep) for ep, urls in enumerate(o["crawl_order"]) for c in urls}
+    assert got == want
+    assert len(rows) == len(got)  # no duplicate fetches
+    if cfg == dict(n_seeds=40, n_hosts=8, budget_per_host=4, seed=42,
+                   hot_frac=4):
+        assert len(rows) == 94  # the frozen r3 driver-row cardinality
