@@ -43,6 +43,12 @@ class SeenShard:
         self._merge_threshold = merge_threshold
         self.delta: list[np.ndarray] = []  # arrays appended since last checkpoint
         self.bloom_bits = bloom_bits
+        # maintained INCREMENTALLY in add_many (blooms are add-only and
+        # order-independent): bloom_summary is O(serialize), not an
+        # every-epoch rebuild over ALL accumulated keys — at crawl scale the
+        # rebuild grows linearly with crawl age and becomes the shard-side
+        # serial fraction
+        self._bloom = BloomFilter(n_bits=bloom_bits)
 
     def _known(self, h: np.ndarray) -> np.ndarray:
         """Vectorized exact membership against merged + pending."""
@@ -74,6 +80,7 @@ class SeenShard:
         new = h[~self._known(h)]
         if len(new):
             self.cuckoo.add_many(new)
+            self._bloom.add_many(new)
             self.delta.append(new)
             self._pending = np.union1d(self._pending, new)
             if len(self._pending) >= self._merge_threshold:
@@ -82,12 +89,9 @@ class SeenShard:
         return len(new)
 
     def bloom_summary(self) -> bytes:
-        """Serialized bloom over this shard's keys (worker-side pre-filter)."""
-        bf = BloomFilter(n_bits=self.bloom_bits)
-        for arr in (self._merged, self._pending):
-            if len(arr):
-                bf.add_many(arr)
-        return bf.serialize()
+        """Serialized bloom over this shard's keys (worker-side pre-filter);
+        O(n_bits) — the bloom is maintained incrementally by add_many."""
+        return self._bloom.serialize()
 
     def snapshot(self) -> np.ndarray:
         return np.union1d(self._merged, self._pending)

@@ -83,7 +83,18 @@ class CrawlConfig:
         if self.hot_frac != 4:  # ditto pre-r4 ids
             sem["hot_frac"] = self.hot_frac
         if self.policy is not None:  # policy changes crawl semantics
-            sem["policy"] = getattr(self.policy, "name", type(self.policy).__name__)
+            pol = self.policy
+            # name alone is not a semantic fingerprint: two parameterizations
+            # of one policy class (MyBoost(factor=2) vs factor=3) re-rank the
+            # frontier differently, and a cross-parameter resume would trust
+            # part manifests whose URL membership no longer matches.  Fold in
+            # the policy's scalar attributes (the determinism contract makes
+            # hooks pure functions of inputs + these parameters).
+            attrs = {k: v
+                     for k, v in sorted(getattr(pol, "__dict__", {}).items())
+                     if isinstance(v, (int, float, str, bool))
+                     and not k.startswith("_")}
+            sem["policy"] = [getattr(pol, "name", type(pol).__name__), attrs]
         return hashlib.blake2b(
             json.dumps(sem, sort_keys=True).encode(), digest_size=8
         ).hexdigest()
@@ -230,6 +241,15 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
 
     resume_frontier_src: str | None = None
     resume_rows = 0
+    if not resume:
+        # fresh run into a reused out_dir: a previous same-lineage run's
+        # checkpoints MUST NOT survive — this run rewrites sidecar data
+        # destructively, and a later --resume would trust the stale
+        # manifests as complete (silently skipping never-refetched epochs)
+        import shutil as _shutil
+
+        _shutil.rmtree(os.path.join(cfg.out_dir, "_ckpt"), ignore_errors=True)
+        _shutil.rmtree(os.path.join(cfg.out_dir, "sidecar"), ignore_errors=True)
     if resume:
         last = _find_resume_epoch(cfg)
         if last >= 0:
@@ -295,6 +315,7 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
     frontier_rows = (frontier_tbl.num_rows if frontier_tbl is not None
                      else resume_rows)
 
+    nf_thread = None  # visible to finally: must join even on mid-epoch error
     try:
         for epoch in range(start_epoch, cfg.max_epochs):
             if (frontier_tbl is None and frontier_src is None) or frontier_rows == 0:
@@ -447,7 +468,11 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
                 for a, (hs, ns, bs) in by_actor.items()
             ]
             granted = sum(ray.get(grant_futures)) if grant_futures else 0
-            assert granted == m["selected"], "budget invariant violated"
+            if granted != m["selected"]:  # not assert: must fire under -O
+                raise RuntimeError(
+                    f"budget invariant violated: granted {granted} != "
+                    f"selected {m['selected']} (a FrontierPolicy returning "
+                    "different budgets to select_budget vs the grant path?)")
             _lap("politeness")
 
             # ---- sub-epoch fetch partitions (north_rule per-partition ckpt) ---
@@ -485,11 +510,22 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
             if os.path.isdir(sidecar_path):
                 import shutil as _shutil
 
-                for d in os.listdir(sidecar_path):
-                    k = int(d.split("=")[1]) if "=" in d else -1
-                    if k not in done_parts:
-                        _shutil.rmtree(os.path.join(sidecar_path, d),
-                                       ignore_errors=True)
+                if storage.HAVE_LANCE:  # pragma: no cover - lance absent here
+                    # the Lance layout has no part= dirs (its entries are
+                    # dataset internals: data/, _versions/, ...) — clearing
+                    # them piecemeal corrupts the dataset root.  Lance resume
+                    # granularity is the whole epoch: rewrite it.
+                    _shutil.rmtree(sidecar_path, ignore_errors=True)
+                    done_parts = set()
+                else:
+                    for d in os.listdir(sidecar_path):
+                        try:  # tolerate junk entries (part=3.bak, temp files)
+                            k = int(d.split("=")[1]) if "=" in d else -1
+                        except ValueError:
+                            k = -1
+                        if k not in done_parts:
+                            _shutil.rmtree(os.path.join(sidecar_path, d),
+                                           ignore_errors=True)
             if done_parts:
                 # re-mark done parts' URLs seen (their fetch is on disk; actor
                 # state died with the crashed run) — distributed, idempotent
@@ -582,10 +618,11 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
                 m["sidecar_rows"] = sum(rows_by_file.values())
             _lap("fetch_sidecar_write")
 
-            # deterministic crawl order for the epoch (total order, §2.6)
+            # deterministic crawl order for the epoch (THE total order, §2.6
+            # — shared with select_budget and the oracle via fr.SORT_COLS so
+            # the three can't drift)
             order_rows = selected.sort(
-                ["priority", "depth", "url_hash", "seed_id", "url"],
-                descending=[True, False, False, False, False],
+                fr.SORT_COLS, descending=[not a for a in fr.SORT_ASC],
             ).select_columns(["url_canon"])
             epoch_order = [r["url_canon"] for r in order_rows.take_all()] if collect_order else []
             crawl_order.append(epoch_order)
@@ -646,6 +683,12 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
         else:
             seen = np.array([], dtype=np.uint64)
     finally:
+        # join a possibly-orphaned next-frontier writer FIRST: an exception
+        # between its start() and the happy-path join would otherwise leave
+        # the non-daemon thread appending files to nf_dir after this run has
+        # raised — interleaving with a retry's writes in the same process
+        if nf_thread is not None and nf_thread.is_alive():
+            nf_thread.join()
         # release the state actors' CPU reservations — leaked actors
         # accumulate across runs in one session and starve later
         # pipelines; an exception mid-epoch must not leak them either

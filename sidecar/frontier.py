@@ -203,18 +203,27 @@ def filter_robots(frontier: "rd.Dataset", host_policies: list, num_actors: int,
             for host in (hosts[i] for i in np.flatnonzero(denied)):
                 a = host_shard(host, num_actors)
                 per_actor[a] = per_actor.get(a, 0) + 1
-            # idempotency key = (task id, content hash): a Ray retry
-            # re-executes the SAME task id with the same batches, so the key
-            # re-reports and the actor drops it — while two distinct logical
-            # batches that happen to carry identical content land in
-            # different tasks and both count (content hash ALONE would
-            # wrongly dedup them).  No per-process state: any re-execution,
-            # warm worker or fresh, reproduces the same key.
+            # idempotency key = (task id, content hash over url_hash +
+            # seed_id + depth): a Ray retry re-executes the SAME task id
+            # with the same batches, so the key re-reports and the actor
+            # drops it — while two distinct logical batches with identical
+            # content land in different tasks and both count.  Hashing the
+            # discovery coordinates too (not url_hash alone) means even two
+            # same-task batch slices full of one hot duplicated URL collide
+            # only if every row is a FULL duplicate — which upstream link
+            # discovery cannot emit for one (source, j) twice.  No
+            # per-process state: any re-execution, warm worker or fresh,
+            # reproduces the same key.
             tid = ray.get_runtime_context().get_task_id() or "driver"
-            chash = hashlib.blake2b(
-                batch.column("url_hash").to_numpy(zero_copy_only=False)
-                .astype(np.uint64).tobytes(), digest_size=8).hexdigest()
-            bkey = f"{tid}:{chash}"
+            hh = hashlib.blake2b(digest_size=8)
+            hh.update(batch.column("url_hash").to_numpy(zero_copy_only=False)
+                      .astype(np.uint64).tobytes())
+            for extra in ("seed_id", "depth"):
+                if extra in batch.column_names:
+                    hh.update(batch.column(extra)
+                              .to_numpy(zero_copy_only=False)
+                              .astype(np.int64).tobytes())
+            bkey = f"{tid}:{hh.hexdigest()}"
             ep = (int(batch.column("epoch")[0].as_py())
                   if "epoch" in batch.column_names and batch.num_rows else None)
             # awaited so the counts land before the epoch-end metrics read

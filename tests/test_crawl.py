@@ -720,3 +720,22 @@ def test_crawl_sql_template_matches_oracle_at_other_configs(cfg):
     if cfg == dict(n_seeds=40, n_hosts=8, budget_per_host=4, seed=42,
                    hot_frac=4):
         assert len(rows) == 94  # the frozen r3 driver-row cardinality
+
+
+def test_fresh_run_clears_stale_checkpoints(small_oracle, tmp_path):
+    """A fresh (non-resume) run into a reused out_dir must not leave a
+    previous same-lineage run's checkpoints behind: run A completes 3
+    epochs, run B starts FRESH in the same out_dir but stops after 1 —
+    a subsequent --resume must re-run epochs 1-2 from B's state (not trust
+    A's stale manifests as complete) and still match the oracle."""
+    import os
+
+    out = str(tmp_path / "cstale")
+    run_crawl(_cfg(out))                       # run A: epochs 0-2 complete
+    run_crawl(_cfg(out, max_epochs=1))         # run B: fresh, 1 epoch only
+    # A's epoch-1/2 manifests must be gone, else resume would skip them
+    assert not os.path.exists(os.path.join(out, "_ckpt", "epoch=1",
+                                           "manifest.json"))
+    r = run_crawl(_cfg(out), resume=True)      # run C: resume B to 3 epochs
+    assert r["crawl_order"] == small_oracle["crawl_order"]
+    assert r["seen"] == small_oracle["seen"]
