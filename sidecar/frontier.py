@@ -90,6 +90,11 @@ def dedup_by_url_hash(frontier: "rd.Dataset") -> "rd.Dataset":
             .groupby("dpart").map_groups(best_per_partition, batch_format="pandas"))
 
 
+# per-worker-process memo: ObjectRef -> deserialized BloomFilter (read-only
+# in the anti-join; one live epoch summary at a time)
+_BLOOM_MEMO: dict = {}
+
+
 def filter_unseen(frontier: "rd.Dataset", seen_shards: list, bloom_blob: bytes | None,
                   num_shards: int) -> "rd.Dataset":
     """Anti-join against the seen-set shards (J3).
@@ -112,7 +117,14 @@ def filter_unseen(frontier: "rd.Dataset", seen_shards: list, bloom_blob: bytes |
         if blob is None:
             maybe_seen = np.ones(n, dtype=bool)  # no summary yet → ask shards
         else:
-            maybe_seen = BloomFilter.deserialize(blob).maybe_contains(hashes)
+            # deserialize ONCE per (worker process, epoch summary), not per
+            # 8k-row batch — at crawl scale the summary is large and a
+            # per-batch full-filter copy would dominate the anti-join
+            bf = _BLOOM_MEMO.get(bloom_ref)
+            if bf is None:
+                _BLOOM_MEMO.clear()  # ≤1 live summary per worker (per epoch)
+                bf = _BLOOM_MEMO[bloom_ref] = BloomFilter.deserialize(blob)
+            maybe_seen = bf.maybe_contains(hashes)
         seen = np.zeros(n, dtype=bool)
         idx = np.flatnonzero(maybe_seen)
         if len(idx):
@@ -238,7 +250,7 @@ def filter_robots(frontier: "rd.Dataset", host_policies: list, num_actors: int,
 SMALL_FRONTIER_ROWS = 20_000  # below this, driver-side ranking beats 2 shuffles
 
 
-def select_budget(frontier: "rd.Dataset", budget: int, hot_salt_threshold: int = 2048,
+def select_budget(frontier: "rd.Dataset", budget: int,
                   n_salts: int = 16, dedup: bool = False,
                   size_hint: int | None = None,
                   policy=None) -> "rd.Dataset":

@@ -618,12 +618,14 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
     import pyarrow.parquet as pq
 
     rng = np.random.Generator(np.random.PCG64(seed))
-    # vector dimension from ONE row's list length — loading (and
-    # normalizing) the whole table on the driver just for shape[1] is
-    # exactly the materialization this operator exists to avoid
-    first = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").read_row_group(
-        0, columns=["embedding"]).column("embedding")
-    dim = len(first[0].as_py())
+    # vector dimension from ONE row (page-granular read — even row group 0
+    # alone can be hundreds of MB at scale); 0-row corpus → 0 pairs
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    if pf.metadata.num_rows == 0:
+        return rd.from_arrow(pa.table({"vec_a": pa.array([], pa.int64()),
+                                       "vec_b": pa.array([], pa.int64())}))
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first.column("embedding")[0].as_py())
     planes = rng.standard_normal((n_tables, k_planes, dim))
     planes_ref = ray.put(planes)
 
@@ -632,6 +634,11 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
         E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         emb = batch.column("embedding")
+        if E.ndim != 2:  # empty block: np.array([]) is 1-D, E @ P.T raises
+            return pa.table({"table": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "embedding": emb})
         tables, buckets, out_ids, out_emb = [], [], [], []
         weights = (1 << np.arange(k_planes)).astype(np.int64)
         for t in range(n_tables):

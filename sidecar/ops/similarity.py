@@ -22,18 +22,47 @@ import ray.data as rd
 from sidecar.storage import read_parquet_clean
 
 
+def _emb_matrix(col) -> "np.ndarray | None":
+    """list<float> column → (n, dim) float64 matrix; None for an empty
+    column (np.array of an empty pylist is 1-D, and axis-1 kernels would
+    raise AxisError — callers early-return their empty schema instead)."""
+    E = np.array(col.to_pylist(), dtype=np.float64)
+    return None if E.ndim != 2 else E
+
+
+def _unit_rows(E: np.ndarray) -> np.ndarray:
+    """Row-normalized copy; all-zero rows pass through unscaled."""
+    nrm = np.linalg.norm(E, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return E / nrm
+
+
+def _final_topk(k: int):
+    """THE deterministic final top-k group fn (score desc, vec_id asc
+    tie-break) — one definition so the tie-break contract can't drift
+    between the brute-force / IVF / int8 paths."""
+
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.nlargest(k, "score", keep="all").sort_values(
+            ["score", "vec_id"], ascending=[False, True]).head(k)
+        return top[["query_id", "vec_id"]]
+
+    return f
+
+
 def _load_queries(sf_dir: str, query_ids: tuple[int, ...]) -> tuple[np.ndarray, np.ndarray]:
     """(ids, row-normalized float64 query matrix) — queries are rows of the
     embeddings table itself (self-contained, no external data)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # filter pushdown: only the <= len(query_ids) query rows reach the
+    # driver — never the corpus (row order is file order, as before)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", list(query_ids))])
     ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    mask = np.isin(ids, np.array(query_ids, dtype=np.int64))
-    Q = np.array(t.filter(pa.array(mask)).column("embedding").to_pylist(), dtype=np.float64)
-    nrm = np.linalg.norm(Q, axis=1, keepdims=True)
-    nrm[nrm == 0] = 1.0
-    return ids[mask], Q / nrm
+    Q = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, _unit_rows(Q)
 
 
 def ann_topk(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
@@ -47,10 +76,12 @@ def ann_topk(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
     def partial_topk(batch: pa.Table) -> pa.Table:
         qi, Qn = ray.get(q_ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        nrm = np.linalg.norm(E, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        S = Qn @ (E / nrm).T  # num_queries x block_rows
+        E = _emb_matrix(batch.column("embedding"))
+        if E is None:  # empty block
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        S = Qn @ _unit_rows(E).T  # num_queries x block_rows
         out_q, out_v, out_s = [], [], []
         kk = min(k + 1, S.shape[1])  # +1: self may be in this block
         for row, qid in enumerate(qi):
@@ -70,16 +101,11 @@ def ann_topk(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
             "score": pa.array(out_s, pa.float64()),
         })
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        top = g.nlargest(k, "score", keep="all").sort_values(
-            ["score", "vec_id"], ascending=[False, True]).head(k)
-        return top[["query_id", "vec_id"]]
-
     return (
         read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(_final_topk(k), batch_format="pandas")
     )
 
 
@@ -94,7 +120,11 @@ def quantize_int8(sf_dir: str) -> "rd.Dataset":
 
     def f(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id")
-        E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        E = _emb_matrix(batch.column("embedding"))
+        if E is None:  # empty block
+            return pa.table({"vec_id": ids,
+                             "scale_x1e9": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.list_(pa.int8()))})
         s = np.abs(E).max(axis=1)
         s[s == 0] = 1.0
         q = np.round(E / s[:, None] * 127).astype(np.int8)
@@ -127,10 +157,19 @@ def kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> "rd.Dataset":
     """
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(ids)
-    C = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[order[:k]]
+    # init = the k lowest vec_ids: read the id COLUMN, then a filtered read
+    # of just those k embedding rows — never the whole embedding column on
+    # the driver (at the corpus sizes this module targets that is the exact
+    # materialization the distributed iteration exists to avoid)
+    path = f"{sf_dir}/embeddings.parquet"
+    idcol = pq.read_table(path, columns=["vec_id"]) \
+        .column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    init_ids = np.sort(idcol)[:k]
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "in", init_ids.tolist())])
+    tids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    C = np.array(t.column("embedding").to_pylist(),
+                 dtype=np.float64)[np.argsort(tids)]
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
@@ -139,7 +178,11 @@ def kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> "rd.Dataset":
 
         def partials(batch: pa.Table) -> pa.Table:
             Cc = ray.get(c_ref)
-            E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            E = _emb_matrix(batch.column("embedding"))
+            if E is None:  # empty block
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "sums": pa.array([], pa.list_(pa.int64()))})
             d2 = (E * E).sum(1)[:, None] - 2 * E @ Cc.T + (Cc * Cc).sum(1)[None, :]
             a = np.argmin(d2, axis=1)
             fx = np.round(E * KMEANS_SCALE).astype(np.int64)
@@ -177,7 +220,10 @@ def kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> "rd.Dataset":
 
     def assign(batch: pa.Table) -> pa.Table:
         Cc = ray.get(final_ref)
-        E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        E = _emb_matrix(batch.column("embedding"))
+        if E is None:  # empty block
+            return pa.table({"vec_id": batch.column("vec_id"),
+                             "cluster": pa.array([], pa.int64())})
         d2 = (E * E).sum(1)[:, None] - 2 * E @ Cc.T + (Cc * Cc).sum(1)[None, :]
         return pa.table({
             "vec_id": batch.column("vec_id"),
@@ -228,10 +274,12 @@ def ann_topk_ivf(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
 
     def assign(batch: pa.Table) -> pa.Table:
         _, _, Cc, _ = ray.get(refs)
-        E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        nrm = np.linalg.norm(E, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        cell = np.argmax((E / nrm) @ Cc.T, axis=1).astype(np.int64)
+        E = _emb_matrix(batch.column("embedding"))
+        if E is None:  # empty block
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "vec_id": batch.column("vec_id"),
+                             "embedding": batch.column("embedding")})
+        cell = np.argmax(_unit_rows(E) @ Cc.T, axis=1).astype(np.int64)
         return pa.table({"cell": pa.array(cell, pa.int64()),
                          "vec_id": batch.column("vec_id"),
                          "embedding": batch.column("embedding")})
@@ -241,15 +289,15 @@ def ann_topk_ivf(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
         cell = int(g["cell"].iloc[0])
         ids = g["vec_id"].to_numpy(dtype=np.int64)
         E = np.array(g["embedding"].tolist(), dtype=np.float64)
-        nrm = np.linalg.norm(E, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        S = Qn @ (E / nrm).T
+        S = Qn @ _unit_rows(E).T
         out_q, out_v, out_s = [], [], []
         for row, qid in enumerate(qi):
             if cell not in probes[int(qid)]:
                 continue
             kk = min(k + 1, S.shape[1])
-            idx = np.argpartition(-S[row], kk - 1)[:kk]
+            # tie-DETERMINISTIC cut (see partial_topk): argpartition breaks
+            # ties by introselect order, which varies with block shape
+            idx = np.lexsort((ids, -S[row]))[:kk]
             for j in idx:
                 if ids[j] != qid:
                     out_q.append(int(qid))
@@ -259,18 +307,13 @@ def ann_topk_ivf(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
                              "vec_id": pd.Series(out_v, dtype="int64"),
                              "score": pd.Series(out_s, dtype="float64")})
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        top = g.nlargest(k, "score", keep="all").sort_values(
-            ["score", "vec_id"], ascending=[False, True]).head(k)
-        return top[["query_id", "vec_id"]]
-
     return (
         read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cell")
         .map_groups(search_cell, batch_format="pandas")
         .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(_final_topk(k), batch_format="pandas")
     )
 
 
@@ -303,16 +346,19 @@ def ann_topk_int8(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
     def scan_int8(batch: pa.Table) -> pa.Table:
         qi, _, Qb = ray.get(q_ref)
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        nrm = np.linalg.norm(E, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        Eq = np.round(E / nrm * 127).astype(np.int8)
+        E = _emb_matrix(batch.column("embedding"))
+        if E is None:  # empty block
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64())})
+        Eq = np.round(_unit_rows(E) * 127).astype(np.int8)
         # int8 matmul, int32 accumulation (numpy promotes; cast keeps it int)
         S = Qb.astype(np.int32) @ Eq.astype(np.int32).T
         out_q, out_v = [], []
         kk = min(overscan * k + 1, S.shape[1])  # +1: self may be in block
         for row, qid in enumerate(qi):
-            idx = np.argpartition(-S[row], kk - 1)[:kk]
+            # tie-DETERMINISTIC cut: int8x int8 dots collide constantly, and
+            # argpartition survivors would vary with block shape
+            idx = np.lexsort((ids, -S[row]))[:kk]
             for j in idx:
                 if ids[j] != qid:
                     out_q.append(int(qid))
@@ -348,10 +394,8 @@ def ann_topk_int8(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
                              "vec_id": pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        nrm = np.linalg.norm(E, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        En = E / nrm
+        En = _unit_rows(np.array(batch.column("embedding").to_pylist(),
+                                 dtype=np.float64))
         out_q, out_v, out_s = [], [], []
         for row, qid in enumerate(qi):
             sel = np.isin(ids, cands[int(qid)], assume_unique=False)
@@ -360,7 +404,7 @@ def ann_topk_int8(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
             S = En[sel] @ Qn[row]
             sub_ids = ids[sel]
             kk = min(k, S.shape[0])
-            idx = np.argpartition(-S, kk - 1)[:kk]
+            idx = np.lexsort((sub_ids, -S))[:kk]  # tie-deterministic
             for j in idx:
                 out_q.append(int(qid))
                 out_v.append(int(sub_ids[j]))
@@ -369,14 +413,9 @@ def ann_topk_int8(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
                          "vec_id": pa.array(out_v, pa.int64()),
                          "score": pa.array(out_s, pa.float64())})
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        top = g.nlargest(k, "score", keep="all").sort_values(
-            ["score", "vec_id"], ascending=[False, True]).head(k)
-        return top[["query_id", "vec_id"]]
-
     return (
         read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(rerank_exact, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("query_id")
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(_final_topk(k), batch_format="pandas")
     )
