@@ -32,6 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from sidecar.ops.similarity import _emb_matrix
 from sidecar.ops.text import read_documents
 from sidecar.storage import read_parquet_clean
 
@@ -51,14 +52,23 @@ def _shingles(text: str) -> list[str]:
     return sorted({" ".join(w[i : i + SHINGLE_K]) for i in range(len(w) - SHINGLE_K + 1)})
 
 
+_PERM_PREFIX = tuple(f"{p}|".encode() for p in range(NUM_PERMS))
+
+
 def _minhash_sig(shingles: list[str]) -> list[str] | None:
+    """min-of-md5 signature, one hex string per permutation.
+
+    Output == min(md5(f"{p}|{s}").hexdigest()) per p (the DuckDB oracle
+    formula), computed ~2x faster: each shingle is utf-8-encoded once, the
+    min runs over 16-byte digests (hex encoding is byte-monotone, so digest
+    order == hexdigest order), and only the NUM_PERMS winners are
+    hex-encoded."""
     if not shingles:
         return None
     md5 = hashlib.md5
-    return [
-        min(md5(f"{p}|{s}".encode()).hexdigest() for s in shingles)
-        for p in range(NUM_PERMS)
-    ]
+    enc = [s.encode() for s in shingles]
+    return [min(md5(pre + sb).digest() for sb in enc).hex()
+            for pre in _PERM_PREFIX]
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -474,7 +484,9 @@ def _normalized_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    E = _emb_matrix(t.column("embedding"))
+    if E is None:
+        return ids, np.empty((0, 0), dtype=np.float64)
     norms = np.linalg.norm(E, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return ids, E / norms
@@ -534,7 +546,10 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4, *,
         def f(batch: pa.Table) -> pa.Table:
             all_ids, Nn = ray.get(mat_ref)
             bids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            B = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            B = _emb_matrix(batch.column("embedding"))
+            if B is None:  # empty block
+                return pa.table({"vec_a": pa.array([], pa.int64()),
+                                 "vec_b": pa.array([], pa.int64())})
             nrm = np.linalg.norm(B, axis=1, keepdims=True)
             nrm[nrm == 0] = 1.0
             S = (B / nrm) @ Nn.T
@@ -631,11 +646,12 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
 
     def bucketize(batch: pa.Table) -> pa.Table:
         P = ray.get(planes_ref)
-        E = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        E = _emb_matrix(batch.column("embedding"))
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         emb = batch.column("embedding")
-        if E.ndim != 2:  # empty block: np.array([]) is 1-D, E @ P.T raises
-            return pa.table({"table": pa.array([], pa.int64()),
+        if E is None:  # empty block
+            return pa.table({"part": pa.array([], pa.int64()),
+                             "table": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int64()),
                              "vec_id": pa.array([], pa.int64()),
                              "embedding": emb})
@@ -648,29 +664,61 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
             buckets.extend(bkt.tolist())
             out_ids.extend(ids.tolist())
             out_emb.extend(range(len(ids)))
+        tables_np = np.array(tables, dtype=np.uint64)
+        buckets_np = np.array(buckets, dtype=np.uint64)
+        # coarse partition over (table, bucket): the Ray groupby key is 64
+        # partitions, NOT the n_tables x 2^k_planes fine buckets — per-group
+        # dispatch over 10^5+ tiny groups dominates wall time otherwise
+        # (same pattern as _pairs_within / frontier.select_budget)
+        part = ((tables_np * np.uint64(0x9E3779B97F4A7C15) + buckets_np)
+                % np.uint64(NUM_SHUFFLE_PARTS)).astype(np.int64)
         return pa.table({
+            "part": pa.array(part, pa.int64()),
             "table": pa.array(tables, pa.int64()),
             "bucket": pa.array(buckets, pa.int64()),
             "vec_id": pa.array(out_ids, pa.int64()),
             "embedding": emb.take(pa.array(out_emb, pa.int64())),
         })
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """All within-(table, bucket) pairs with cosine >= threshold —
+        fine-grouped by lexsort boundaries INSIDE one task, so each small
+        bucket gets one small matmul and the full-partition matrix is never
+        built."""
+        tb = g["table"].to_numpy(dtype=np.int64)
+        bk = g["bucket"].to_numpy(dtype=np.int64)
         ids = g["vec_id"].to_numpy(dtype=np.int64)
         E = np.array(g["embedding"].tolist(), dtype=np.float64)
         nrm = np.linalg.norm(E, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
-        S = (E / nrm) @ (E / nrm).T
-        r, c = np.nonzero(S >= threshold)
-        keep = ids[r] < ids[c]
-        return pd.DataFrame({"vec_a": pd.Series(ids[r][keep], dtype="int64"),
-                             "vec_b": pd.Series(ids[c][keep], dtype="int64")})
+        En = E / nrm
+        order = np.lexsort((bk, tb))
+        tb, bk, ids, En = tb[order], bk[order], ids[order], En[order]
+        bounds = np.flatnonzero(np.diff(tb) | np.diff(bk).astype(bool))
+        starts = np.concatenate(([0], bounds + 1))
+        ends = np.concatenate((bounds + 1, [len(ids)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sub = En[s:e]
+            S = sub @ sub.T
+            r, c = np.nonzero(S >= threshold)
+            sub_ids = ids[s:e]
+            keep = sub_ids[r] < sub_ids[c]
+            out_a.append(sub_ids[r][keep])
+            out_b.append(sub_ids[c][keep])
+        if not out_a:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"vec_a": np.concatenate(out_a),
+                             "vec_b": np.concatenate(out_b)})
 
     candidates = (
         read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["table", "bucket"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
     )
     return _dedup_pairs(candidates, a="vec_a", b="vec_b")
 

@@ -1,0 +1,225 @@
+"""1M-row soak for the LLM-data ops family (dedup / ANN / text).
+
+The bench tables top out at sf0.1 (5k docs / 2k vectors) — enough for the
+correctness gate, not for scale evidence.  This harness synthesizes a
+documents + embeddings corpus ~200x that size with the SAME shape as the
+testdata tables (TESTDATA.md), runs the exact ``queries()`` callables the
+driver grades against it, and self-checks every result against closed-form
+expectations baked into the construction:
+
+- every row is a pure function of its row id (splitmix64 mixing), so the
+  corpus is deterministic under any batching / parallelism;
+- ids ``k, k+1`` with ``k % DUP_EVERY == 0`` carry IDENTICAL text and
+  IDENTICAL embeddings → exact-dedup group sizes, LSH candidate recall and
+  ANN nearest-neighbor membership are all known in advance.
+
+Usage:  python tools/soak_ops.py [--rows 1000000] [--keep]
+Prints ONE JSON line (gen + per-op wall seconds, rows, checks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# 512 words: the 18 quality-score stopwords (so n_stopwords is exercised)
+# plus synthetic filler.  A realistic-size vocab matters at soak scale — a
+# toy vocab makes unrelated docs share shingles, and minhash-band collision
+# pairs then grow quadratically with corpus size.
+VOCAB = tuple("the a an and of to in is it that this with for as on at by "
+              "from".split()) + tuple(f"w{i:03d}" for i in range(494))
+LANGS = ("en", "de", "fr", "es", "zh")
+DUP_EVERY = 500          # ids k, k+1 (k % DUP_EVERY == 0) are exact dups
+MIN_WORDS, WORD_SPAN = 30, 21   # 30..50 words per doc
+DIM = 64
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized uint64 avalanche (wrapping mults)."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _base_ids(ids: np.ndarray) -> np.ndarray:
+    """Content id: k+1 borrows k's content for k % DUP_EVERY == 0."""
+    return np.where(ids % DUP_EVERY == 1, ids - 1, ids)
+
+
+def _n_words(base: np.ndarray) -> np.ndarray:
+    return (MIN_WORDS + _mix(base * np.uint64(11)) % WORD_SPAN).astype(np.int64)
+
+
+def gen_docs_batch(batch: pa.Table) -> pa.Table:
+    """id → (doc_id, text, lang, source, n_chars) — pure per-id function."""
+    ids = batch.column("id").to_numpy().astype(np.uint64)
+    base = _base_ids(ids)
+    nw = _n_words(base)
+    max_w = int(nw.max()) if len(nw) else 0
+    j = np.arange(max_w, dtype=np.uint64)
+    # double-mix: an affine (base*c1 + j*c2) stream aliases for base ids
+    # c2/gcd apart (docs would share a word-shifted run → real near-dups);
+    # avalanche the row seed first so streams never overlap
+    word_idx = _mix(_mix(base * np.uint64(31))[:, None] + j[None, :]) \
+        % np.uint64(len(VOCAB))
+    vocab_np = np.array(VOCAB)
+    words = vocab_np[word_idx]
+    texts = [" ".join(row[:n]) for row, n in zip(words, nw)]
+    langs = [LANGS[int(v)] for v in _mix(base * np.uint64(13)) % np.uint64(len(LANGS))]
+    srcs = [f"src{int(v)}" for v in _mix(ids * np.uint64(17)) % np.uint64(10)]
+    return pa.table({
+        "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+
+
+def synthesize(out_dir: str, n_rows: int) -> float:
+    """Write documents.parquet (Ray-partitioned dir) + embeddings.parquet
+    (single file — some ops probe its footer via pq.ParquetFile)."""
+    import ray.data as rd
+
+    t0 = time.perf_counter()
+    docs_dir = f"{out_dir}/documents.parquet"
+    (rd.range(n_rows, override_num_blocks=64)
+       .map_batches(gen_docs_batch, batch_format="pyarrow", zero_copy_batch=True)
+       .write_parquet(docs_dir))
+
+    ids = np.arange(n_rows, dtype=np.uint64)
+    rng = np.random.Generator(np.random.PCG64(20260818))
+    X = rng.standard_normal((n_rows, DIM)).astype(np.float32)
+    dup_to = np.flatnonzero(ids % DUP_EVERY == 1)
+    X[dup_to] = X[dup_to - 1]
+    offsets = np.arange(0, (n_rows + 1) * DIM, DIM, dtype=np.int64)
+    emb = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(X.ravel())) \
+        .cast(pa.list_(pa.float32()))
+    tbl = pa.table({
+        "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+        "embedding": emb,
+        "label": pa.array((_mix(ids * np.uint64(19)) % np.uint64(10)).astype(np.int32),
+                          pa.int32()),
+    })
+    pq.write_table(tbl, f"{out_dir}/embeddings.parquet", row_group_size=65536)
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--keep", action="store_true", help="keep the corpus dir")
+    args = ap.parse_args()
+    n = args.rows
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__
+
+    q = __ray_entry__.queries()
+    out_dir = f"/tmp/soak_ops_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+
+    report: dict = {"metric": "LLM-ops soak (synthetic corpus, self-checked)",
+                    "n_docs": n, "n_vecs": n,
+                    "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                    "ops": {}, "checks": {}}
+    try:
+        report["gen_sec"] = round(synthesize(out_dir, n), 2)
+
+        ids = np.arange(n, dtype=np.uint64)
+        exp_tokens = int(_n_words(_base_ids(ids)).sum())
+        n_dup_pairs = len(range(0, n - 1, DUP_EVERY))
+        dup_pairs = {(k, k + 1) for k in range(0, n - 1, DUP_EVERY)}
+
+        def run(name, consume):
+            t0 = time.perf_counter()
+            out = consume(q[name](out_dir))
+            sec = time.perf_counter() - t0
+            report["ops"][name] = {"sec": round(sec, 2),
+                                   "rows_per_sec": round(n / sec)}
+            return out
+
+        # --- text family: linear scans, closed-form totals -------------
+        tot = run("text_token_count", lambda ds: ds.sum("n_tokens"))
+        report["checks"]["token_total_exact"] = bool(tot == exp_tokens)
+
+        rows = run("text_quality_score", lambda ds: ds.count())
+        report["checks"]["quality_rows"] = bool(rows == n)
+
+        # --- dedup family ----------------------------------------------
+        ded = run("dedup_exact", lambda ds: ds.materialize())
+        n_groups = ded.count()
+        n_total = ded.sum("n_dups")
+        report["checks"]["exact_dedup_groups"] = bool(
+            n_groups == n - n_dup_pairs and n_total == n)
+
+        rows = run("dedup_simhash", lambda ds: ds.count())
+        report["checks"]["simhash_rows"] = bool(rows == n)
+
+        lsh = run("dedup_minhash_lsh", lambda ds: ds.to_pandas())
+        got_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
+        report["checks"]["lsh_recall_injected"] = bool(dup_pairs <= got_pairs)
+        report["ops"]["dedup_minhash_lsh"]["n_pairs"] = len(got_pairs)
+
+        # --- embeddings family -----------------------------------------
+        ann = run("sim_ann_topk", lambda ds: ds.to_pandas())
+        by_q = {int(qid): set(g["vec_id"]) for qid, g in ann.groupby("query_id")}
+        report["checks"]["ann_dup_is_neighbor"] = bool(
+            1 in by_q.get(0, set()) and 0 in by_q.get(1, set()))
+
+        rows = run("sim_kmeans", lambda ds: ds.count())
+        report["checks"]["kmeans_rows"] = bool(rows == n)
+
+        # same graded code path, tighter threshold: random 64-d gaussians
+        # sit at ~7e-4 pair density for cos >= 0.4 (3.2 sigma), which is
+        # ~3.5e8 true pairs at 1M vectors — a property of the synthetic
+        # corpus, not the op.  cos >= 0.8 keeps only injected dups + noise.
+        from sidecar.ops import dedup as _dedup
+
+        # k_planes sized to corpus: 2^16 buckets keeps in-bucket all-pairs
+        # verification at ~n/2^16 occupancy (exact-dup recall stays 1.0 —
+        # identical vectors share every bucket in every table)
+        q = dict(q)
+        q["dedup_embedding_lsh"] = lambda d: _dedup.embedding_near_dup_lsh(
+            d, threshold=0.8, k_planes=16, n_tables=4)
+        elsh = run("dedup_embedding_lsh", lambda ds: ds.to_pandas())
+        got = set(zip(elsh["vec_a"], elsh["vec_b"]))
+        report["checks"]["emb_lsh_recall_injected"] = bool(dup_pairs <= got)
+        report["ops"]["dedup_embedding_lsh"]["n_pairs"] = len(got)
+    finally:
+        if not args.keep:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        ray.shutdown()
+
+    report["all_checks_pass"] = all(report["checks"].values())
+    print(json.dumps(report))
+    return 0 if report["all_checks_pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
