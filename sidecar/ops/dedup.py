@@ -126,15 +126,28 @@ def _pairs_within(g: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
     """All within-group (doc_a < doc_b) pairs, fine-grouped by ``keys``
     INSIDE one task — the groupby that reaches Ray uses only a coarse
     partition key, because per-group Python dispatch over thousands of tiny
-    groups dominates wall time otherwise (measured 21s → ~3s at sf0.1)."""
+    groups dominates wall time otherwise (measured 21s → ~3s at sf0.1).
+
+    The in-task fine grouping is itself vectorized (factorize → sort →
+    run boundaries): at soak scale one 64th-partition holds ~10^5 mostly-
+    singleton (band, bucket) groups, and iterating ``g.groupby`` costs
+    ~50 µs of pandas dispatch per group — only the rare ≥2-member runs
+    reach Python."""
+    code = pd.MultiIndex.from_frame(g[keys]).factorize(sort=False)[0] \
+        if len(keys) > 1 else pd.factorize(g[keys[0]], sort=False)[0]
+    ids = g["doc_id"].to_numpy(dtype=np.int64)
+    order = np.lexsort((ids, code))
+    code, ids = code[order], ids[order]
+    bounds = np.flatnonzero(np.diff(code)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(ids)]))
     a, b = [], []
-    for _, sub in g.groupby(keys, sort=False):
-        ids = np.sort(sub["doc_id"].to_numpy())
-        if len(ids) < 2:
+    for s, e in zip(starts, ends):
+        if e - s < 2:
             continue
-        r, c = np.triu_indices(len(ids), k=1)
-        a.append(ids[r])
-        b.append(ids[c])
+        r, c = np.triu_indices(e - s, k=1)
+        a.append(ids[s:e][r])
+        b.append(ids[s:e][c])
     if not a:
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64")})
@@ -617,6 +630,9 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4, *,
     )
 
 
+EMB_MATRIX_BROADCAST_BYTES = 1 << 29  # candidate-matrix broadcast gate (512 MB)
+
+
 def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
                            k_planes: int = 4, n_tables: int = 8,
                            seed: int = 42) -> "rd.Dataset":
@@ -626,9 +642,25 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
     found if they collide in ANY table.  Approximate — recall vs the exact
     ``embedding_near_dup`` is asserted in tests; rows-only driver check.
 
-    The shuffle carries (table, bucket, vec_id, embedding); all-pairs work
-    happens only inside buckets, so cost scales with bucket occupancy, not
-    corpus size squared.
+    No shuffle ever carries embeddings in the default plan.  Measured at
+    1M × 64: Ray's range-partition sort moves embedding-bearing rows at
+    ~6 MB/core-s (list-array blocks repack row-wise), so shipping vectors
+    through the banding groupby dominated everything else 10×.  Instead:
+
+    1. banding shuffle of (part, table, bucket, vec_id) rows only;
+    2. buckets with ≥2 members → candidate vec_id set (linear-bounded);
+    3. candidate embeddings are gathered ONCE into a row-normalized float64
+       matrix, broadcast via ``ray.put`` while it fits
+       ``EMB_MATRIX_BROADCAST_BYTES``, and candidate pairs (ids, enumerated
+       in-bucket exactly as before) verify against it with vectorized
+       row-wise dots.
+
+    Above the gate the single-shuffle full-ship plan runs instead (bucket
+    rows carry embeddings, verification happens in-bucket) — correct at any
+    size, just heavier.  Size ``k_planes`` to the corpus
+    (≈ log2 n or more): in-bucket all-pairs work scales with bucket
+    occupancy in BOTH plans, and the candidate filter only bites when most
+    buckets are singletons.
     """
     import pyarrow.parquet as pq
 
@@ -636,67 +668,197 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
     # vector dimension from ONE row (page-granular read — even row group 0
     # alone can be hundreds of MB at scale); 0-row corpus → 0 pairs
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    empty_pairs = pa.table({"vec_a": pa.array([], pa.int64()),
+                            "vec_b": pa.array([], pa.int64())})
     if pf.metadata.num_rows == 0:
-        return rd.from_arrow(pa.table({"vec_a": pa.array([], pa.int64()),
-                                       "vec_b": pa.array([], pa.int64())}))
+        return rd.from_arrow(empty_pairs)
     first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
     dim = len(first.column("embedding")[0].as_py())
     planes = rng.standard_normal((n_tables, k_planes, dim))
     planes_ref = ray.put(planes)
+    weights = (1 << np.arange(k_planes)).astype(np.int64)
 
-    def bucketize(batch: pa.Table) -> pa.Table:
+    def _emit_bands(ids: np.ndarray, E: np.ndarray, emb) -> pa.Table:
+        """(part, table, bucket, vec_id[, embedding]) rows for every table.
+        The coarse partition key spans 64 groups regardless of the
+        n_tables × 2^k_planes fine-bucket count — per-group dispatch over
+        10^5+ tiny groups dominates wall time otherwise (same pattern as
+        _pairs_within / frontier.select_budget)."""
         P = ray.get(planes_ref)
-        E = _emb_matrix(batch.column("embedding"))
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        emb = batch.column("embedding")
-        if E is None:  # empty block
-            return pa.table({"part": pa.array([], pa.int64()),
-                             "table": pa.array([], pa.int64()),
-                             "bucket": pa.array([], pa.int64()),
-                             "vec_id": pa.array([], pa.int64()),
-                             "embedding": emb})
-        tables, buckets, out_ids, out_emb = [], [], [], []
-        weights = (1 << np.arange(k_planes)).astype(np.int64)
-        for t in range(n_tables):
-            bits = (E @ P[t].T) > 0
-            bkt = bits @ weights
-            tables.extend([t] * len(ids))
-            buckets.extend(bkt.tolist())
-            out_ids.extend(ids.tolist())
-            out_emb.extend(range(len(ids)))
-        tables_np = np.array(tables, dtype=np.uint64)
-        buckets_np = np.array(buckets, dtype=np.uint64)
-        # coarse partition over (table, bucket): the Ray groupby key is 64
-        # partitions, NOT the n_tables x 2^k_planes fine buckets — per-group
-        # dispatch over 10^5+ tiny groups dominates wall time otherwise
-        # (same pattern as _pairs_within / frontier.select_budget)
-        part = ((tables_np * np.uint64(0x9E3779B97F4A7C15) + buckets_np)
+        n = len(ids)
+        tbl = np.repeat(np.arange(n_tables, dtype=np.int64), n)
+        bkt = np.concatenate(
+            [((E @ P[t].T) > 0) @ weights for t in range(n_tables)]
+        ).astype(np.int64)
+        part = ((tbl.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + bkt.astype(np.uint64))
                 % np.uint64(NUM_SHUFFLE_PARTS)).astype(np.int64)
-        return pa.table({
-            "part": pa.array(part, pa.int64()),
-            "table": pa.array(tables, pa.int64()),
-            "bucket": pa.array(buckets, pa.int64()),
-            "vec_id": pa.array(out_ids, pa.int64()),
-            "embedding": emb.take(pa.array(out_emb, pa.int64())),
-        })
+        cols = {"part": pa.array(part, pa.int64()),
+                "table": pa.array(tbl, pa.int64()),
+                "bucket": pa.array(bkt, pa.int64()),
+                "vec_id": pa.array(np.tile(ids, n_tables), pa.int64())}
+        if emb is not None:
+            cols["embedding"] = emb.combine_chunks().take(
+                pa.array(np.tile(np.arange(n, dtype=np.int64), n_tables)))
+        return pa.table(cols)
 
-    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def _empty_bands(with_emb) -> pa.Table:
+        cols = {"part": pa.array([], pa.int64()),
+                "table": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64())}
+        if with_emb is not None:
+            cols["embedding"] = with_emb
+        return pa.table(cols)
+
+    def band_ids(batch: pa.Table) -> pa.Table:
+        E = _emb_matrix(batch.column("embedding"))
+        if E is None:  # empty block
+            return _empty_bands(None)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return _emit_bands(ids, E, None)
+
+    def nonsingleton_ids(g: pa.Table) -> pa.Table:
+        """Distinct vec_ids that share a (table, bucket) with another vector
+        in this partition — vectorized run-length pass, no per-bucket
+        dispatch."""
+        if g.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64())})
+        tb = g.column("table").to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = g.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((bk, tb))
+        tb, bk, ids = tb[order], bk[order], ids[order]
+        bounds = np.flatnonzero(np.diff(tb) | np.diff(bk).astype(bool))
+        starts = np.concatenate(([0], bounds + 1))
+        ends = np.concatenate((bounds + 1, [len(ids)]))
+        sizes = ends - starts
+        keep = np.repeat(sizes >= 2, sizes)
+        return pa.table({"vec_id": pa.array(np.unique(ids[keep]), pa.int64())})
+
+    def _run_bounds(tb: np.ndarray, bk: np.ndarray):
+        bounds = np.flatnonzero(np.diff(tb) | np.diff(bk).astype(bool))
+        return (np.concatenate(([0], bounds + 1)),
+                np.concatenate((bounds + 1, [len(tb)])))
+
+    src = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    cand = (src.map_batches(band_ids, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("part")
+            .map_groups(nonsingleton_ids, batch_format="pyarrow")).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        return rd.from_arrow(empty_pairs)
+
+    if n_cand * dim * 8 <= EMB_MATRIX_BROADCAST_BYTES:
+        cand_ids = np.sort(cand.to_pandas()["vec_id"].to_numpy())
+        ids_ref = ray.put(cand_ids)
+
+        def _cand_sel(batch: pa.Table, cids: np.ndarray) -> np.ndarray:
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(cids, ids)
+            pos[pos >= len(cids)] = 0
+            return ids, np.flatnonzero(cids[pos] == ids)
+
+        def select_candidates(batch: pa.Table) -> pa.Table:
+            _, sel = _cand_sel(batch, ray.get(ids_ref))
+            return batch.select(["vec_id", "embedding"]).take(pa.array(sel))
+
+        # gather the candidate rows into ONE normalized float64 matrix
+        # (size-gated above; distributed column-pruned read, tiny result)
+        mids, mats = [], []
+        for b in (src.map_batches(select_candidates, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                  .iter_batches(batch_format="pyarrow")):
+            t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            if t.num_rows:
+                mids.append(t.column("vec_id").to_numpy(
+                    zero_copy_only=False).astype(np.int64))
+                mats.append(_emb_matrix(t.column("embedding")))
+        gids = np.concatenate(mids)
+        order = np.argsort(gids)
+        En = np.vstack(mats)[order]
+        nrm = np.linalg.norm(En, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        mat_ref = ray.put((gids[order], En / nrm))
+
+        def band_cand_ids(batch: pa.Table) -> pa.Table:
+            ids, sel = _cand_sel(batch, ray.get(ids_ref))
+            if len(sel) == 0:
+                return _empty_bands(None)
+            E = _emb_matrix(batch.select(["embedding"]).take(
+                pa.array(sel)).column("embedding"))
+            return _emit_bands(ids[sel], E, None)
+
+        def pairs_ids_in_partition(g: pa.Table) -> pa.Table:
+            """Within-(table, bucket) candidate id pairs — ids only."""
+            if g.num_rows == 0:
+                return empty_pairs
+            tb = g.column("table").to_numpy(zero_copy_only=False).astype(np.int64)
+            bk = g.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+            ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((ids, bk, tb))
+            tb, bk, ids = tb[order], bk[order], ids[order]
+            starts, ends = _run_bounds(tb, bk)
+            out_a, out_b = [], []
+            for s, e in zip(starts, ends):
+                if e - s < 2:
+                    continue
+                r, c = np.triu_indices(e - s, k=1)
+                out_a.append(ids[s:e][r])
+                out_b.append(ids[s:e][c])
+            if not out_a:
+                return empty_pairs
+            return pa.table({"vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+                             "vec_b": pa.array(np.concatenate(out_b), pa.int64())})
+
+        def verify_pairs(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return empty_pairs
+            gids_s, Enn = ray.get(mat_ref)
+            a = batch.column("vec_a").to_numpy(zero_copy_only=False).astype(np.int64)
+            b = batch.column("vec_b").to_numpy(zero_copy_only=False).astype(np.int64)
+            ia = np.searchsorted(gids_s, a)
+            ib = np.searchsorted(gids_s, b)
+            dots = np.einsum("ij,ij->i", Enn[ia], Enn[ib])
+            keep = dots >= threshold
+            return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
+                             "vec_b": pa.array(b[keep], pa.int64())})
+
+        candidates = (src.map_batches(band_cand_ids, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+                      .groupby("part")
+                      .map_groups(pairs_ids_in_partition, batch_format="pyarrow")
+                      .map_batches(verify_pairs, batch_format="pyarrow",
+                                   zero_copy_batch=True))
+        return _dedup_pairs(candidates, a="vec_a", b="vec_b")
+
+    # ---- over-gate fallback: full-ship plan (embeddings ride the shuffle,
+    # verification happens in-bucket) --------------------------------------
+    def bucketize_all(batch: pa.Table) -> pa.Table:
+        E = _emb_matrix(batch.column("embedding"))
+        if E is None:
+            return _empty_bands(batch.column("embedding"))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return _emit_bands(ids, E, batch.column("embedding"))
+
+    def pairs_in_partition(g: pa.Table) -> pa.Table:
         """All within-(table, bucket) pairs with cosine >= threshold —
         fine-grouped by lexsort boundaries INSIDE one task, so each small
         bucket gets one small matmul and the full-partition matrix is never
         built."""
-        tb = g["table"].to_numpy(dtype=np.int64)
-        bk = g["bucket"].to_numpy(dtype=np.int64)
-        ids = g["vec_id"].to_numpy(dtype=np.int64)
-        E = np.array(g["embedding"].tolist(), dtype=np.float64)
+        E = _emb_matrix(g.column("embedding"))
+        if E is None:
+            return empty_pairs
+        tb = g.column("table").to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = g.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         nrm = np.linalg.norm(E, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         En = E / nrm
         order = np.lexsort((bk, tb))
         tb, bk, ids, En = tb[order], bk[order], ids[order], En[order]
-        bounds = np.flatnonzero(np.diff(tb) | np.diff(bk).astype(bool))
-        starts = np.concatenate(([0], bounds + 1))
-        ends = np.concatenate((bounds + 1, [len(ids)]))
+        starts, ends = _run_bounds(tb, bk)
         out_a, out_b = [], []
         for s, e in zip(starts, ends):
             if e - s < 2:
@@ -709,17 +871,14 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
             out_a.append(sub_ids[r][keep])
             out_b.append(sub_ids[c][keep])
         if not out_a:
-            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                                 "vec_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"vec_a": np.concatenate(out_a),
-                             "vec_b": np.concatenate(out_b)})
+            return empty_pairs
+        return pa.table({"vec_a": pa.array(np.concatenate(out_a), pa.int64()),
+                         "vec_b": pa.array(np.concatenate(out_b), pa.int64())})
 
-    candidates = (
-        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part")
-        .map_groups(pairs_in_partition, batch_format="pandas")
-    )
+    candidates = (src.map_batches(bucketize_all, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+                  .groupby("part")
+                  .map_groups(pairs_in_partition, batch_format="pyarrow"))
     return _dedup_pairs(candidates, a="vec_a", b="vec_b")
 
 

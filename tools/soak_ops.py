@@ -121,8 +121,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000)
     ap.add_argument("--keep", action="store_true", help="keep the corpus dir")
+    ap.add_argument("--ops", default="", help="comma-separated op subset")
     args = ap.parse_args()
     n = args.rows
+    only = set(args.ops.split(",")) if args.ops else None
 
     import ray
 
@@ -157,6 +159,8 @@ def main() -> int:
         dup_pairs = {(k, k + 1) for k in range(0, n - 1, DUP_EVERY)}
 
         def run(name, consume):
+            if only is not None and name not in only:
+                return None
             t0 = time.perf_counter()
             out = consume(q[name](out_dir))
             sec = time.perf_counter() - t0
@@ -166,34 +170,40 @@ def main() -> int:
 
         # --- text family: linear scans, closed-form totals -------------
         tot = run("text_token_count", lambda ds: ds.sum("n_tokens"))
-        report["checks"]["token_total_exact"] = bool(tot == exp_tokens)
+        if tot is not None:
+            report["checks"]["token_total_exact"] = bool(tot == exp_tokens)
 
         rows = run("text_quality_score", lambda ds: ds.count())
-        report["checks"]["quality_rows"] = bool(rows == n)
+        if rows is not None:
+            report["checks"]["quality_rows"] = bool(rows == n)
 
         # --- dedup family ----------------------------------------------
         ded = run("dedup_exact", lambda ds: ds.materialize())
-        n_groups = ded.count()
-        n_total = ded.sum("n_dups")
-        report["checks"]["exact_dedup_groups"] = bool(
-            n_groups == n - n_dup_pairs and n_total == n)
+        if ded is not None:
+            report["checks"]["exact_dedup_groups"] = bool(
+                ded.count() == n - n_dup_pairs and ded.sum("n_dups") == n)
 
         rows = run("dedup_simhash", lambda ds: ds.count())
-        report["checks"]["simhash_rows"] = bool(rows == n)
+        if rows is not None:
+            report["checks"]["simhash_rows"] = bool(rows == n)
 
         lsh = run("dedup_minhash_lsh", lambda ds: ds.to_pandas())
-        got_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
-        report["checks"]["lsh_recall_injected"] = bool(dup_pairs <= got_pairs)
-        report["ops"]["dedup_minhash_lsh"]["n_pairs"] = len(got_pairs)
+        if lsh is not None:
+            got_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
+            report["checks"]["lsh_recall_injected"] = bool(dup_pairs <= got_pairs)
+            report["ops"]["dedup_minhash_lsh"]["n_pairs"] = len(got_pairs)
 
         # --- embeddings family -----------------------------------------
         ann = run("sim_ann_topk", lambda ds: ds.to_pandas())
-        by_q = {int(qid): set(g["vec_id"]) for qid, g in ann.groupby("query_id")}
-        report["checks"]["ann_dup_is_neighbor"] = bool(
-            1 in by_q.get(0, set()) and 0 in by_q.get(1, set()))
+        if ann is not None:
+            by_q = {int(qid): set(g["vec_id"])
+                    for qid, g in ann.groupby("query_id")}
+            report["checks"]["ann_dup_is_neighbor"] = bool(
+                1 in by_q.get(0, set()) and 0 in by_q.get(1, set()))
 
         rows = run("sim_kmeans", lambda ds: ds.count())
-        report["checks"]["kmeans_rows"] = bool(rows == n)
+        if rows is not None:
+            report["checks"]["kmeans_rows"] = bool(rows == n)
 
         # same graded code path, tighter threshold: random 64-d gaussians
         # sit at ~7e-4 pair density for cos >= 0.4 (3.2 sigma), which is
@@ -201,16 +211,18 @@ def main() -> int:
         # corpus, not the op.  cos >= 0.8 keeps only injected dups + noise.
         from sidecar.ops import dedup as _dedup
 
-        # k_planes sized to corpus: 2^16 buckets keeps in-bucket all-pairs
-        # verification at ~n/2^16 occupancy (exact-dup recall stays 1.0 —
-        # identical vectors share every bucket in every table)
+        # k_planes sized ABOVE log2(n): 2^24 buckets are mostly singletons,
+        # so the op's candidate-filter plan bites — only true colliders
+        # carry embeddings into the verification shuffle (exact-dup recall
+        # stays 1.0: identical vectors share every bucket in every table)
         q = dict(q)
         q["dedup_embedding_lsh"] = lambda d: _dedup.embedding_near_dup_lsh(
-            d, threshold=0.8, k_planes=16, n_tables=4)
+            d, threshold=0.8, k_planes=24, n_tables=4)
         elsh = run("dedup_embedding_lsh", lambda ds: ds.to_pandas())
-        got = set(zip(elsh["vec_a"], elsh["vec_b"]))
-        report["checks"]["emb_lsh_recall_injected"] = bool(dup_pairs <= got)
-        report["ops"]["dedup_embedding_lsh"]["n_pairs"] = len(got)
+        if elsh is not None:
+            got = set(zip(elsh["vec_a"], elsh["vec_b"]))
+            report["checks"]["emb_lsh_recall_injected"] = bool(dup_pairs <= got)
+            report["ops"]["dedup_embedding_lsh"]["n_pairs"] = len(got)
     finally:
         if not args.keep:
             shutil.rmtree(out_dir, ignore_errors=True)
