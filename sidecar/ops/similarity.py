@@ -283,25 +283,38 @@ def ann_topk_ivf(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
     C /= np.linalg.norm(C, axis=1, keepdims=True)
     probe_cells = {int(q): set(np.argsort(-(C @ Q[i]))[:n_probe].tolist())
                    for i, q in enumerate(qids)}
-    refs = ray.put((qids, Q, C, probe_cells))
+    probed_union = np.array(sorted(set().union(*probe_cells.values())),
+                            dtype=np.int64)
+    refs = ray.put((qids, Q, C, probe_cells, probed_union))
 
     def assign(batch: pa.Table) -> pa.Table:
-        _, _, Cc, _ = ray.get(refs)
+        """Nearest-centroid cell per vector — rows outside the union of
+        probed cells are DROPPED HERE, before the cell shuffle: only
+        |probed cells| / n_cells of the corpus ever ships (non-probed cells
+        contribute nothing downstream, so the prune is exact)."""
+        _, _, Cc, _, probed = ray.get(refs)
         E = _emb_matrix(batch.column("embedding"))
         if E is None:  # empty block
             return pa.table({"cell": pa.array([], pa.int64()),
                              "vec_id": batch.column("vec_id"),
                              "embedding": batch.column("embedding")})
         cell = np.argmax(_unit_rows(E) @ Cc.T, axis=1).astype(np.int64)
-        return pa.table({"cell": pa.array(cell, pa.int64()),
-                         "vec_id": batch.column("vec_id"),
-                         "embedding": batch.column("embedding")})
+        sel = np.flatnonzero(np.isin(cell, probed))
+        sub = batch.take(pa.array(sel))
+        return pa.table({"cell": pa.array(cell[sel], pa.int64()),
+                         "vec_id": sub.column("vec_id"),
+                         "embedding": sub.column("embedding")})
 
-    def search_cell(g: pd.DataFrame) -> pd.DataFrame:
-        qi, Qn, _, probes = ray.get(refs)
-        cell = int(g["cell"].iloc[0])
-        ids = g["vec_id"].to_numpy(dtype=np.int64)
-        E = np.array(g["embedding"].tolist(), dtype=np.float64)
+    def search_cell(g: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if g.num_rows == 0:
+            return empty
+        qi, Qn, _, probes, _ = ray.get(refs)
+        cell = g.column("cell")[0].as_py()
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        E = _emb_matrix(g.column("embedding"))
         S = Qn @ _unit_rows(E).T
         out_q, out_v, out_s = [], [], []
         for row, qid in enumerate(qi):
@@ -316,15 +329,17 @@ def ann_topk_ivf(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
                     out_q.append(int(qid))
                     out_v.append(int(ids[j]))
                     out_s.append(S[row, j])
-        return pd.DataFrame({"query_id": pd.Series(out_q, dtype="int64"),
-                             "vec_id": pd.Series(out_v, dtype="int64"),
-                             "score": pd.Series(out_s, dtype="float64")})
+        if not out_q:
+            return empty
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
 
     return (
         read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cell")
-        .map_groups(search_cell, batch_format="pandas")
+        .map_groups(search_cell, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(_final_topk(k), batch_format="pandas")
     )

@@ -146,6 +146,65 @@ class TestDedup:
         assert approx <= exact           # no false positives (exact verify in-bucket)
         assert len(approx) / len(exact) >= 0.3  # multi-table recall
 
+    def test_embedding_lsh_plan_twins_equal(self):
+        """The default broadcast-verify plan (candidate id pairs vs a
+        ray.put matrix) and the over-gate full-ship plan (embeddings ride
+        the bucket shuffle, in-bucket verification) emit the same pair set
+        — forcing the fallback via a 0-byte gate."""
+        from sidecar.ops import dedup
+
+        def pairs():
+            return {(a, b) for a, b in dedup.embedding_near_dup_lsh(
+                SF, threshold=0.4).to_pandas().itertuples(index=False)}
+
+        base = pairs()  # tiny corpus → broadcast-verify plan
+        orig = dedup.EMB_MATRIX_BROADCAST_BYTES
+        dedup.EMB_MATRIX_BROADCAST_BYTES = 0
+        try:
+            assert pairs() == base
+        finally:
+            dedup.EMB_MATRIX_BROADCAST_BYTES = orig
+        assert base
+
+
+class TestEmbMatrix:
+    """_emb_matrix is the one list→matrix conversion every embedding kernel
+    routes through; its fast path (flatten + reshape on the values buffer)
+    must agree with the object path on every input shape."""
+
+    def _ref(self, arr):
+        E = np.array(arr.to_pylist(), dtype=np.float64)
+        return None if E.ndim != 2 else E
+
+    def test_rectangular_chunked_and_sliced(self):
+        import pyarrow as pa
+
+        from sidecar.ops.similarity import _emb_matrix
+
+        vals = [[float(i), float(i) / 2, -float(i)] for i in range(10)]
+        arr = pa.array(vals, pa.list_(pa.float32()))
+        chunked = pa.chunked_array([arr[:4], arr[4:]])
+        sliced = arr.slice(3, 5)  # non-zero offset: flatten must honor it
+        for col in (arr, chunked, sliced):
+            got = _emb_matrix(col)
+            want = self._ref(col.combine_chunks()
+                             if isinstance(col, pa.ChunkedArray) else col)
+            assert np.array_equal(got, want)
+
+    def test_ragged_null_and_empty_fall_back(self):
+        import pyarrow as pa
+
+        from sidecar.ops.similarity import _emb_matrix
+
+        assert _emb_matrix(pa.array([], pa.list_(pa.float32()))) is None
+        ragged = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float32()))
+        with pytest.raises(ValueError):  # same contract as np.array(pylist)
+            _emb_matrix(ragged)
+        withnull = pa.array([[1.0, 2.0], None, [3.0, 4.0]],
+                            pa.list_(pa.float32()))
+        with pytest.raises(ValueError):  # null row: same error as before
+            _emb_matrix(withnull)
+
 
 class TestSimilarity:
     def _brute_topk(self, k=10, qids=(0, 1, 2, 3)):
@@ -180,6 +239,17 @@ class TestSimilarity:
             assert len(got) <= 10
             recalls.append(len(got & set(vs)) / 10)
         assert np.mean(recalls) >= 0.3  # n_probe=4/16 cells → partial recall
+
+    def test_ann_ivf_full_probe_is_exact(self):
+        """n_probe == n_cells probes everything, so IVF must EQUAL the
+        brute-force top-k — this pins the probed-cell prune in assign()
+        (an over-eager prune would drop true neighbors here)."""
+        from sidecar.ops.similarity import ann_topk_ivf
+
+        df = ann_topk_ivf(SF, n_cells=16, n_probe=16).to_pandas()
+        want = self._brute_topk()
+        for q, vs in want.items():
+            assert set(df[df.query_id == q]["vec_id"]) == set(vs)
 
 
 class TestRelational:

@@ -205,6 +205,19 @@ def main() -> int:
         if rows is not None:
             report["checks"]["kmeans_rows"] = bool(rows == n)
 
+        # IVF at 64 cells / 8 probes: the probed-cell prune ships well under
+        # half the corpus through the cell shuffle; an identical-twin vector
+        # always lands in its query's top probe cell, so the dup stays found
+        from sidecar.ops import similarity as _sim
+
+        q = dict(q)
+        q["sim_ann_ivf"] = lambda d: _sim.ann_topk_ivf(d, n_cells=64, n_probe=8)
+        ivf = run("sim_ann_ivf", lambda ds: ds.to_pandas())
+        if ivf is not None:
+            by_qi = {int(qid): set(g["vec_id"]) for qid, g in ivf.groupby("query_id")}
+            report["checks"]["ivf_dup_is_neighbor"] = bool(
+                1 in by_qi.get(0, set()) and 0 in by_qi.get(1, set()))
+
         # same graded code path, tighter threshold: random 64-d gaussians
         # sit at ~7e-4 pair density for cos >= 0.4 (3.2 sigma), which is
         # ~3.5e8 true pairs at 1M vectors — a property of the synthetic
