@@ -113,17 +113,19 @@ def filter_unseen(frontier: "rd.Dataset", seen_shards: list, bloom_blob: bytes |
         n = len(hashes)
         if n == 0:
             return batch
-        blob = ray.get(bloom_ref)
-        if blob is None:
+        # fetch + deserialize ONCE per (worker process, epoch summary), not
+        # per 8k-row batch — at crawl scale the summary is large, and both
+        # the ray.get bytes copy AND BloomFilter.deserialize would otherwise
+        # repeat per batch (None — no summary yet — is memoized too)
+        if bloom_ref not in _BLOOM_MEMO:
+            _BLOOM_MEMO.clear()  # ≤1 live summary per worker (per epoch)
+            blob = ray.get(bloom_ref)
+            _BLOOM_MEMO[bloom_ref] = (None if blob is None
+                                      else BloomFilter.deserialize(blob))
+        bf = _BLOOM_MEMO[bloom_ref]
+        if bf is None:
             maybe_seen = np.ones(n, dtype=bool)  # no summary yet → ask shards
         else:
-            # deserialize ONCE per (worker process, epoch summary), not per
-            # 8k-row batch — at crawl scale the summary is large and a
-            # per-batch full-filter copy would dominate the anti-join
-            bf = _BLOOM_MEMO.get(bloom_ref)
-            if bf is None:
-                _BLOOM_MEMO.clear()  # ≤1 live summary per worker (per epoch)
-                bf = _BLOOM_MEMO[bloom_ref] = BloomFilter.deserialize(blob)
             maybe_seen = bf.maybe_contains(hashes)
         seen = np.zeros(n, dtype=bool)
         idx = np.flatnonzero(maybe_seen)

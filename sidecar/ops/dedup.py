@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from sidecar.ops.similarity import _emb_matrix
+from sidecar.ops.similarity import _emb_matrix, _unit_rows
 from sidecar.ops.text import read_documents
 from sidecar.storage import read_parquet_clean
 
@@ -133,6 +133,9 @@ def _pairs_within(g: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
     singleton (band, bucket) groups, and iterating ``g.groupby`` costs
     ~50 µs of pandas dispatch per group — only the rare ≥2-member runs
     reach Python."""
+    nulls = g[keys].isna().any(axis=1)
+    if nulls.any():  # groupby(dropna=True) parity: null-key rows drop (the
+        g = g[~nulls]  # factorize sentinel -1 would group them instead)
     code = pd.MultiIndex.from_frame(g[keys]).factorize(sort=False)[0] \
         if len(keys) > 1 else pd.factorize(g[keys[0]], sort=False)[0]
     ids = g["doc_id"].to_numpy(dtype=np.int64)
@@ -500,9 +503,7 @@ def _normalized_embeddings(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     E = _emb_matrix(t.column("embedding"))
     if E is None:
         return ids, np.empty((0, 0), dtype=np.float64)
-    norms = np.linalg.norm(E, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return ids, E / norms
+    return ids, _unit_rows(E)
 
 
 def embedding_near_dup(sf_dir: str, threshold: float = 0.4, *,
@@ -563,9 +564,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4, *,
             if B is None:  # empty block
                 return pa.table({"vec_a": pa.array([], pa.int64()),
                                  "vec_b": pa.array([], pa.int64())})
-            nrm = np.linalg.norm(B, axis=1, keepdims=True)
-            nrm[nrm == 0] = 1.0
-            S = (B / nrm) @ Nn.T
+            S = _unit_rows(B) @ Nn.T
             r, c = np.nonzero(S >= threshold)
             a, b = bids[r], all_ids[c]
             keep = a < b  # each unordered pair once; drops self-pairs
@@ -602,10 +601,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.4, *,
     def cross(g: pd.DataFrame) -> pd.DataFrame:
         i, j = divmod(int(g["pairkey"].iloc[0]), P)
         ids = g["vec_id"].to_numpy(dtype=np.int64)
-        E = np.array(g["embedding"].tolist(), dtype=np.float64)
-        nrm = np.linalg.norm(E, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        E = E / nrm
+        E = _unit_rows(np.array(g["embedding"].tolist(), dtype=np.float64))
         if i == j:
             S = E @ E.T
             r, c = np.nonzero(S >= threshold)
@@ -718,6 +714,11 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         return _emit_bands(ids, E, None)
 
+    def _run_bounds(tb: np.ndarray, bk: np.ndarray):
+        bounds = np.flatnonzero(np.diff(tb) | np.diff(bk).astype(bool))
+        return (np.concatenate(([0], bounds + 1)),
+                np.concatenate((bounds + 1, [len(tb)])))
+
     def nonsingleton_ids(g: pa.Table) -> pa.Table:
         """Distinct vec_ids that share a (table, bucket) with another vector
         in this partition — vectorized run-length pass, no per-bucket
@@ -729,23 +730,32 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
         ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.lexsort((bk, tb))
         tb, bk, ids = tb[order], bk[order], ids[order]
-        bounds = np.flatnonzero(np.diff(tb) | np.diff(bk).astype(bool))
-        starts = np.concatenate(([0], bounds + 1))
-        ends = np.concatenate((bounds + 1, [len(ids)]))
+        starts, ends = _run_bounds(tb, bk)
         sizes = ends - starts
         keep = np.repeat(sizes >= 2, sizes)
         return pa.table({"vec_id": pa.array(np.unique(ids[keep]), pa.int64())})
 
-    def _run_bounds(tb: np.ndarray, bk: np.ndarray):
-        bounds = np.flatnonzero(np.diff(tb) | np.diff(bk).astype(bool))
-        return (np.concatenate(([0], bounds + 1)),
-                np.concatenate((bounds + 1, [len(tb)])))
+    def add_idpart(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "idpart", pa.array((ids % NUM_SHUFFLE_PARTS).astype(np.int64)))
+
+    def distinct_ids(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vec_id": pa.array(np.unique(ids), pa.int64())})
 
     src = read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                              columns=["vec_id", "embedding"])
+    # candidate ids, globally DISTINCT: nonsingleton_ids dedups only within
+    # its (table, bucket)-hash partition, and a vector colliding in two
+    # tables lands in two partitions — the id-keyed second pass makes both
+    # the broadcast gate and the shipped id array exact (id rows only)
     cand = (src.map_batches(band_ids, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("part")
-            .map_groups(nonsingleton_ids, batch_format="pyarrow")).materialize()
+            .map_groups(nonsingleton_ids, batch_format="pyarrow")
+            .map_batches(add_idpart, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("idpart")
+            .map_groups(distinct_ids, batch_format="pyarrow")).materialize()
     n_cand = cand.count()
     if n_cand == 0:
         return rd.from_arrow(empty_pairs)
@@ -764,12 +774,14 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
             _, sel = _cand_sel(batch, ray.get(ids_ref))
             return batch.select(["vec_id", "embedding"]).take(pa.array(sel))
 
-        # gather the candidate rows into ONE normalized float64 matrix
-        # (size-gated above; distributed column-pruned read, tiny result)
+        # candidate rows, read ONCE and kept in the object store (size-gated
+        # above): both the broadcast matrix and the candidate banding pass
+        # feed from this subset — no further pass touches the full corpus
+        sub = src.map_batches(select_candidates, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
         mids, mats = [], []
-        for b in (src.map_batches(select_candidates, batch_format="pyarrow",
-                                  zero_copy_batch=True)
-                  .iter_batches(batch_format="pyarrow")):
+        for b in sub.iter_batches(batch_format="pyarrow"):
             t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
             if t.num_rows:
                 mids.append(t.column("vec_id").to_numpy(
@@ -777,18 +789,15 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
                 mats.append(_emb_matrix(t.column("embedding")))
         gids = np.concatenate(mids)
         order = np.argsort(gids)
-        En = np.vstack(mats)[order]
-        nrm = np.linalg.norm(En, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        mat_ref = ray.put((gids[order], En / nrm))
+        mat_ref = ray.put((gids[order], _unit_rows(np.vstack(mats)[order])))
 
         def band_cand_ids(batch: pa.Table) -> pa.Table:
-            ids, sel = _cand_sel(batch, ray.get(ids_ref))
-            if len(sel) == 0:
+            E = _emb_matrix(batch.column("embedding"))
+            if E is None:
                 return _empty_bands(None)
-            E = _emb_matrix(batch.select(["embedding"]).take(
-                pa.array(sel)).column("embedding"))
-            return _emit_bands(ids[sel], E, None)
+            ids = batch.column("vec_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return _emit_bands(ids, E, None)
 
         def pairs_ids_in_partition(g: pa.Table) -> pa.Table:
             """Within-(table, bucket) candidate id pairs — ids only."""
@@ -825,7 +834,7 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
             return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
                              "vec_b": pa.array(b[keep], pa.int64())})
 
-        candidates = (src.map_batches(band_cand_ids, batch_format="pyarrow",
+        candidates = (sub.map_batches(band_cand_ids, batch_format="pyarrow",
                                       zero_copy_batch=True)
                       .groupby("part")
                       .map_groups(pairs_ids_in_partition, batch_format="pyarrow")
@@ -853,9 +862,7 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
         tb = g.column("table").to_numpy(zero_copy_only=False).astype(np.int64)
         bk = g.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
         ids = g.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        nrm = np.linalg.norm(E, axis=1, keepdims=True)
-        nrm[nrm == 0] = 1.0
-        En = E / nrm
+        En = _unit_rows(E)
         order = np.lexsort((bk, tb))
         tb, bk, ids, En = tb[order], bk[order], ids[order], En[order]
         starts, ends = _run_bounds(tb, bk)

@@ -29,18 +29,23 @@ def _emb_matrix(col) -> "np.ndarray | None":
 
     Vectorized: rectangular non-null lists flatten to one values buffer and
     reshape — no per-element Python objects (a 1M × 64 corpus converts in
-    ~0.1 s vs ~10 s via to_pylist).  Ragged / null-bearing input falls back
-    to the object path with the original semantics."""
+    ~0.1 s vs ~10 s via to_pylist).  None means EMPTY, nothing else: a
+    non-empty ragged or null-bearing column raises ValueError (via the
+    object path), so callers' empty-block branches can't silently pair a
+    0-row column with n-row siblings."""
     import pyarrow.compute as pc
 
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if isinstance(arr, pa.Array) and len(arr) and arr.null_count == 0:
+    if len(arr) == 0:
+        return None
+    if isinstance(arr, pa.Array) and arr.null_count == 0:
         lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
         if lens.min() == lens.max() and lens[0] > 0:
             flat = arr.flatten().to_numpy(zero_copy_only=False)
             return flat.astype(np.float64, copy=False).reshape(len(arr), int(lens[0]))
-    E = np.array(arr.to_pylist(), dtype=np.float64)
-    return None if E.ndim != 2 else E
+    # ragged or null rows raise ValueError here — same contract as the
+    # pre-vectorization np.array(to_pylist, dtype=float64) code
+    return np.array(arr.to_pylist(), dtype=np.float64)
 
 
 def _unit_rows(E: np.ndarray) -> np.ndarray:

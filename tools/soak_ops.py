@@ -104,9 +104,11 @@ def synthesize(out_dir: str, n_rows: int) -> float:
     X = rng.standard_normal((n_rows, DIM)).astype(np.float32)
     dup_to = np.flatnonzero(ids % DUP_EVERY == 1)
     X[dup_to] = X[dup_to - 1]
+    # large_list offsets: a cast to list_() would overflow int32 offsets at
+    # ~33.5M rows x 64 dims; parquet stores both as LIST and readers get
+    # plain list<float> back, so the corpus scales with --rows
     offsets = np.arange(0, (n_rows + 1) * DIM, DIM, dtype=np.int64)
-    emb = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(X.ravel())) \
-        .cast(pa.list_(pa.float32()))
+    emb = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(X.ravel()))
     tbl = pa.table({
         "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
         "embedding": emb,
