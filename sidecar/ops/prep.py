@@ -148,9 +148,11 @@ def prep_corpus(sf_dir: str, min_chars: int = 50) -> "rd.Dataset":
     # stage 3: LSH candidate pairs over the kept docs (the SAME banding
     # implementation as dedup.minhash_lsh_pairs); drop the larger id of
     # each pair
+    from sidecar.ops.dedup import _stage
+
     pairs = _dedup_pairs(
-        kept.map_batches(bucketize_batch, batch_format="pyarrow",
-                         zero_copy_batch=True)
+        _stage(kept.map_batches(bucketize_batch, batch_format="pyarrow",
+                                zero_copy_batch=True))
         .groupby("part")
         .map_groups(lambda g: _pairs_within(g, ["band", "bucket"]),
                     batch_format="pandas"))

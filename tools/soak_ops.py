@@ -189,6 +189,24 @@ def main() -> int:
         if rows is not None:
             report["checks"]["simhash_rows"] = bool(rows == n)
 
+        # end-to-end curation (quality gate → exact dedup → LSH near-dup
+        # drop): the injected k+1 twin always dies at the exact-dedup stage
+        # (min doc_id per fingerprint), so no dup pair survives intact
+        prep = run("prep_corpus", lambda ds: ds.materialize())
+        if prep is not None:
+            kept = set()
+            for b in prep.iter_batches(batch_format="pyarrow"):
+                t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+                kept.update(t.column("doc_id").to_pylist())
+            twins = {k + 1 for k in range(0, n - 1, DUP_EVERY)}
+            report["checks"]["prep_no_dup_survives"] = not (twins & kept)
+            # lower slack: stage 3 also drops minhash band-collision
+            # near-dups (~3.7k of 1M in this corpus — the same pairs
+            # dedup_minhash_lsh reports beyond the injected 2k)
+            report["checks"]["prep_rows_band"] = bool(
+                n - n_dup_pairs - max(10_000, n // 100)
+                <= len(kept) <= n - n_dup_pairs)
+
         lsh = run("dedup_minhash_lsh", lambda ds: ds.to_pandas())
         if lsh is not None:
             got_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
