@@ -43,9 +43,13 @@ def _emb_matrix(col) -> "np.ndarray | None":
         if lens.min() == lens.max() and lens[0] > 0:
             flat = arr.flatten().to_numpy(zero_copy_only=False)
             return flat.astype(np.float64, copy=False).reshape(len(arr), int(lens[0]))
-    # ragged or null rows raise ValueError here — same contract as the
-    # pre-vectorization np.array(to_pylist, dtype=float64) code
-    return np.array(arr.to_pylist(), dtype=np.float64)
+    # ragged or mixed-null rows raise ValueError inside np.array; an
+    # ALL-null column instead converts to a 1-D nan array — raise
+    # explicitly so non-empty bad input never escapes as a 1-D array
+    E = np.array(arr.to_pylist(), dtype=np.float64)
+    if E.ndim != 2:
+        raise ValueError("embedding column has null or ragged rows")
+    return E
 
 
 def _unit_rows(E: np.ndarray) -> np.ndarray:

@@ -204,6 +204,9 @@ class TestEmbMatrix:
                             pa.list_(pa.float32()))
         with pytest.raises(ValueError):  # null row: same error as before
             _emb_matrix(withnull)
+        allnull = pa.array([None, None], pa.list_(pa.float32()))
+        with pytest.raises(ValueError):  # all-null converts to 1-D nan in
+            _emb_matrix(allnull)         # numpy — must raise, not escape
 
 
 class TestSimilarity:

@@ -104,11 +104,15 @@ def synthesize(out_dir: str, n_rows: int) -> float:
     X = rng.standard_normal((n_rows, DIM)).astype(np.float32)
     dup_to = np.flatnonzero(ids % DUP_EVERY == 1)
     X[dup_to] = X[dup_to - 1]
-    # large_list offsets: a cast to list_() would overflow int32 offsets at
-    # ~33.5M rows x 64 dims; parquet stores both as LIST and readers get
-    # plain list<float> back, so the corpus scales with --rows
+    # build with int64 offsets, then cast down to the testdata tables'
+    # list<float> whenever the values fit int32 offsets (the pyarrow footer
+    # schema round-trips the logical type, so without the cast readers
+    # would see large_list — a type the graded corpora never have); past
+    # ~33.5M rows x 64 dims the corpus stays large_list by necessity
     offsets = np.arange(0, (n_rows + 1) * DIM, DIM, dtype=np.int64)
     emb = pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(X.ravel()))
+    if n_rows * DIM < 2 ** 31:
+        emb = emb.cast(pa.list_(pa.float32()))
     tbl = pa.table({
         "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
         "embedding": emb,
@@ -201,11 +205,12 @@ def main() -> int:
             twins = {k + 1 for k in range(0, n - 1, DUP_EVERY)}
             report["checks"]["prep_no_dup_survives"] = not (twins & kept)
             # lower slack: stage 3 also drops minhash band-collision
-            # near-dups (~3.7k of 1M in this corpus — the same pairs
-            # dedup_minhash_lsh reports beyond the injected 2k)
+            # near-dups, which grow QUADRATICALLY with corpus size in this
+            # fixed-vocab corpus (measured 3,728 at 1M -> 68,650 - 8,000
+            # injected at 4M); allow 4x the 1M-anchored quadratic model
+            coll = int(3728 * (n / 1e6) ** 2 * 4) + 10_000
             report["checks"]["prep_rows_band"] = bool(
-                n - n_dup_pairs - max(10_000, n // 100)
-                <= len(kept) <= n - n_dup_pairs)
+                n - n_dup_pairs - coll <= len(kept) <= n - n_dup_pairs)
 
         lsh = run("dedup_minhash_lsh", lambda ds: ds.to_pandas())
         if lsh is not None:
