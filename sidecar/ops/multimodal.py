@@ -277,7 +277,7 @@ def phash_neardup(images_ds: "rd.Dataset | None", max_dist: int = 7,
     shape; 28 key rows per image instead of 8."""
     import pandas as pd
 
-    from sidecar.ops.dedup import NUM_SHUFFLE_PARTS, _dedup_pairs, _stage
+    from sidecar.ops.dedup import NUM_SHUFFLE_PARTS, _dedup_pairs
 
     if band_mode not in ("chunk", "chunk_pair"):
         raise ValueError(f"unknown band_mode {band_mode!r}")
@@ -348,14 +348,11 @@ def phash_neardup(images_ds: "rd.Dataset | None", max_dist: int = 7,
                              "id_b": np.concatenate(out_b),
                              "dist": np.concatenate(out_d)})
 
-    # stage at the barrier: the decode/phash pool is ~95% of this plan's
-    # compute, and the streaming executor's per-operator fair share would
-    # otherwise cap it behind the groupby sorts (see dedup._stage); the
-    # staged rows are (part, band, id, phash) — bytes never leave the pool
-    bands = _stage(stats.map_batches(band_rows, batch_format="pyarrow",
-                                     zero_copy_batch=True))
-    candidates = bands.groupby("part").map_groups(pairs_in_partition,
-                                                  batch_format="pandas")
+    candidates = (
+        stats.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(pairs_in_partition, batch_format="pandas")
+    )
     return _dedup_pairs(candidates, a="id_a", b="id_b", extra_cols=("dist",))
 
 
