@@ -201,7 +201,7 @@ def merge_cdxj(meta_ds, original_ds, *,
     limit = MERGE_AUTO_BUILD_ROWS if broadcast == "auto" else None
 
     meta_dict: dict[str, dict] = {}
-    for b in meta_ds.iter_batches(batch_format="pyarrow"):
+    for b in meta_ds.iter_batches(batch_format="pyarrow", batch_size=None):
         tbl = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         for s, t, j in zip(
             tbl.column("surt").to_pylist(),

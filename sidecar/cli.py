@@ -277,7 +277,7 @@ def cmd_cdxj(sidecar_file: str, archive_dir: str) -> dict:
     with open(out_path, "w") as f:
         for b in records.map_batches(to_lines, batch_format="pyarrow",
                                      zero_copy_batch=True).iter_batches(
-                                         batch_format="pyarrow"):
+                                         batch_format="pyarrow", batch_size=None):
             for line in b.column("line").to_pylist():
                 f.write(line)
                 n += 1

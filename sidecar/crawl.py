@@ -440,7 +440,7 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
             host_counts: dict[str, int] = {}
             for b in selected.map_batches(host_partials, batch_format="pyarrow",
                                           zero_copy_batch=True).iter_batches(
-                                              batch_format="pyarrow"):
+                                              batch_format="pyarrow", batch_size=None):
                 for hh, nn in zip(b.column("host").to_pylist(), b.column("n").to_pylist()):
                     host_counts[hh] = host_counts.get(hh, 0) + nn
             m["selected"] = sum(host_counts.values())
@@ -546,7 +546,7 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
                     b.column("n").to_pylist()[0]
                     for b in selected.map_batches(
                         mark_done_seen, batch_format="pyarrow",
-                        zero_copy_batch=True).iter_batches(batch_format="pyarrow"))
+                        zero_copy_batch=True).iter_batches(batch_format="pyarrow", batch_size=None))
                 m["resumed_parts"] = sorted(done_parts)
                 m["resumed_rows"] = int(n_done_rows)
 

@@ -78,7 +78,7 @@ def prep_images(images_ds: "rd.Dataset", max_dist: int = 7) -> "rd.Dataset":
     for b in (images_ds.map_batches(digest_rows, batch_format="pyarrow",
                                     zero_copy_batch=True)
               .groupby("digest").aggregate(Min("image_id", alias_name="keep"))
-              .iter_batches(batch_format="pyarrow")):
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
         survivors.update(b.column("keep").to_pylist())
     # broadcast an Arrow array (zero-copy from plasma per worker) and filter
     # with the vectorized is_in kernel — never a per-row Python membership
@@ -100,7 +100,7 @@ def prep_images(images_ds: "rd.Dataset", max_dist: int = 7) -> "rd.Dataset":
     # stage 3: perceptual near-dup over the survivors; drop larger id
     pairs = phash_neardup(None, max_dist=max_dist, stats_ds=stats)
     dropped: set[str] = set()
-    for b in pairs.iter_batches(batch_format="pyarrow"):
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
         dropped.update(b.column("id_b").to_pylist())
     drop_ref = ray.put(pa.array(sorted(dropped), pa.string()))
 
@@ -133,7 +133,7 @@ def prep_corpus(sf_dir: str, min_chars: int = 50) -> "rd.Dataset":
     for b in (gated.map_batches(fp_rows_batch, batch_format="pyarrow",
                                 zero_copy_batch=True)
               .groupby("fp").aggregate(Min("doc_id", alias_name="keep"))
-              .iter_batches(batch_format="pyarrow")):
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
         survivors.update(b.column("keep").to_pylist())
     surv_ref = ray.put(np.array(sorted(survivors), dtype=np.int64))
 
@@ -158,7 +158,7 @@ def prep_corpus(sf_dir: str, min_chars: int = 50) -> "rd.Dataset":
                     batch_format="pandas"))
 
     dropped: set[int] = set()
-    for b in pairs.iter_batches(batch_format="pyarrow"):
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
         dropped.update(b.column("doc_b").to_pylist())
     drop_ref = ray.put(np.array(sorted(dropped), dtype=np.int64))
 

@@ -633,7 +633,7 @@ def semi_join_big_orders(sf_dir: str, min_qty: float = 47.0) -> "rd.Dataset":
                                         columns=["l_orderkey", "l_quantity"])
                         .map_batches(distinct_keys, batch_format="pyarrow",
                                      zero_copy_batch=True)
-                        .iter_batches(batch_format="pyarrow"))]
+                        .iter_batches(batch_format="pyarrow", batch_size=None))]
     keys_ref = ray.put(np.unique(np.concatenate(chunks)) if chunks
                        else np.array([], dtype=np.int64))
 
@@ -681,7 +681,7 @@ def small_qty_lineitems(sf_dir: str) -> "rd.Dataset":
               .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
               .groupby("l_partkey")
               .aggregate(Sum("p_n", alias_name="n"), Sum("p_s", alias_name="s"))
-              .iter_batches(batch_format="pyarrow")):
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
         kc.append(b.column("l_partkey").to_numpy(zero_copy_only=False))
         nc.append(b.column("n").to_numpy(zero_copy_only=False))
         sc.append(b.column("s").to_numpy(zero_copy_only=False))
@@ -750,7 +750,7 @@ def global_rank_sample(sf_dir: str, every: int = 1000) -> "rd.Dataset":
     counts: dict[int, int] = {}
     for b in base.map_batches(bucket_counts, batch_format="pyarrow",
                               zero_copy_batch=True).iter_batches(
-                                  batch_format="pyarrow"):
+                                  batch_format="pyarrow", batch_size=None):
         for k, n in zip(b.column("bucket").to_pylist(), b.column("n").to_pylist()):
             counts[k] = counts.get(k, 0) + n
     offsets = {}
@@ -792,7 +792,7 @@ def customers_order_counts_left(sf_dir: str) -> "rd.Dataset":
     for b in (read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
               .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
               .groupby("o_custkey").aggregate(Sum("p_n", alias_name="n"))
-              .iter_batches(batch_format="pyarrow")):
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
         kc.append(b.column("o_custkey").to_numpy(zero_copy_only=False))
         nc.append(b.column("n").to_numpy(zero_copy_only=False))
     k_all = np.concatenate(kc) if kc else np.array([], dtype=np.int64)
@@ -906,7 +906,7 @@ def approx_distinct_custkey(sf_dir: str) -> "pa.Table":
     regs = np.zeros(HLL_M, dtype=np.int8)
     for b in (read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
               .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-              .iter_batches(batch_format="pyarrow")):
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
         for r in b.column("regs").to_pylist():
             regs = np.maximum(regs, np.array(r, dtype=np.int8))
 

@@ -228,7 +228,7 @@ def kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> "rd.Dataset":
         cnt = np.zeros(k, dtype=np.int64)
         for b in ds.map_batches(make_partials(C), batch_format="pyarrow",
                                 zero_copy_batch=True).iter_batches(
-                                    batch_format="pyarrow"):
+                                    batch_format="pyarrow", batch_size=None):
             for c, n, s in zip(b.column("cluster").to_pylist(),
                                b.column("n").to_pylist(),
                                b.column("sums").to_pylist()):
@@ -408,7 +408,7 @@ def ann_topk_int8(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2, 3),
                               columns=["vec_id", "embedding"])
               .map_batches(scan_int8, batch_format="pyarrow",
                            zero_copy_batch=True)
-              .iter_batches(batch_format="pyarrow")):
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
         for q, v in zip(b.column("query_id").to_pylist(),
                         b.column("vec_id").to_pylist()):
             cand[q].add(v)

@@ -207,7 +207,7 @@ def tfidf_topk(sf_dir: str, k: int = 5, *, broadcast: bool = True) -> "rd.Datase
     for b in (read_documents(sf_dir)
               .map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True)
               .groupby("term").aggregate(Sum("p_df", alias_name="df"))
-              .iter_batches(batch_format="pyarrow")):
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
         df_map.update(zip(b.column("term").to_pylist(),
                           b.column("df").to_pylist()))
     import ray

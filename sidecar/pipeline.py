@@ -283,7 +283,7 @@ def sidecar_dataset_dedup_digest(images_ds, *, batch_size: int = 1024,
                             batch_size=batch_size, zero_copy_batch=True)
 
     lookup: dict[str, dict] = {}
-    for b in meta.iter_batches(batch_format="pyarrow"):
+    for b in meta.iter_batches(batch_format="pyarrow", batch_size=None):
         tbl = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
         for row in tbl.select(list(PAYLOAD_DERIVED_COLS)).to_pylist():
             lookup[row["payload_digest"]] = row

@@ -132,7 +132,7 @@ def write_sidecar_warc(sidecar_ds, path: str, *, filename: str | None = None,
         for batch in sidecar_to_warc_text(
                 sidecar_ds, source_is_warc=source_is_warc,
                 warcinfo_id=warcinfo_id).iter_batches(
-                batch_format="pyarrow"):
+                batch_format="pyarrow", batch_size=None):
             col = batch.column("record") if hasattr(batch, "column") else batch["record"]
             for rec in col.to_pylist():
                 f.write(rec)

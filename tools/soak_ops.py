@@ -199,7 +199,7 @@ def main() -> int:
         prep = run("prep_corpus", lambda ds: ds.materialize())
         if prep is not None:
             kept = set()
-            for b in prep.iter_batches(batch_format="pyarrow"):
+            for b in prep.iter_batches(batch_format="pyarrow", batch_size=None):
                 t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
                 kept.update(t.column("doc_id").to_pylist())
             twins = {k + 1 for k in range(0, n - 1, DUP_EVERY)}
@@ -217,6 +217,15 @@ def main() -> int:
             got_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
             report["checks"]["lsh_recall_injected"] = bool(dup_pairs <= got_pairs)
             report["ops"]["dedup_minhash_lsh"]["n_pairs"] = len(got_pairs)
+
+        # EXACT similarity join: prefix-filtered n-gram Jaccard at t=0.5.
+        # Random docs from this vocab can't reach J >= 0.5, so the result
+        # must be EXACTLY the injected pair set — the strongest check here.
+        jac = run("dedup_ngram_jaccard", lambda ds: ds.to_pandas())
+        if jac is not None:
+            got_j = set(zip(jac["doc_a"], jac["doc_b"]))
+            report["checks"]["jaccard_exactly_injected"] = bool(got_j == dup_pairs)
+            report["ops"]["dedup_ngram_jaccard"]["n_pairs"] = len(got_j)
 
         # --- embeddings family -----------------------------------------
         ann = run("sim_ann_topk", lambda ds: ds.to_pandas())
