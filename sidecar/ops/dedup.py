@@ -74,26 +74,38 @@ def _minhash_sig(shingles: list[str]) -> list[str] | None:
 # ---------------------------------------------------------------- exact dedup
 
 def fp_rows_batch(batch: pa.Table) -> pa.Table:
-    """(fp, doc_id) rows: md5 content fingerprint per document — the ONE
-    definition shared by exact_dedup and prep_corpus's stage 2."""
+    """(part, fp, doc_id) rows: md5 content fingerprint per document — the
+    ONE definition shared by exact_dedup and prep_corpus's stage 2.  The
+    coarse partition key comes from the fingerprint's first 8 hex chars, so
+    the Ray shuffle sorts a 64-value int key and the string grouping stays
+    inside each task (a groupby on 1M fp STRINGS pays the same ~6 MB/core-s
+    row-repack as every other string-payload sort here)."""
     md5 = hashlib.md5
     fps = [md5((t or "").encode()).hexdigest()
            for t in batch.column("text").to_pylist()]
-    return pa.table({"fp": pa.array(fps, pa.string()),
+    parts = [int(fp[:8], 16) % NUM_SHUFFLE_PARTS for fp in fps]
+    return pa.table({"part": pa.array(parts, pa.int64()),
+                     "fp": pa.array(fps, pa.string()),
                      "doc_id": batch.column("doc_id")})
 
 
 def exact_dedup(sf_dir: str) -> "rd.Dataset":
     """fp, keep_doc_id, n_dups — hash-partition by content fingerprint, keep
     the min doc_id per group (the distributed DIGEST_CACHE: groupby moves only
-    (fp, doc_id) rows, one representative survives per distinct payload)."""
-    from ray.data.aggregate import Count, Min
+    (part, fp, doc_id) rows, one representative survives per distinct
+    payload; the per-fp min/count runs vectorized inside each partition)."""
+
+    def fp_agg(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("fp", sort=False)["doc_id"].agg(["min", "count"])
+        return pd.DataFrame({"fp": a.index.to_numpy(),
+                             "keep_doc_id": a["min"].to_numpy(),
+                             "n_dups": a["count"].to_numpy()})
 
     return (
         _stage(read_documents(sf_dir).map_batches(
             fp_rows_batch, batch_format="pyarrow", zero_copy_batch=True))
-        .groupby("fp")
-        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
+        .groupby("part")
+        .map_groups(fp_agg, batch_format="pandas")
     )
 
 

@@ -125,14 +125,19 @@ def prep_corpus(sf_dir: str, min_chars: int = 50) -> "rd.Dataset":
         quality, batch_format="pyarrow", zero_copy_batch=True)
 
     # stage 2: exact-dedup survivors (min doc_id per fingerprint) — the
-    # groupby moves (fp, doc_id) rows only; survivor ids collect small
-    # (fingerprint formula shared with dedup.exact_dedup: fp_rows_batch)
-    from ray.data.aggregate import Min
+    # groupby moves (part, fp, doc_id) rows only, sorted by the coarse int
+    # key; survivor ids collect small (fingerprint formula shared with
+    # dedup.exact_dedup: fp_rows_batch)
+    import pandas as pd
+
+    def fp_min(g: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {"keep": g.groupby("fp", sort=False)["doc_id"].min().to_numpy()})
 
     survivors: set[int] = set()
     for b in (gated.map_batches(fp_rows_batch, batch_format="pyarrow",
                                 zero_copy_batch=True)
-              .groupby("fp").aggregate(Min("doc_id", alias_name="keep"))
+              .groupby("part").map_groups(fp_min, batch_format="pandas")
               .iter_batches(batch_format="pyarrow", batch_size=None)):
         survivors.update(b.column("keep").to_pylist())
     surv_ref = ray.put(np.array(sorted(survivors), dtype=np.int64))
