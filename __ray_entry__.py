@@ -186,7 +186,7 @@ _CRAWL_SQL_CFG = dict(n_seeds=400, n_hosts=16, budget_per_host=24,
 
 def _crawl_exact_sql(n_seeds: int, n_hosts: int, budget_per_host: int,
                      seed: int, hot_frac: int, max_epochs: int = 3,
-                     **_ignored) -> str:
+                     max_depth: int = 3, **_ignored) -> str:
     """The full crawl loop (dedup → seen anti-join → robots → per-host
     budget top-k → fetch) replayed in pure SQL over the md5 graph —
     parameterized template of the round-3 hand-expanded query.  Valid for
@@ -197,6 +197,15 @@ def _crawl_exact_sql(n_seeds: int, n_hosts: int, budget_per_host: int,
     E = max_epochs
     if E > 3:  # not assert: must survive python -O
         raise ValueError("template models <=3 epochs (no depth-gate CTE)")
+    if max_depth < E:
+        # the template has NO depth-gate CTE: it is exact only while the Ray
+        # crawl's depth gate never binds, i.e. max_depth >= max_epochs
+        # (depth reaches at most epochs-1).  A smaller max_depth would make
+        # the replay silently diverge — refuse instead.
+        raise ValueError(
+            f"template requires max_depth >= max_epochs "
+            f"(got max_depth={max_depth} < max_epochs={E}): the SQL has no "
+            f"depth-gate CTE, the Ray crawl would prune deeper links")
     sep = "|| chr(31) ||"
     host_expr = (f"CASE WHEN rj % 10 < {HOT} THEN 'hot.example.com' "
                  f"ELSE printf('host%02d.example.com', (1 + rj % {H - 1})::INT) END")

@@ -22,6 +22,16 @@ import ray
 from sidecar import synth
 from sidecar.state import BloomFilter, CuckooFilter
 
+# Epoch-less note_denied idempotency keys are FIFO-capped: once the window
+# holds DENIED_KEYS_CAP keys, the oldest DENIED_KEYS_EVICT are dropped in
+# one batch (amortized O(1) per insert).  The 2× ratio is a deliberate,
+# metrics-only tradeoff: retries arrive close in time, so a retry would
+# have to land after ~DENIED_KEYS_EVICT newer DISTINCT batches to re-count
+# its denials — far beyond any plausible Ray retry window — while the cap
+# bounds actor memory for callers that never report an epoch.
+DENIED_KEYS_CAP = 65536
+DENIED_KEYS_EVICT = DENIED_KEYS_CAP // 2
+
 
 @ray.remote(num_cpus=0)  # pure state actor: zero CPU reservation so pools
 # of state shards always schedule even on tiny clusters (a 0.25 reservation
@@ -196,8 +206,8 @@ class HostPolicy:
                 for e in [e for e in self._denied_keys
                           if e is not None and e < epoch - 1]:
                     del self._denied_keys[e]
-            elif len(seen) > 65536:
-                for k in list(seen)[:32768]:
+            elif len(seen) > DENIED_KEYS_CAP:
+                for k in list(seen)[:DENIED_KEYS_EVICT]:
                     del seen[k]
         self.denied_robots += int(n)
 

@@ -352,6 +352,15 @@ def run_crawl(cfg: CrawlConfig, *, resume: bool = False,
                 ds = fr.filter_unseen(
                     ds, shards, bloom.serialize(), cfg.num_seen_shards
                 )
+            # EXECUTE-ONCE INVARIANT: filter_robots reports denied counts to
+            # the politeness actors under an idempotency key scoped by Ray
+            # TASK id (frontier.py note_denied) — a retry of the same task
+            # dedupes, but re-executing the *plan* (consuming this lazy
+            # dataset twice) runs the map under fresh task ids and
+            # double-counts denials.  The single `.materialize()` below is
+            # what upholds the invariant: every later consumer reads the
+            # materialized `flagged`, never re-runs the robots filter.  Do
+            # not iterate `ds` a second time.
             ds = fr.filter_robots(ds, policies, cfg.num_policy_actors,
                                   rules_ref=robots_ref)
             flagged = fr.select_budget(ds, cfg.budget_per_host, dedup=True,

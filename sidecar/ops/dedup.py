@@ -329,7 +329,12 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     ``max_df`` additionally drops ultra-hot shingles from the index (the
     production knob for adversarial corpora; None = exact, for the oracle —
     note prefix filtering keeps the default EXACT, unlike the old plan
-    where exactness forced the quadratic path).
+    where exactness forced the quadratic path).  The df values the gate
+    compares against are keyed by the 64-bit shingle hash, so a collision
+    (probability ~n²/2⁶⁴ over the vocab) can merge two shingles' counts and
+    push one past ``max_df`` — the pruning knob is approximate at that
+    granularity.  Keep ``max_df=None`` on oracle paths; the default output
+    stays hash-collision-proof because stage 3 verifies true jaccard.
     """
     from collections import Counter
 
@@ -349,8 +354,9 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     # Hashing is safe for EXACTNESS: prefix filtering is exact under ANY
     # total order every task shares — rarest-first is a performance
     # heuristic — so a 64-bit collision merely merges two shingles' df and
-    # the order stays consistent.  Candidate bucketing below still groups
-    # on the full shingle string.
+    # the order stays consistent.  Candidate bucketing below groups on the
+    # same 64-bit shingle hash; a collision can only ADD candidate pairs,
+    # which stage-3 exact verification filters back out.
     def _sh_hash(shingles: list[str]) -> np.ndarray:
         md5 = hashlib.md5
         return np.fromiter(

@@ -173,7 +173,17 @@ def token_count_regex(sf_dir: str) -> "rd.Dataset":
     return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def tfidf_topk(sf_dir: str, k: int = 5, *, broadcast: bool = True) -> "rd.Dataset":
+# tfidf auto-broadcast gate: gather the reduced (term, df) table to a driver
+# dict only when its materialized Arrow size fits comfortably in one worker
+# heap; a web-corpus vocab blows past this and takes the partitioned join.
+# Same shape as dedup.embedding_near_dup's 512 MB gate, but the vocab table
+# is measured AFTER the reduce (the parquet footer can't bound vocab size),
+# and the materialized table is reused by whichever plan wins — no recompute.
+TFIDF_BROADCAST_MAX_BYTES = 256 << 20
+
+
+def tfidf_topk(sf_dir: str, k: int = 5, *,
+               broadcast: "bool | str" = "auto") -> "rd.Dataset":
     """doc_id, term, tf, df, rank — each document's k most distinctive terms
     by tf·idf with idf = 1/df (rank-equivalent per doc to any monotone idf,
     and hash-exact: score = tf::DOUBLE / df is ONE IEEE division of the same
@@ -188,7 +198,10 @@ def tfidf_topk(sf_dir: str, k: int = 5, *, broadcast: bool = True) -> "rd.Datase
     twin (the vocab never lands on the driver): the reduced df table joins
     the (doc, term, tf) rows through a hash-partitioned join on term, then
     one doc-keyed shuffle ranks per-doc top-k — output identical (asserted
-    in tests)."""
+    in tests).  The default ``broadcast="auto"`` materializes the reduced
+    df table (key-sized rows, a barrier the plan hits anyway) and picks by
+    its measured Arrow size vs ``TFIDF_BROADCAST_MAX_BYTES`` — a web-scale
+    vocab never lands on the driver unless it measurably fits."""
     from collections import Counter
 
     from ray.data.aggregate import Sum
@@ -200,13 +213,19 @@ def tfidf_topk(sf_dir: str, k: int = 5, *, broadcast: bool = True) -> "rd.Datase
         return pa.table({"term": pa.array(list(c.keys()), pa.string()),
                          "p_df": pa.array(list(c.values()), pa.int64())})
 
+    df_ds = (read_documents(sf_dir)
+             .map_batches(partial_df, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("term").aggregate(Sum("p_df", alias_name="df")))
+    if broadcast == "auto":
+        df_ds = df_ds.materialize()
+        broadcast = df_ds.size_bytes() <= TFIDF_BROADCAST_MAX_BYTES
+
     if not broadcast:
-        return _tfidf_topk_partitioned(sf_dir, k, partial_df)
+        return _tfidf_topk_partitioned(sf_dir, k, df_ds)
 
     df_map: dict[str, int] = {}
-    for b in (read_documents(sf_dir)
-              .map_batches(partial_df, batch_format="pyarrow", zero_copy_batch=True)
-              .groupby("term").aggregate(Sum("p_df", alias_name="df"))
+    for b in (df_ds
               .iter_batches(batch_format="pyarrow", batch_size=None)):
         df_map.update(zip(b.column("term").to_pylist(),
                           b.column("df").to_pylist()))
@@ -245,17 +264,18 @@ def tfidf_topk(sf_dir: str, k: int = 5, *, broadcast: bool = True) -> "rd.Datase
                                               zero_copy_batch=True)
 
 
-def _tfidf_topk_partitioned(sf_dir: str, k: int, partial_df) -> "rd.Dataset":
-    """tfidf_topk's no-broadcast plan: df table ⋈ tf rows on term (tagged
-    co-partition), then per-doc top-k in a doc-keyed shuffle.  The driver
-    never holds the vocab."""
+def _tfidf_topk_partitioned(sf_dir: str, k: int,
+                            df_ds: "rd.Dataset") -> "rd.Dataset":
+    """tfidf_topk's no-broadcast plan: the reduced (term, df) dataset
+    (computed — and possibly already materialized by the auto gate — in
+    ``tfidf_topk``) joins the tf rows on term (tagged co-partition), then
+    per-doc top-k in a doc-keyed shuffle.  The driver never holds the
+    vocab."""
     from collections import Counter
 
     from zlib import crc32
 
     import pandas as pd
-
-    from ray.data.aggregate import Sum
 
     NPARTS = 64
 
@@ -263,11 +283,6 @@ def _tfidf_topk_partitioned(sf_dir: str, k: int, partial_df) -> "rd.Dataset":
         return pa.array(
             np.array([crc32(t.encode()) % NPARTS for t in terms],
                      dtype=np.int64), pa.int64())
-
-    df_ds = (read_documents(sf_dir)
-             .map_batches(partial_df, batch_format="pyarrow",
-                          zero_copy_batch=True)
-             .groupby("term").aggregate(Sum("p_df", alias_name="df")))
 
     def tag_df(batch: pa.Table) -> pa.Table:
         terms = batch.column("term").to_pylist()

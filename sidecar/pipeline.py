@@ -214,9 +214,67 @@ PAYLOAD_DERIVED_COLS = (
     "phash", "w", "h", "fmt", "is_text", "payload_digest",
 )  # columns that depend only on the payload bytes — the cacheable part
 
+# dedup-digest step-4 gate: broadcast the per-distinct-digest metadata as a
+# driver dict only when its materialized Arrow size fits a worker heap;
+# beyond that (billions of distinct payloads) step 4 becomes the
+# hash-partitioned join in _dedup_digest_join — same auto-gate shape as
+# dedup.embedding_near_dup and merge_cdxj.
+DIGEST_META_BROADCAST_MAX_BYTES = 512 << 20
+
+
+def _assemble_from_lookup(batch: pa.Table, digests, lk: dict) -> pa.Table:
+    """Shared step-4 row assembly: original-row columns + the payload-derived
+    metadata for each row's digest from ``lk`` (a digest → metadata-row
+    dict — the ray.put broadcast in the default plan, a per-partition local
+    dict in the join fallback).  Rows whose digest has no metadata are
+    dropped (≡ extract's empty-payload filter)."""
+    n = batch.num_rows
+    caption = batch.column("caption").combine_chunks()
+    url = batch.column("url") if "url" in batch.column_names else pa.nulls(n, pa.string())
+    ts = batch.column("ts") if "ts" in batch.column_names else pa.nulls(n, pa.string())
+    hit = [lk.get(d) for d in digests]
+    keep = np.array([h is not None for h in hit], dtype=bool)  # ≡ nonempty filter
+
+    def col(name):
+        return [h[name] for h, k in zip(hit, keep) if k]
+
+    is_text = np.array(col("is_text"), dtype=bool)
+    cap_kept = caption.filter(pa.array(keep)).fill_null("")
+    cap_mask = (~is_text) & (
+        pc.greater(pc.utf8_length(cap_kept), 0).to_numpy(zero_copy_only=False))
+    caption_languages = find_language_batch(cap_kept, mask=cap_mask)
+    out = pa.table({
+        "image_id": batch.column("image_id").filter(pa.array(keep)),
+        "url": url.filter(pa.array(keep)) if n else url,
+        "ts": ts.filter(pa.array(keep)) if n else ts,
+        "mime_fido": pa.array(col("mime_fido"), pa.string()),
+        "mime_magic": pa.array(col("mime_magic"), pa.string()),
+        "puid": pa.array(col("puid"), pa.string()),
+        "charset": pa.array(col("charset"), type=schemas.CHARSET_T),
+        "languages": pa.array(col("languages"), type=schemas.LANGUAGES_T),
+        "caption_languages": pa.array(
+            [_lang_dict_to_struct(x) for x in caption_languages],
+            type=schemas.LANGUAGES_T),
+        "soft404": pa.array(col("soft404"), pa.float64()),
+        "phash": pa.array(col("phash"), pa.int64()),
+        "w": pa.array(col("w"), pa.int32()),
+        "h": pa.array(col("h"), pa.int32()),
+        "fmt": pa.array(col("fmt"), pa.string()),
+        "payload_digest": pa.array([d for d, k in zip(digests, keep) if k],
+                                   pa.string()),
+        "is_text": pa.array(is_text),
+        "caption": cap_kept,
+    })
+    for passthru in ("part", "concurrent_id", "warcinfo_id"):
+        if passthru in batch.column_names:
+            out = out.append_column(
+                passthru, batch.column(passthru).filter(pa.array(keep)))
+    return out
+
 
 def sidecar_dataset_dedup_digest(images_ds, *, batch_size: int = 1024,
-                                 num_parts: int = 64):
+                                 num_parts: int = 64,
+                                 broadcast: "bool | str" = "auto"):
     """The EXPLICIT compute-once-per-digest plan (reference DIGEST_CACHE →
     SURVEY.md A3: groupby(payload_digest), extract once per distinct payload,
     fan results back to every row).
@@ -238,9 +296,14 @@ def sidecar_dataset_dedup_digest(images_ds, *, batch_size: int = 1024,
          broadcast once via ``ray.put``; a final shuffle-free pass over the
          ORIGINAL rows re-hashes (cheap) and assembles each row from the
          lookup, computing only the row-specific fields (caption language)
-         in place.  At a scale where even the metadata outgrows a broadcast,
-         step 4 becomes a hash-partitioned join on payload_digest — the
-         upstream stages are unchanged.
+         in place.  ``broadcast="auto"`` (default) materializes the metadata
+         dataset and picks by its measured Arrow size vs
+         ``DIGEST_META_BROADCAST_MAX_BYTES``: at a scale where the metadata
+         outgrows a broadcast (billions of distinct payloads), step 4
+         becomes ``_dedup_digest_join`` — a tagged-union hash-partitioned
+         join on payload_digest where the original rows ship WITHOUT their
+         bytes (digest + row-specific columns only) — the upstream stages
+         are unchanged and outputs are identical (asserted in tests).
 
     Output rows equal ``sidecar_dataset``'s (order aside) — asserted in
     tests on corpora with duplicate payloads and distinct captions.
@@ -279,64 +342,126 @@ def sidecar_dataset_dedup_digest(images_ds, *, batch_size: int = 1024,
     def extract_with_registry(b: pa.Table) -> pa.Table:
         return extract_sidecar_batch(b, registry=reg)
 
-    meta = uniq.map_batches(extract_with_registry, batch_format="pyarrow",
-                            batch_size=batch_size, zero_copy_batch=True)
+    meta = (uniq.map_batches(extract_with_registry, batch_format="pyarrow",
+                             batch_size=batch_size, zero_copy_batch=True)
+            .select_columns(list(PAYLOAD_DERIVED_COLS)))
+    if broadcast == "auto":
+        meta = meta.materialize()
+        broadcast = meta.size_bytes() <= DIGEST_META_BROADCAST_MAX_BYTES
+
+    if not broadcast:
+        return _dedup_digest_join(images_ds, meta, batch_size=batch_size,
+                                  num_parts=num_parts)
 
     lookup: dict[str, dict] = {}
     for b in meta.iter_batches(batch_format="pyarrow", batch_size=None):
         tbl = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for row in tbl.select(list(PAYLOAD_DERIVED_COLS)).to_pylist():
+        for row in tbl.to_pylist():
             lookup[row["payload_digest"]] = row
     lookup_ref = ray.put(lookup)
 
     def assemble(batch: pa.Table) -> pa.Table:
         lk = ray.get(lookup_ref)
-        n = batch.num_rows
         digests = _digest_batch(batch.column("bytes"))
-        caption = batch.column("caption").combine_chunks()
-        url = batch.column("url") if "url" in batch.column_names else pa.nulls(n, pa.string())
-        ts = batch.column("ts") if "ts" in batch.column_names else pa.nulls(n, pa.string())
-        hit = [lk.get(d) for d in digests]
-        keep = np.array([h is not None for h in hit], dtype=bool)  # ≡ nonempty filter
-
-        def col(name):
-            return [h[name] for h, k in zip(hit, keep) if k]
-
-        is_text = np.array(col("is_text"), dtype=bool)
-        cap_kept = caption.filter(pa.array(keep)).fill_null("")
-        cap_mask = (~is_text) & (
-            pc.greater(pc.utf8_length(cap_kept), 0).to_numpy(zero_copy_only=False))
-        caption_languages = find_language_batch(cap_kept, mask=cap_mask)
-        out = pa.table({
-            "image_id": batch.column("image_id").filter(pa.array(keep)),
-            "url": url.filter(pa.array(keep)) if n else url,
-            "ts": ts.filter(pa.array(keep)) if n else ts,
-            "mime_fido": pa.array(col("mime_fido"), pa.string()),
-            "mime_magic": pa.array(col("mime_magic"), pa.string()),
-            "puid": pa.array(col("puid"), pa.string()),
-            "charset": pa.array(col("charset"), type=schemas.CHARSET_T),
-            "languages": pa.array(col("languages"), type=schemas.LANGUAGES_T),
-            "caption_languages": pa.array(
-                [_lang_dict_to_struct(x) for x in caption_languages],
-                type=schemas.LANGUAGES_T),
-            "soft404": pa.array(col("soft404"), pa.float64()),
-            "phash": pa.array(col("phash"), pa.int64()),
-            "w": pa.array(col("w"), pa.int32()),
-            "h": pa.array(col("h"), pa.int32()),
-            "fmt": pa.array(col("fmt"), pa.string()),
-            "payload_digest": pa.array([d for d, k in zip(digests, keep) if k],
-                                       pa.string()),
-            "is_text": pa.array(is_text),
-            "caption": cap_kept,
-        })
-        for passthru in ("part", "concurrent_id", "warcinfo_id"):
-            if passthru in batch.column_names:
-                out = out.append_column(
-                    passthru, batch.column(passthru).filter(pa.array(keep)))
-        return out
+        return _assemble_from_lookup(batch, digests, lk)
 
     return images_ds.map_batches(assemble, batch_format="pyarrow",
                                  batch_size=batch_size, zero_copy_batch=True)
+
+
+def _dedup_digest_join(images_ds, meta, *, batch_size: int, num_parts: int):
+    """``sidecar_dataset_dedup_digest`` step 4 at metadata-outgrows-broadcast
+    scale: tagged-union co-partition join on payload_digest (same pattern as
+    ``_tfidf_topk_partitioned`` / the relational large×large join).
+
+    The original rows ship WITHOUT their payload bytes — the row side is
+    (digest, image_id, url, ts, caption, passthrough) only, hashed to the
+    same crc32 partition as the metadata rows; the per-partition group then
+    assembles via a partition-local digest dict.  Nothing corpus-sized is
+    ever on the driver, and the only payload-byte shuffle remains step 2's
+    keep-first (one representative per surviving candidate)."""
+    from zlib import crc32
+
+    src = images_ds.schema().base_schema
+    passthrus = [c for c in ("part", "concurrent_id", "warcinfo_id")
+                 if c in src.names]
+    id_type = src.field("image_id").type
+    caption_type = src.field("caption").type
+    url_type = src.field("url").type if "url" in src.names else pa.string()
+    ts_type = src.field("ts").type if "ts" in src.names else pa.string()
+    has_url, has_ts = "url" in src.names, "ts" in src.names
+
+    META_FIELDS = [
+        ("mime_fido", pa.string()), ("mime_magic", pa.string()),
+        ("puid", pa.string()), ("charset", schemas.CHARSET_T),
+        ("languages", schemas.LANGUAGES_T), ("soft404", pa.float64()),
+        ("phash", pa.int64()), ("w", pa.int32()), ("h", pa.int32()),
+        ("fmt", pa.string()), ("is_text", pa.bool_()),
+    ]
+    union_schema = pa.schema(
+        [("dpart", pa.int64()), ("is_meta", pa.bool_()),
+         ("payload_digest", pa.string()), ("image_id", id_type),
+         ("url", url_type), ("ts", ts_type), ("caption", caption_type)]
+        + META_FIELDS
+        + [(c, src.field(c).type) for c in passthrus])
+
+    def _part(digs) -> pa.Array:
+        return pa.array(
+            np.array([crc32(d.encode()) % num_parts for d in digs],
+                     dtype=np.int64), pa.int64())
+
+    def row_rows(batch: pa.Table) -> pa.Table:
+        digests = _digest_batch(batch.column("bytes"))
+        n = batch.num_rows
+        cols = {
+            "dpart": _part(digests),
+            "is_meta": pa.array(np.zeros(n, dtype=bool)),
+            "payload_digest": pa.array(digests, pa.string()),
+            "image_id": batch.column("image_id"),
+            "url": batch.column("url") if has_url else pa.nulls(n, url_type),
+            "ts": batch.column("ts") if has_ts else pa.nulls(n, ts_type),
+            "caption": batch.column("caption"),
+        }
+        for nm, t in META_FIELDS:
+            cols[nm] = pa.nulls(n, t)
+        for c in passthrus:
+            cols[c] = batch.column(c)
+        return pa.table(cols, schema=union_schema)
+
+    def meta_rows(batch: pa.Table) -> pa.Table:
+        digs = batch.column("payload_digest").to_pylist()
+        n = batch.num_rows
+        cols = {
+            "dpart": _part(digs),
+            "is_meta": pa.array(np.ones(n, dtype=bool)),
+            "payload_digest": batch.column("payload_digest"),
+            "image_id": pa.nulls(n, id_type),
+            "url": pa.nulls(n, url_type),
+            "ts": pa.nulls(n, ts_type),
+            "caption": pa.nulls(n, caption_type),
+        }
+        for nm, t in META_FIELDS:
+            cols[nm] = batch.column(nm)
+        for c in passthrus:
+            cols[c] = pa.nulls(n, src.field(c).type)
+        return pa.table(cols, schema=union_schema)
+
+    def join_group(g: pa.Table) -> pa.Table:
+        is_meta = g.column("is_meta").combine_chunks()
+        meta_t = g.filter(is_meta)
+        rows_t = g.filter(pc.invert(is_meta))
+        lk = {r["payload_digest"]: r
+              for r in meta_t.select(list(PAYLOAD_DERIVED_COLS)).to_pylist()}
+        digests = rows_t.column("payload_digest").to_pylist()
+        return _assemble_from_lookup(rows_t, digests, lk)
+
+    union = (meta.map_batches(meta_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .union(images_ds.map_batches(row_rows, batch_format="pyarrow",
+                                          batch_size=batch_size,
+                                          zero_copy_batch=True)))
+    return union.groupby("dpart").map_groups(join_group,
+                                             batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -430,6 +430,20 @@ class TestNewText:
         assert part.equals(base)
         assert len(base) > 0
 
+    def test_tfidf_topk_auto_gate(self, monkeypatch):
+        """broadcast="auto" (the default) routes by the measured size of the
+        reduced df table: with the gate forced to 0 bytes it must take the
+        partitioned plan and still emit identical rows."""
+        from sidecar.ops import text as text_mod
+
+        cols = ["doc_id", "rank", "term", "tf", "df"]
+        base = text_mod.tfidf_topk(SF, k=5, broadcast=True).to_pandas()[cols] \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        monkeypatch.setattr(text_mod, "TFIDF_BROADCAST_MAX_BYTES", 0)
+        auto = text_mod.tfidf_topk(SF, k=5).to_pandas()[cols] \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+        assert auto.equals(base)
+
     def test_bigram_topk(self):
         from collections import Counter
 

@@ -153,6 +153,24 @@ def test_dedup_digest_plan_equals_plain_extract():
     pd.testing.assert_frame_equal(a, b)
     assert a["payload_digest"].nunique() < len(a)  # duplication actually present
 
+    # the metadata-outgrows-broadcast twin (step 4 = hash-partitioned join
+    # on payload_digest; driver never holds the digest→metadata dict) emits
+    # identical rows — exercised both via broadcast=False and via the auto
+    # gate forced to 0 bytes
+    c = norm(sidecar_dataset_dedup_digest(rd.from_arrow(tbl), broadcast=False))
+    pd.testing.assert_frame_equal(a, c[a.columns.tolist()] if
+                                  list(c.columns) != list(a.columns) else c)
+
+    from sidecar import pipeline as pl
+    orig = pl.DIGEST_META_BROADCAST_MAX_BYTES
+    try:
+        pl.DIGEST_META_BROADCAST_MAX_BYTES = 0
+        d = norm(sidecar_dataset_dedup_digest(rd.from_arrow(tbl)))
+    finally:
+        pl.DIGEST_META_BROADCAST_MAX_BYTES = orig
+    pd.testing.assert_frame_equal(a, d[a.columns.tolist()] if
+                                  list(d.columns) != list(a.columns) else d)
+
 
 def test_extract_tolerates_null_payload():
     """A NULL bytes cell counts as empty payload (dropped by F3) instead of
