@@ -681,6 +681,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.exact_dedup,
         "dedup_minhash_sig": dedup.minhash_signatures,
         "dedup_minhash_lsh": dedup.minhash_lsh_pairs,
+        # rows-only: the splitmix64 one-hash-many-permutations production
+        # family (MINHASH_FAMILIES) — not SQL-expressible; recall of
+        # injected exact dups is pytest-asserted (test_minhash_family)
+        "dedup_minhash_lsh_splitmix":
+            lambda sf: dedup.minhash_lsh_pairs(sf, family="splitmix64"),
         "dedup_simhash": dedup.simhash,
         "dedup_ngram_jaccard": dedup.ngram_jaccard_pairs,
         "dedup_embedding_cosine": dedup.embedding_near_dup,

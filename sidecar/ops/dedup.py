@@ -55,7 +55,25 @@ def _shingles(text: str) -> list[str]:
 _PERM_PREFIX = tuple(f"{p}|".encode() for p in range(NUM_PERMS))
 
 
-def _minhash_sig(shingles: list[str]) -> list[str] | None:
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — vectorized uint64 avalanche (wrapping mults)."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+# distinct 64-bit salts, one per permutation (splitmix stream over a fixed
+# seed — deterministic across processes, no RNG state)
+_PERM_SALTS = _mix64(np.arange(1, NUM_PERMS + 1, dtype=np.uint64)
+                     * np.uint64(0xA24BAED4963EE407))
+
+
+def _sig_md5(shingles: list[str]) -> list[str]:
     """min-of-md5 signature, one hex string per permutation.
 
     Output == min(md5(f"{p}|{s}").hexdigest()) per p (the DuckDB oracle
@@ -63,12 +81,42 @@ def _minhash_sig(shingles: list[str]) -> list[str] | None:
     min runs over 16-byte digests (hex encoding is byte-monotone, so digest
     order == hexdigest order), and only the NUM_PERMS winners are
     hex-encoded."""
-    if not shingles:
-        return None
     md5 = hashlib.md5
     enc = [s.encode() for s in shingles]
     return [min(md5(pre + sb).digest() for sb in enc).hex()
             for pre in _PERM_PREFIX]
+
+
+def _sig_splitmix(shingles: list[str]) -> list[str]:
+    """One-hash + cheap-permutations minhash (the production family): each
+    shingle is md5-hashed ONCE to a 64-bit base value; permutation p's hash
+    is splitmix64(base ^ salt_p), all NUM_PERMS x |shingles| values in one
+    vectorized numpy pass.  ~NUM_PERMS x fewer digest computations than the
+    md5 family; NOT SQL-expressible, so oracle paths keep md5."""
+    md5 = hashlib.md5
+    base = np.fromiter(
+        (int.from_bytes(md5(s.encode()).digest()[:8], "big")
+         for s in shingles), dtype=np.uint64, count=len(shingles))
+    vals = _mix64(base[None, :] ^ _PERM_SALTS[:, None])  # P x |sh|
+    return [f"{int(v):016x}" for v in vals.min(axis=1)]
+
+
+# Pluggable minhash hash family registry (SURVEY §2.9-style extension
+# point): a family maps the shingle list to NUM_PERMS comparable hex
+# strings.  "md5" is the default everywhere an oracle exists — the DuckDB
+# twin models min(md5(p||'|'||s)) exactly; register alternatives here (the
+# banding / pair stages are family-agnostic: they only concatenate and
+# re-hash the hex strings).
+MINHASH_FAMILIES: dict = {"md5": _sig_md5, "splitmix64": _sig_splitmix}
+
+
+def _minhash_sig(shingles: list[str],
+                 family: str = "md5") -> list[str] | None:
+    """Signature via the named MINHASH_FAMILIES entry; None for docs with
+    no shingles (shorter than SHINGLE_K tokens)."""
+    if not shingles:
+        return None
+    return MINHASH_FAMILIES[family](shingles)
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -111,15 +159,17 @@ def exact_dedup(sf_dir: str) -> "rd.Dataset":
 
 # ------------------------------------------------------------- minhash + LSH
 
-def minhash_signatures(sf_dir: str) -> "rd.Dataset":
-    """doc_id, mh0..mh{P-1} — md5-minhash signature per doc (docs with <k
-    tokens are dropped, matching the oracle's empty generate_series)."""
+def minhash_signatures(sf_dir: str, family: str = "md5") -> "rd.Dataset":
+    """doc_id, mh0..mh{P-1} — minhash signature per doc (docs with <k
+    tokens are dropped, matching the oracle's empty generate_series).
+    ``family`` picks the MINHASH_FAMILIES hash; only "md5" is
+    oracle-modeled."""
 
     def f(batch: pa.Table) -> pa.Table:
         ids, sigs = [], []
         for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                                 batch.column("text").to_pylist()):
-            sig = _minhash_sig(_shingles(text))
+            sig = _minhash_sig(_shingles(text), family)
             if sig is not None:
                 ids.append(doc_id)
                 sigs.append(sig)
@@ -219,15 +269,17 @@ def _dedup_pairs(pairs_ds: "rd.Dataset", a: str = "doc_a", b: str = "doc_b",
     )
 
 
-def bucketize_batch(batch: pa.Table) -> pa.Table:
+def bucketize_batch(batch: pa.Table, family: str = "md5") -> pa.Table:
     """(part, band, bucket, doc_id) LSH banding rows — the ONE banding
     definition shared by minhash_lsh_pairs and prep_corpus's stage 3 (both
-    DuckDB oracles assume the identical md5 formulas)."""
+    DuckDB oracles assume the identical md5 formulas; ``family`` swaps the
+    signature hash — banding itself is family-agnostic, it concatenates and
+    re-hashes the hex strings)."""
     md5 = hashlib.md5
     bands, buckets, ids, parts = [], [], [], []
     for doc_id, text in zip(batch.column("doc_id").to_pylist(),
                             batch.column("text").to_pylist()):
-        sig = _minhash_sig(_shingles(text))
+        sig = _minhash_sig(_shingles(text), family)
         if sig is None:
             continue
         for b in range(NUM_BANDS):
@@ -245,7 +297,7 @@ def bucketize_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def minhash_lsh_pairs(sf_dir: str) -> "rd.Dataset":
+def minhash_lsh_pairs(sf_dir: str, family: str = "md5") -> "rd.Dataset":
     """doc_a, doc_b — distinct candidate near-dup pairs from LSH banding:
     shingle → minhash → band-bucket → coarse-partition groupby → pairs.
 
@@ -254,11 +306,14 @@ def minhash_lsh_pairs(sf_dir: str) -> "rd.Dataset":
     (band, bucket) grouping happens vectorized inside each task.  Pair
     explosion inside one bucket is the skew to watch — buckets are
     md5-uniform unless the corpus has true duplicate clusters, which are
-    exactly the rows we want co-located.
+    exactly the rows we want co-located.  ``family`` swaps the signature
+    hash (MINHASH_FAMILIES); "md5" is the oracle default, "splitmix64" the
+    one-hash-many-permutations production family.
     """
-
+    bucketize = (bucketize_batch if family == "md5"
+                 else (lambda b: bucketize_batch(b, family)))
     bands = _stage(read_documents(sf_dir).map_batches(
-        bucketize_batch, batch_format="pyarrow", zero_copy_batch=True))
+        bucketize, batch_format="pyarrow", zero_copy_batch=True))
     candidates = bands.groupby("part").map_groups(
         lambda g: _pairs_within(g, ["band", "bucket"]), batch_format="pandas")
     return _dedup_pairs(candidates)

@@ -60,6 +60,38 @@ class TestDedup:
         assert got == want
         assert got, "LSH should find candidate pairs in this corpus"
 
+    def test_minhash_family_splitmix(self):
+        """The pluggable splitmix64 family (MINHASH_FAMILIES): deterministic,
+        jaccard-consistent at the extremes, and its LSH banding recalls every
+        EXACT-duplicate pair (identical text ⇒ identical signature ⇒ all
+        bands collide), like the md5 default."""
+        from sidecar.ops.dedup import _minhash_sig, minhash_lsh_pairs
+
+        sh_a = sorted({f"tok{i} tok{i+1} tok{i+2}" for i in range(20)})
+        sh_b = sorted({f"alt{i} alt{i+1} alt{i+2}" for i in range(20)})
+        sig_a = _minhash_sig(sh_a, "splitmix64")
+        assert sig_a == _minhash_sig(list(sh_a), "splitmix64")  # deterministic
+        assert all(len(h) == 16 and int(h, 16) >= 0 for h in sig_a)
+        assert _minhash_sig([], "splitmix64") is None
+        # identical sets agree on every perm; disjoint sets on ~none
+        agree = sum(x == y for x, y in zip(sig_a, _minhash_sig(sh_b, "splitmix64")))
+        assert agree <= 2
+        assert _minhash_sig(sh_a, "splitmix64") == sig_a
+
+        got = {(a, b) for a, b in
+               minhash_lsh_pairs(SF, family="splitmix64").to_pandas()
+               [["doc_a", "doc_b"]].itertuples(index=False)}
+        by_text: dict[str, list[int]] = {}
+        for doc_id, text in _docs():
+            if len((text or "").split(" ")) >= 3:
+                by_text.setdefault(text, []).append(doc_id)
+        must = {(ids[i], ids[j]) for ids in map(sorted, by_text.values())
+                for i in range(len(ids)) for j in range(i + 1, len(ids))}
+        assert must <= got
+        # md5 is unchanged as the oracle default
+        assert len(_minhash_sig(sh_a)) == len(sig_a)
+        assert all(len(h) == 32 for h in _minhash_sig(sh_a))
+
     def test_simhash_hamming_close_for_near_dups(self):
         from sidecar.ops.dedup import minhash_lsh_pairs, simhash
 
