@@ -88,6 +88,164 @@ def gen_docs_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+# ---------------------------------------------------------------- relational
+# Soak-scale TPC-H-ish tables with the SAME shape as the testdata tables
+# (TESTDATA.md): orders = n rows, lineitem = 2n rows (every order exactly two
+# lineitems: lid and lid+n share l_orderkey = lid % n), events = n rows,
+# customer = n//100 rows.  All columns are pure per-id splitmix functions, so
+# every expected answer is computable on the driver with one vectorized numpy
+# pass over the id range — the checks below compare the DISTRIBUTED plans
+# (coarse-partition shuffles, tagged-union joins, as-of forward fill) against
+# that single-pass ground truth exactly (prices to the cent).
+
+BASE_US = 1_704_067_200 * 1_000_000   # 2024-01-01 in epoch-us
+SPAN_S = 90_000                        # order/ship dates span ~the event window
+EVENT_STEP_S = 600                     # events per user are 10 min apart...
+EVENT_JUMP_EVERY = 20                  # ...except every 20th jumps 2h ahead
+EVENT_JUMP_S = 7_200                   # (> the 1800 s sessionize gap)
+SEGS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+def _n_custs(n: int) -> int:
+    return max(n // 100, 1)
+
+
+def _orders_cols(oid: np.ndarray, n: int) -> dict:
+    C = _n_custs(n)
+    return {
+        "o_orderkey": oid.astype(np.int64),
+        "o_custkey": (_mix(oid * np.uint64(7)) % np.uint64(C)).astype(np.int64),
+        "o_orderstatus": np.array(list("OFP"))[
+            (_mix(oid * np.uint64(11)) % np.uint64(3)).astype(np.int64)],
+        "o_totalprice": (_mix(oid * np.uint64(23)) % np.uint64(10_000_000))
+        .astype(np.int64) / 100.0,
+        "o_orderdate_us": (BASE_US + (_mix(oid * np.uint64(29))
+                                      % np.uint64(SPAN_S)).astype(np.int64)
+                           * 1_000_000),
+        "o_orderpriority": np.array([f"{i}-PRIO" for i in range(1, 6)])[
+            (_mix(oid * np.uint64(31)) % np.uint64(5)).astype(np.int64)],
+    }
+
+
+def _lineitem_cols(lid: np.ndarray, n: int) -> dict:
+    return {
+        "l_orderkey": (lid % np.uint64(n)).astype(np.int64),
+        "l_partkey": (_mix(lid * np.uint64(3))
+                      % np.uint64(max(n // 5, 1))).astype(np.int64),
+        "l_suppkey": (_mix(lid * np.uint64(5))
+                      % np.uint64(max(n // 50, 1))).astype(np.int64),
+        "l_linenumber": (lid // np.uint64(n) + np.uint64(1)).astype(np.int32),
+        "l_quantity": (1 + _mix(lid * np.uint64(37)) % np.uint64(50))
+        .astype(np.int64).astype(np.float64),
+        "l_extendedprice": (_mix(lid * np.uint64(41)) % np.uint64(10_000_000))
+        .astype(np.int64) / 100.0,
+        "l_discount": (_mix(lid * np.uint64(43)) % np.uint64(11))
+        .astype(np.int64) / 100.0,
+        "l_tax": (_mix(lid * np.uint64(47)) % np.uint64(9))
+        .astype(np.int64) / 100.0,
+        "l_returnflag": np.array(list("RAN"))[
+            (_mix(lid * np.uint64(53)) % np.uint64(3)).astype(np.int64)],
+        "l_linestatus": np.array(list("OF"))[
+            (_mix(lid * np.uint64(59)) % np.uint64(2)).astype(np.int64)],
+        "l_shipdate_us": (BASE_US + (_mix(lid * np.uint64(61))
+                                     % np.uint64(SPAN_S)).astype(np.int64)
+                          * 1_000_000),
+    }
+
+
+def _events_cols(eid: np.ndarray, n: int) -> dict:
+    C = _n_custs(n)
+    seq = (eid // np.uint64(C)).astype(np.int64)
+    return {
+        "event_id": eid.astype(np.int64),
+        "user_id": (eid % np.uint64(C)).astype(np.int64),
+        "ts_us": (BASE_US + (seq * EVENT_STEP_S
+                             + (seq // EVENT_JUMP_EVERY) * EVENT_JUMP_S)
+                  * 1_000_000),
+        "event_type": np.array([f"type{i}" for i in range(5)])[
+            (_mix(eid * np.uint64(67)) % np.uint64(5)).astype(np.int64)],
+        "value": (_mix(eid * np.uint64(71)) % np.uint64(1000))
+        .astype(np.int64) / 10.0,  # one decimal → cent sums stay integral
+    }
+
+
+def _ts(us: np.ndarray) -> pa.Array:
+    return pa.array(us, pa.int64()).cast(pa.timestamp("us"))
+
+
+def gen_orders_batch(n: int):
+    def f(batch: pa.Table) -> pa.Table:
+        c = _orders_cols(batch.column("id").to_numpy().astype(np.uint64), n)
+        return pa.table({
+            "o_orderkey": pa.array(c["o_orderkey"]),
+            "o_custkey": pa.array(c["o_custkey"]),
+            "o_orderstatus": pa.array(c["o_orderstatus"], pa.string()),
+            "o_totalprice": pa.array(c["o_totalprice"]),
+            "o_orderdate": _ts(c["o_orderdate_us"]),
+            "o_orderpriority": pa.array(c["o_orderpriority"], pa.string()),
+        })
+    return f
+
+
+def gen_lineitem_batch(n: int):
+    def f(batch: pa.Table) -> pa.Table:
+        c = _lineitem_cols(batch.column("id").to_numpy().astype(np.uint64), n)
+        return pa.table({
+            "l_orderkey": pa.array(c["l_orderkey"]),
+            "l_partkey": pa.array(c["l_partkey"]),
+            "l_suppkey": pa.array(c["l_suppkey"]),
+            "l_linenumber": pa.array(c["l_linenumber"], pa.int32()),
+            "l_quantity": pa.array(c["l_quantity"]),
+            "l_extendedprice": pa.array(c["l_extendedprice"]),
+            "l_discount": pa.array(c["l_discount"]),
+            "l_tax": pa.array(c["l_tax"]),
+            "l_returnflag": pa.array(c["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(c["l_linestatus"], pa.string()),
+            "l_shipdate": _ts(c["l_shipdate_us"]),
+        })
+    return f
+
+
+def gen_events_batch(n: int):
+    def f(batch: pa.Table) -> pa.Table:
+        c = _events_cols(batch.column("id").to_numpy().astype(np.uint64), n)
+        return pa.table({
+            "event_id": pa.array(c["event_id"]),
+            "ts": _ts(c["ts_us"]),
+            "user_id": pa.array(c["user_id"]),
+            "event_type": pa.array(c["event_type"], pa.string()),
+            "value": pa.array(c["value"]),
+            "props": pa.array(["{}"] * batch.num_rows, pa.string()),
+        })
+    return f
+
+
+def synthesize_relational(out_dir: str, n: int) -> float:
+    import ray.data as rd
+
+    t0 = time.perf_counter()
+    for name, rows, gen in (("orders", n, gen_orders_batch(n)),
+                            ("lineitem", 2 * n, gen_lineitem_batch(n)),
+                            ("events", n, gen_events_batch(n))):
+        (rd.range(rows, override_num_blocks=64)
+           .map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+           .write_parquet(f"{out_dir}/{name}.parquet"))
+    C = _n_custs(n)
+    ck = np.arange(C, dtype=np.uint64)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(ck.astype(np.int64)),
+        "c_mktsegment": pa.array(
+            np.array(SEGS)[(_mix(ck * np.uint64(73))
+                            % np.uint64(len(SEGS))).astype(np.int64)],
+            pa.string()),
+        "c_acctbal": pa.array((_mix(ck * np.uint64(79)) % np.uint64(1_000_000))
+                              .astype(np.int64) / 100.0),
+        "c_nationkey": pa.array((_mix(ck * np.uint64(83)) % np.uint64(25))
+                                .astype(np.int64)),
+    }), f"{out_dir}/customer.parquet", row_group_size=65536)
+    return time.perf_counter() - t0
+
+
 def synthesize(out_dir: str, n_rows: int) -> float:
     """Write documents.parquet (Ray-partitioned dir) + embeddings.parquet
     (single file — some ops probe its footer via pq.ParquetFile)."""
@@ -157,7 +315,11 @@ def main() -> int:
                     "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
                     "ops": {}, "checks": {}}
     try:
-        report["gen_sec"] = round(synthesize(out_dir, n), 2)
+        _REL_ONLY = {"rel_pricing_summary", "rel_top_revenue_orders",
+                     "rel_orders_lineitem_join", "rel_events_windowed",
+                     "rel_sessionize", "rel_asof_last_order"}
+        if only is None or (only - _REL_ONLY):
+            report["gen_sec"] = round(synthesize(out_dir, n), 2)
 
         ids = np.arange(n, dtype=np.uint64)
         exp_tokens = int(_n_words(_base_ids(ids)).sum())
@@ -270,6 +432,132 @@ def main() -> int:
             got = set(zip(elsh["vec_a"], elsh["vec_b"]))
             report["checks"]["emb_lsh_recall_injected"] = bool(dup_pairs <= got)
             report["ops"]["dedup_embedding_lsh"]["n_pairs"] = len(got)
+
+        # --- relational family (r4 VERDICT round-5 item) -----------------
+        # orders/lineitem/events/customer synthesized at soak scale; every
+        # check compares the distributed plan against a one-pass vectorized
+        # numpy ground truth over the full id range (driver-side, exact).
+        REL_OPS = {"rel_pricing_summary", "rel_top_revenue_orders",
+                   "rel_orders_lineitem_join", "rel_events_windowed",
+                   "rel_sessionize", "rel_asof_last_order"}
+        if only is None or (only & REL_OPS):
+            report["gen_rel_sec"] = round(synthesize_relational(out_dir, n), 2)
+            import pandas as pd
+
+            lid = np.arange(2 * n, dtype=np.uint64)
+            li = _lineitem_cols(lid, n)
+            oid = np.arange(n, dtype=np.uint64)
+            od = _orders_cols(oid, n)
+            evc = _events_cols(np.arange(n, dtype=np.uint64), n)
+
+            def frames_equal(got: pd.DataFrame, want: pd.DataFrame) -> bool:
+                cols = sorted(want.columns)
+                if sorted(got.columns) != cols or len(got) != len(want):
+                    return False
+                a = got[cols].sort_values(cols).reset_index(drop=True)
+                b = want[cols].sort_values(cols).reset_index(drop=True)
+                return all(a[c].to_numpy().tolist() == b[c].to_numpy().tolist()
+                           for c in cols)
+
+            ps = run("rel_pricing_summary", lambda ds: ds.to_pandas())
+            if ps is not None:
+                df = pd.DataFrame({"f": li["l_returnflag"],
+                                   "s": li["l_linestatus"],
+                                   "q": li["l_quantity"],
+                                   "b": li["l_extendedprice"],
+                                   "d": li["l_extendedprice"]
+                                        * (1 - li["l_discount"])})
+                w = df.groupby(["f", "s"], as_index=False).agg(
+                    sum_qty_cents=("q", "sum"), count_order=("q", "size"),
+                    sum_base=("b", "sum"), sum_disc=("d", "sum"))
+                g = ps.set_index(["l_returnflag", "l_linestatus"])
+                ok = len(ps) == len(w)
+                for _, r in w.iterrows():
+                    row = g.loc[(r["f"], r["s"])]
+                    ok = ok and row["count_order"] == r["count_order"] \
+                        and row["sum_qty_cents"] == int(round(r["sum_qty_cents"] * 100)) \
+                        and abs(row["sum_base_price_cents"] - round(r["sum_base"] * 100)) <= 2 \
+                        and abs(row["sum_disc_price_cents"] - round(r["sum_disc"] * 100)) <= 2
+                report["checks"]["pricing_groups_exact"] = bool(ok)
+
+            top = run("rel_top_revenue_orders", lambda df: df)
+            if top is not None:
+                rev = li["l_extendedprice"] * (1 - li["l_discount"])
+                per_order = rev[:n] + rev[n:]          # 2 items per order
+                cents = np.round(per_order * 100).astype(np.int64)
+                w = pd.DataFrame({"o_orderkey": np.arange(n, dtype=np.int64),
+                                  "revenue_cents": cents}) \
+                    .sort_values(["revenue_cents", "o_orderkey"],
+                                 ascending=[False, True]).head(len(top)) \
+                    .reset_index(drop=True)
+                C = _n_custs(n)
+                seg = np.array(SEGS)[(_mix(np.arange(C, dtype=np.uint64)
+                                           * np.uint64(73))
+                                      % np.uint64(len(SEGS))).astype(np.int64)]
+                w["c_mktsegment"] = seg[od["o_custkey"][w["o_orderkey"]]]
+                report["checks"]["top_revenue_exact"] = frames_equal(
+                    top.reset_index(drop=True), w)
+
+            jn = run("rel_orders_lineitem_join", lambda ds: ds.materialize())
+            if jn is not None:
+                prio_counts = jn.groupby("o_orderpriority").count().to_pandas()
+                wp = pd.Series(od["o_orderpriority"]).value_counts() * 2
+                ok = (jn.count() == 2 * n
+                      and jn.sum("l_quantity_cents")
+                      == int(li["l_quantity"].sum()) * 100
+                      and len(prio_counts) == len(wp)
+                      and all(int(r["count()"]) == int(wp[r["o_orderpriority"]])
+                              for _, r in prio_counts.iterrows()))
+                report["checks"]["join_counts_exact"] = bool(ok)
+
+            ew = run("rel_events_windowed", lambda ds: ds.to_pandas())
+            if ew is not None:
+                win = (evc["ts_us"] // 3_600_000_000) * 3600
+                df = pd.DataFrame({"event_type": evc["event_type"],
+                                   "win": win, "v": evc["value"]})
+                w = df.groupby(["event_type", "win"], as_index=False).agg(
+                    n_events=("v", "size"), sum_v=("v", "sum"))
+                w["sum_value_cents"] = np.round(w.pop("sum_v") * 100).astype(np.int64)
+                report["checks"]["windowed_exact"] = frames_equal(ew, w)
+
+            ss = run("rel_sessionize", lambda ds: ds.to_pandas())
+            if ss is not None:
+                u, ts, eid = evc["user_id"], evc["ts_us"], evc["event_id"]
+                order = np.lexsort((eid, ts, u))
+                su, st = u[order], ts[order]
+                new = np.ones(n, dtype=bool)
+                new[1:] = (su[1:] != su[:-1]) | ((st[1:] - st[:-1])
+                                                 > 1800 * 1_000_000)
+                starts = np.flatnonzero(new)
+                ends = np.r_[starts[1:], n] - 1
+                w = pd.DataFrame({"user_id": su[starts],
+                                  "session_start_us": st[starts],
+                                  "n_events": (np.r_[starts[1:], n]
+                                               - starts).astype(np.int64),
+                                  "duration_us": st[ends] - st[starts]})
+                report["checks"]["sessionize_exact"] = frames_equal(ss, w)
+                report["ops"]["rel_sessionize"]["n_sessions"] = len(ss)
+
+            ao = run("rel_asof_last_order", lambda ds: ds.to_pandas())
+            if ao is not None:
+                key = np.concatenate([evc["user_id"], od["o_custkey"]])
+                t = np.concatenate([evc["ts_us"], od["o_orderdate_us"]])
+                io = np.concatenate([np.zeros(n, np.int64),
+                                     np.ones(n, np.int64)])
+                ids = np.concatenate([evc["event_id"], od["o_orderkey"]])
+                order = np.lexsort((ids, -io, t, key))
+                k2, io2, di2 = key[order], io[order], ids[order]
+                pos = np.where(io2 == 1, np.arange(2 * n), -1)
+                last = np.maximum.accumulate(pos)
+                evm = io2 == 0
+                lidx = last[evm]
+                okm = lidx >= 0
+                okm[okm] = k2[lidx[okm]] == k2[evm][okm]
+                w = pd.DataFrame({"event_id": di2[evm][okm],
+                                  "user_id": k2[evm][okm],
+                                  "last_orderkey": di2[lidx[okm]]})
+                report["checks"]["asof_exact"] = frames_equal(ao, w)
+                report["ops"]["rel_asof_last_order"]["n_matched"] = len(ao)
     finally:
         if not args.keep:
             shutil.rmtree(out_dir, ignore_errors=True)
