@@ -672,6 +672,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_lang_counts": text.lang_counts,
         "text_lang_detect": text.lang_detect,                 # rows-only (model)
         "text_token_count_regex": text.token_count_regex,
+        # both token counters fused into one hash-exact driver row (the
+        # window slot freed goes to multimodal_image_stats_exact); the
+        # standalone entries above stay graded rows-only
+        "text_token_counts_combo": text.token_counts_combo,
         "text_winnow_fingerprint": text.winnow_fingerprint,
         "text_tfidf_topk": text.tfidf_topk,
         "text_bigram_topk": text.bigram_topk,
@@ -742,6 +746,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdxj_merge": cdxj_merge_demo,
         "cdxj_merge_exact": cdxj_merge_exact,
         "multimodal_image_stats": mm_image_stats,
+        # driver-exact decode twin: real codec decode over constant-gradient
+        # payloads whose channel sums are closed-form in doc_id (VERDICT r4 #6)
+        "multimodal_image_stats_exact": multimodal.image_stats_exact,
         "multimodal_phash_neardup": mm_phash_neardup,
         "multimodal_phash_components": mm_phash_components,
         "multimodal_audio_features": mm_audio_features,
@@ -756,8 +763,14 @@ def oracle_sql() -> dict[str, str]:
     absent here (lang_detect, the approximate variants, the synthetic-payload
     pipelines) get the driver's weaker rows-only check."""
     return {
-        "text_token_count": """
-            SELECT doc_id, len(string_split(coalesce(text, ''), ' '))::BIGINT AS n_tokens
+        # text_token_count + text_token_count_regex merged into the combo row
+        # below (window slot freed for multimodal_image_stats_exact, r4 #6);
+        # the standalone queries stay graded rows-only
+        "text_token_counts_combo": r"""
+            SELECT doc_id,
+                   len(string_split(coalesce(text, ''), ' '))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens_re
             FROM documents
         """,
         "text_quality_score": """
@@ -777,11 +790,45 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": """
             SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents
         """,
-        "text_token_count_regex": r"""
-            SELECT doc_id,
-                   len(regexp_extract_all(coalesce(text, ''),
-                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_tokens_re
-            FROM documents
+        # The ST8 decode path's hash-exact row: the Ray side really encodes
+        # (png/ppm/b16 codecs) and really decodes inside map_batches; the
+        # oracle reproduces w/h/fmt and per-channel pixel sums in closed form
+        # from doc_id (gradient construction in multimodal.py:
+        # _gradient_images_batch; b16's v→v|1 quantization adds one per even
+        # value — (h+1)//2 evens per column when base is even, h//2 when odd).
+        "multimodal_image_stats_exact": """
+            WITH p AS (
+                SELECT doc_id AS d,
+                       8 + (doc_id % 5) AS h,
+                       8 + ((doc_id // 5) % 5) AS w,
+                       doc_id % 200 AS br,
+                       (7 * doc_id) % 200 AS bg,
+                       (13 * doc_id) % 200 AS bb,
+                       CASE doc_id % 3 WHEN 0 THEN 'png'
+                                       WHEN 1 THEN 'ppm'
+                                       ELSE 'b16' END AS fmt
+                FROM documents
+            )
+            SELECT 'img-' || d AS image_id,
+                   w::BIGINT AS w,
+                   h::BIGINT AS h,
+                   fmt,
+                   (w * (h * br + (h * (h - 1)) // 2
+                         + CASE WHEN fmt = 'b16' THEN
+                             CASE WHEN br % 2 = 0 THEN (h + 1) // 2
+                                  ELSE h // 2 END
+                           ELSE 0 END))::BIGINT AS sum_r,
+                   (w * (h * bg + (h * (h - 1)) // 2
+                         + CASE WHEN fmt = 'b16' THEN
+                             CASE WHEN bg % 2 = 0 THEN (h + 1) // 2
+                                  ELSE h // 2 END
+                           ELSE 0 END))::BIGINT AS sum_g,
+                   (w * (h * bb + (h * (h - 1)) // 2
+                         + CASE WHEN fmt = 'b16' THEN
+                             CASE WHEN bb % 2 = 0 THEN (h + 1) // 2
+                                  ELSE h // 2 END
+                           ELSE 0 END))::BIGINT AS sum_b
+            FROM p
         """,
         "text_lang_counts": """
             SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang

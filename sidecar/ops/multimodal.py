@@ -436,6 +436,71 @@ def image_decode_stats(images_ds: "rd.Dataset", *, batch_size: int = 64,
     )
 
 
+def _gradient_images_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → deterministic constant-gradient IMAGES rows for the
+    hash-exact decode oracle (VERDICT r4 #6): image ``img-{d}`` is
+    ``h = 8 + d%5`` by ``w = 8 + (d//5)%5``, channel ch's pixel at row r is
+    ``base_ch + r`` with ``base = (d%200, 7d%200, 13d%200)`` (max 210, no
+    wrap), encoded with the real codec ``('png','ppm','b16')[d%3]``.  Channel
+    sums after decode are closed-form integers — for the lossless fmts
+    ``w*(h*base + h(h-1)/2)``; for b16 the quantization identity (v → v|1,
+    codecs.decode_b16) adds one per even value, i.e. ``w * ((h+1)//2)`` when
+    base is even else ``w * (h//2)`` — so a DuckDB oracle reproduces the
+    whole stats row from doc_id arithmetic while the Ray side runs the REAL
+    encode → decode → stats path."""
+    ids = batch.column("doc_id").to_pylist()
+    img_ids, data, fmts = [], [], []
+    for d in ids:
+        h, w = 8 + d % 5, 8 + (d // 5) % 5
+        base = np.array([d % 200, (7 * d) % 200, (13 * d) % 200], np.int64)
+        px = (base[None, None, :]
+              + np.arange(h, dtype=np.int64)[:, None, None]
+              + np.zeros((1, w, 1), np.int64)).astype(np.uint8)
+        fmt = ("png", "ppm", "b16")[d % 3]
+        img_ids.append(f"img-{d}")
+        data.append(codecs.encode(px, fmt))
+        fmts.append(fmt)
+    return pa.table({
+        "image_id": pa.array(img_ids, pa.string()),
+        "bytes": pa.array(data, pa.binary()),
+        "fmt": pa.array(fmts, pa.string()),
+    })
+
+
+def image_stats_exact(sf_dir: str, *, batch_size: int = 64) -> "rd.Dataset":
+    """image_id, w, h, fmt, sum_r, sum_g, sum_b — the REAL decode-stats
+    stage (ST8: codecs.decode per fmt inside map_batches) over deterministic
+    constant-gradient payloads built from ``documents.doc_id``, projected to
+    the integer-exact columns a SQL oracle can derive in closed form (phash
+    is a DCT hash — not SQL-expressible; it keeps pixel-exact pytest
+    coverage instead).  The driver-exact twin of the rows-only
+    ``multimodal_image_stats``, giving the decode path a hash-exact
+    CORRECTNESS row (VERDICT r4 #6)."""
+    from sidecar.storage import read_parquet_clean
+
+    imgs = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"]).map_batches(
+        _gradient_images_batch, batch_format="pyarrow",
+        batch_size=batch_size, zero_copy_batch=True)
+    stats = image_decode_stats(imgs, batch_size=batch_size)
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "w": pc_.cast(batch.column("w"), pa.int64()),
+            "h": pc_.cast(batch.column("h"), pa.int64()),
+            "fmt": batch.column("fmt"),
+            "sum_r": batch.column("sum_r"),
+            "sum_g": batch.column("sum_g"),
+            "sum_b": batch.column("sum_b"),
+        })
+
+    return stats.map_batches(project, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def lossy_reencode(images_ds: "rd.Dataset", *, batch_size: int = 64,
                    concurrency: "int | tuple | str | None" = None) -> "rd.Dataset":
     """IMAGES Dataset → its deterministic lossy (b16) re-encodes, ids

@@ -40,6 +40,29 @@ def token_count(sf_dir: str) -> "rd.Dataset":
     return read_documents(sf_dir).map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def token_counts_combo(sf_dir: str) -> "rd.Dataset":
+    """doc_id, n_tokens, n_tokens_re — the whitespace and BPE-ish token
+    counters fused into ONE scan / ONE driver CORRECTNESS row, freeing a
+    50-row-window slot for the multimodal exact twin (VERDICT r4 #6, same
+    combo pattern as rel_setops_combo).  The standalone ``token_count`` /
+    ``token_count_regex`` entries stay graded rows-only; this row keeps both
+    formulas hash-exact vs the DuckDB oracle."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text").fill_null("")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pc.cast(
+                pc.list_value_length(pc.split_pattern(txt, " ")), pa.int64()),
+            "n_tokens_re": pc.cast(
+                pc.count_substring_regex(txt, pat), pa.int64()),
+        })
+
+    return read_documents(sf_dir).map_batches(f, batch_format="pyarrow",
+                                              zero_copy_batch=True)
+
+
 _BROADCAST_CACHE: dict = {}  # per-worker deserialized broadcast memo
 
 STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
