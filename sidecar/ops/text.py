@@ -47,7 +47,7 @@ def token_counts_combo(sf_dir: str) -> "rd.Dataset":
     combo pattern as rel_setops_combo).  The standalone ``token_count`` /
     ``token_count_regex`` entries stay graded rows-only; this row keeps both
     formulas hash-exact vs the DuckDB oracle."""
-    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    pat = TOKEN_RE
 
     def f(batch: pa.Table) -> pa.Table:
         txt = batch.column("text").fill_null("")
@@ -64,6 +64,10 @@ def token_counts_combo(sf_dir: str) -> "rd.Dataset":
 
 
 _BROADCAST_CACHE: dict = {}  # per-worker deserialized broadcast memo
+
+# single definition of the BPE-ish token rule — shared by token_count_regex,
+# token_counts_combo, and (textually) the DuckDB oracles in __ray_entry__
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
              "this", "with", "for", "as", "on", "at", "by", "from")
@@ -183,7 +187,7 @@ def token_count_regex(sf_dir: str) -> "rd.Dataset":
     ``[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]`` matches.  Arrow's
     ``count_substring_regex`` and DuckDB's ``regexp_extract_all`` are both
     RE2, so the counts are bit-equal (verified incl. unicode)."""
-    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    pat = TOKEN_RE
 
     def f(batch: pa.Table) -> pa.Table:
         return pa.table({

@@ -98,6 +98,9 @@ def gen_docs_batch(batch: pa.Table) -> pa.Table:
 # (coarse-partition shuffles, tagged-union joins, as-of forward fill) against
 # that single-pass ground truth exactly (prices to the cent).
 
+REL_SOAK_OPS = frozenset({"rel_pricing_summary", "rel_top_revenue_orders",
+                          "rel_orders_lineitem_join", "rel_events_windowed",
+                          "rel_sessionize", "rel_asof_last_order"})
 BASE_US = 1_704_067_200 * 1_000_000   # 2024-01-01 in epoch-us
 SPAN_S = 90_000                        # order/ship dates span ~the event window
 EVENT_STEP_S = 600                     # events per user are 10 min apart...
@@ -315,10 +318,7 @@ def main() -> int:
                     "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
                     "ops": {}, "checks": {}}
     try:
-        _REL_ONLY = {"rel_pricing_summary", "rel_top_revenue_orders",
-                     "rel_orders_lineitem_join", "rel_events_windowed",
-                     "rel_sessionize", "rel_asof_last_order"}
-        if only is None or (only - _REL_ONLY):
+        if only is None or (only - REL_SOAK_OPS):
             report["gen_sec"] = round(synthesize(out_dir, n), 2)
 
         ids = np.arange(n, dtype=np.uint64)
@@ -437,10 +437,7 @@ def main() -> int:
         # orders/lineitem/events/customer synthesized at soak scale; every
         # check compares the distributed plan against a one-pass vectorized
         # numpy ground truth over the full id range (driver-side, exact).
-        REL_OPS = {"rel_pricing_summary", "rel_top_revenue_orders",
-                   "rel_orders_lineitem_join", "rel_events_windowed",
-                   "rel_sessionize", "rel_asof_last_order"}
-        if only is None or (only & REL_OPS):
+        if only is None or (only & REL_SOAK_OPS):
             report["gen_rel_sec"] = round(synthesize_relational(out_dir, n), 2)
             import pandas as pd
 
@@ -471,13 +468,16 @@ def main() -> int:
                     sum_qty_cents=("q", "sum"), count_order=("q", "size"),
                     sum_base=("b", "sum"), sum_disc=("d", "sum"))
                 g = ps.set_index(["l_returnflag", "l_linestatus"])
-                ok = len(ps) == len(w)
-                for _, r in w.iterrows():
-                    row = g.loc[(r["f"], r["s"])]
-                    ok = ok and row["count_order"] == r["count_order"] \
-                        and row["sum_qty_cents"] == int(round(r["sum_qty_cents"] * 100)) \
-                        and abs(row["sum_base_price_cents"] - round(r["sum_base"] * 100)) <= 2 \
-                        and abs(row["sum_disc_price_cents"] - round(r["sum_disc"] * 100)) <= 2
+                # key-SET equality first: a wrong group key must record
+                # check=false, not abort the soak with a KeyError
+                ok = set(g.index) == set(zip(w["f"], w["s"]))
+                if ok:
+                    for _, r in w.iterrows():
+                        row = g.loc[(r["f"], r["s"])]
+                        ok = ok and row["count_order"] == r["count_order"] \
+                            and row["sum_qty_cents"] == int(round(r["sum_qty_cents"] * 100)) \
+                            and abs(row["sum_base_price_cents"] - round(r["sum_base"] * 100)) <= 2 \
+                            and abs(row["sum_disc_price_cents"] - round(r["sum_disc"] * 100)) <= 2
                 report["checks"]["pricing_groups_exact"] = bool(ok)
 
             top = run("rel_top_revenue_orders", lambda df: df)
@@ -485,10 +485,12 @@ def main() -> int:
                 rev = li["l_extendedprice"] * (1 - li["l_discount"])
                 per_order = rev[:n] + rev[n:]          # 2 items per order
                 cents = np.round(per_order * 100).astype(np.int64)
+                # fixed k=20 (the op's default), NOT len(top): a short or
+                # empty distributed result must fail, not truncate the want
                 w = pd.DataFrame({"o_orderkey": np.arange(n, dtype=np.int64),
                                   "revenue_cents": cents}) \
                     .sort_values(["revenue_cents", "o_orderkey"],
-                                 ascending=[False, True]).head(len(top)) \
+                                 ascending=[False, True]).head(20) \
                     .reset_index(drop=True)
                 C = _n_custs(n)
                 seg = np.array(SEGS)[(_mix(np.arange(C, dtype=np.uint64)
