@@ -345,6 +345,37 @@ def main() -> int:
         if rows is not None:
             report["checks"]["quality_rows"] = bool(rows == n)
 
+        # tfidf auto-gate twin equality at soak scale (r4 VERDICT #1 follow
+        # -through): the default broadcast="auto" plan (this corpus's 512-term
+        # vocab stays under the gate → driver dict) must emit the SAME rows
+        # as the no-driver-vocab partitioned-join plan a web-scale vocab
+        # takes.  Both gathered block-granular; frames compared exactly.
+        def _gather(ds):
+            import pandas as pd
+            parts = [b.to_pandas() if isinstance(b, pa.Table)
+                     else pa.Table.from_batches([b]).to_pandas()
+                     for b in ds.iter_batches(batch_format="pyarrow",
+                                              batch_size=None)]
+            return pd.concat(parts, ignore_index=True)
+
+        tf_auto = run("text_tfidf_topk", _gather)
+        if tf_auto is not None:
+            from sidecar.ops import text as _text
+
+            # the twin runs whenever the graded default ran (not gated on
+            # --ops membership: it exists only to compare against tf_auto)
+            t0 = time.perf_counter()
+            tf_part = _gather(_text.tfidf_topk(out_dir, broadcast=False))
+            sec = time.perf_counter() - t0
+            report["ops"]["text_tfidf_topk_partitioned"] = {
+                "sec": round(sec, 2), "rows_per_sec": round(n / sec)}
+            cols = sorted(tf_auto.columns)
+            a = tf_auto[cols].sort_values(cols).reset_index(drop=True)
+            b = tf_part[cols].sort_values(cols).reset_index(drop=True)
+            report["checks"]["tfidf_twin_plans_equal"] = bool(
+                sorted(tf_part.columns) == cols and a.equals(b))
+            report["ops"]["text_tfidf_topk"]["n_rows"] = len(a)
+
         # --- dedup family ----------------------------------------------
         ded = run("dedup_exact", lambda ds: ds.materialize())
         if ded is not None:
@@ -379,6 +410,17 @@ def main() -> int:
             got_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
             report["checks"]["lsh_recall_injected"] = bool(dup_pairs <= got_pairs)
             report["ops"]["dedup_minhash_lsh"]["n_pairs"] = len(got_pairs)
+
+        # production hash family (splitmix64 one-hash-many-permutations):
+        # same banding plan, ~no md5 in the signature — the md5 row above is
+        # the oracle-mandated formula; this row shows the production swap
+        # keeps exact-dup recall at soak scale and what it buys in wall time
+        smx = run("dedup_minhash_lsh_splitmix", lambda ds: ds.to_pandas())
+        if smx is not None:
+            got_smx = set(zip(smx["doc_a"], smx["doc_b"]))
+            report["checks"]["lsh_splitmix_recall_injected"] = bool(
+                dup_pairs <= got_smx)
+            report["ops"]["dedup_minhash_lsh_splitmix"]["n_pairs"] = len(got_smx)
 
         # EXACT similarity join: prefix-filtered n-gram Jaccard at t=0.5.
         # Random docs from this vocab can't reach J >= 0.5, so the result
@@ -432,6 +474,30 @@ def main() -> int:
             got = set(zip(elsh["vec_a"], elsh["vec_b"]))
             report["checks"]["emb_lsh_recall_injected"] = bool(dup_pairs <= got)
             report["ops"]["dedup_embedding_lsh"]["n_pairs"] = len(got)
+
+        # --- multimodal decode at soak scale ----------------------------
+        # the hash-exact decode twin (real png/ppm/b16 encode → decode →
+        # channel sums inside map_batches) against the same closed forms the
+        # DuckDB oracle uses, here as corpus-wide totals over ALL n images
+        mm = run("multimodal_image_stats_exact",
+                 lambda ds: ds.materialize())
+        if mm is not None:
+            d = ids.astype(np.int64)
+            h = 8 + d % 5
+            w = 8 + (d // 5) % 5
+            is_b16 = (d % 3) == 2
+            want_tot = {}
+            for col, base in (("sum_r", d % 200), ("sum_g", (7 * d) % 200),
+                              ("sum_b", (13 * d) % 200)):
+                evens = np.where(base % 2 == 0, (h + 1) // 2, h // 2)
+                want_tot[col] = int((w * (h * base + (h * (h - 1)) // 2
+                                          + np.where(is_b16, evens, 0))).sum())
+            ok = (mm.count() == n
+                  and mm.sum("w") == int(w.sum())
+                  and mm.sum("h") == int(h.sum())
+                  and all(mm.sum(c) == want_tot[c]
+                          for c in ("sum_r", "sum_g", "sum_b")))
+            report["checks"]["image_stats_totals_exact"] = bool(ok)
 
         # --- relational family (r4 VERDICT round-5 item) -----------------
         # orders/lineitem/events/customer synthesized at soak scale; every
