@@ -209,6 +209,46 @@ def token_count_regex(sf_dir: str) -> "rd.Dataset":
 TFIDF_BROADCAST_MAX_BYTES = 256 << 20
 
 
+def _doc_term_tf(batch: pa.Table) -> "object":
+    """(doc_id, term, tf) frame for a batch, fully vectorized: Arrow
+    ``split_pattern`` → flatten + ``np.repeat`` doc ids → one pandas hash
+    groupby.  Replaces the per-doc ``Counter`` loop that dominated the tfidf
+    family (measured ~390 core-s at 1M docs for the scoring stage alone;
+    the family is tokenize/score-bound, not shuffle-bound)."""
+    import pandas as pd
+
+    txt = batch.column("text")
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lists = pc.split_pattern(txt.fill_null(""), " ")
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    doc = np.repeat(batch.column("doc_id").to_numpy(),
+                    pc.list_value_length(lists).to_numpy())
+    # ListArray.flatten honors slice offsets (unlike .values)
+    f = pd.DataFrame({"doc_id": doc, "term": lists.flatten().to_pandas()})
+    return f.groupby(["doc_id", "term"], sort=False).size() \
+        .rename("tf").reset_index()
+
+
+def _rank_topk(f: "object", k: int) -> pa.Table:
+    """(doc_id, term, tf, df) frame → per-doc top-k by tf/df, ties by term —
+    the exact ordering of ``sorted((-(tf/df), term))``: score is the same
+    single IEEE division, mergesort is stable, and (doc, term) rows are
+    unique so the tuple's tf member is never consulted."""
+    score = -(f["tf"].to_numpy() / f["df"].to_numpy())
+    f = f.assign(score=score) \
+        .sort_values(["doc_id", "score", "term"], kind="mergesort")
+    rank = f.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
+    keep = rank <= k
+    f = f[keep]
+    return pa.table({"doc_id": pa.array(f["doc_id"].to_numpy(), pa.int64()),
+                     "term": pa.array(f["term"], pa.string()),
+                     "tf": pa.array(f["tf"].to_numpy(), pa.int64()),
+                     "df": pa.array(f["df"].to_numpy(), pa.int64()),
+                     "rank": pa.array(rank[keep], pa.int64())})
+
+
 def tfidf_topk(sf_dir: str, k: int = 5, *,
                broadcast: "bool | str" = "auto") -> "rd.Dataset":
     """doc_id, term, tf, df, rank — each document's k most distinctive terms
@@ -229,16 +269,13 @@ def tfidf_topk(sf_dir: str, k: int = 5, *,
     df table (key-sized rows, a barrier the plan hits anyway) and picks by
     its measured Arrow size vs ``TFIDF_BROADCAST_MAX_BYTES`` — a web-scale
     vocab never lands on the driver unless it measurably fits."""
-    from collections import Counter
-
     from ray.data.aggregate import Sum
 
     def partial_df(batch: pa.Table) -> pa.Table:
-        c: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            c.update(set((t or "").split(" ")))
-        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
-                         "p_df": pa.array(list(c.values()), pa.int64())})
+        f = _doc_term_tf(batch)  # already distinct per (doc, term)
+        vc = f["term"].value_counts(sort=False)
+        return pa.table({"term": pa.array(vc.index, pa.string()),
+                         "p_df": pa.array(vc.to_numpy(), pa.int64())})
 
     df_ds = (read_documents(sf_dir)
              .map_batches(partial_df, batch_format="pyarrow",
@@ -270,22 +307,9 @@ def tfidf_topk(sf_dir: str, k: int = 5, *,
             dfm = ray.get(df_ref)
             _BROADCAST_CACHE.clear()  # one live vocab per worker
             _BROADCAST_CACHE[key] = dfm
-        ids, terms, tfs, dfs, ranks = [], [], [], [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            cnt = Counter((text or "").split(" "))
-            scored = sorted(((-(tf / dfm[term]), term, tf) for term, tf in cnt.items()))
-            for r, (_, term, tf) in enumerate(scored[:k], start=1):
-                ids.append(doc_id)
-                terms.append(term)
-                tfs.append(tf)
-                dfs.append(dfm[term])
-                ranks.append(r)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "term": pa.array(terms, pa.string()),
-                         "tf": pa.array(tfs, pa.int64()),
-                         "df": pa.array(dfs, pa.int64()),
-                         "rank": pa.array(ranks, pa.int64())})
+        f = _doc_term_tf(batch)
+        dfv = f["term"].map(dfm).to_numpy(dtype=np.int64)
+        return _rank_topk(f.assign(df=dfv), k)
 
     return read_documents(sf_dir).map_batches(score_topk, batch_format="pyarrow",
                                               zero_copy_batch=True)
@@ -293,79 +317,136 @@ def tfidf_topk(sf_dir: str, k: int = 5, *,
 
 def _tfidf_topk_partitioned(sf_dir: str, k: int,
                             df_ds: "rd.Dataset") -> "rd.Dataset":
-    """tfidf_topk's no-broadcast plan: the reduced (term, df) dataset
-    (computed — and possibly already materialized by the auto gate — in
-    ``tfidf_topk``) joins the tf rows on term (tagged co-partition), then
-    per-doc top-k in a doc-keyed shuffle.  The driver never holds the
-    vocab."""
-    from collections import Counter
+    """tfidf_topk's no-broadcast plan, int-keyed: term STRINGS never enter a
+    shuffle (they repack through Ray sorts at ~6 MB/core-s — the same
+    measurement that drove the jaccard join's hash-keyed df table in
+    dedup.py).  Together with the vectorized tokenize/score kernels
+    (_doc_term_tf/_rank_topk) and the block coalesce at both shuffle
+    barriers, this plan went 96 s → 22.7 s at 1M docs / 32 CPUs.
 
-    from zlib import crc32
+    Plan: (a) each doc ships one (jpart, h, doc_id) int64 row per DISTINCT
+    term, where ``h`` is the term's 64-bit md5 and jpart = h & 63; the
+    reduced (term, df) dataset ships (jpart, h, df) rows keyed identically.
+    (b) Inside each jpart group a vectorized searchsorted resolves df for
+    every doc-term row — no pandas string merge.  (c) The matched
+    (dpart, doc_id, h, df) int rows co-partition with the corpus text rows
+    on dpart = doc_id % 64 (ONE corpus-sized string pass — at deployment
+    scale dpart would be the storage shard and the text would not move) and
+    each doc re-tokenizes locally: tf from the local Counter, df from the
+    doc's own (h, df) rows, tie-breaks on the TRUE term string — output
+    identical to the broadcast plan (twin-equality asserted in tests and at
+    1M docs in the soak).
 
-    import pandas as pd
+    df resolution is hash-keyed: a 64-bit collision merges two terms' dfs
+    (probability ~vocab²/2^64), the documented approximation shared with the
+    jaccard join's df table; the oracle/default broadcast path is
+    exact-by-construction whenever the vocab fits the gate."""
+    import hashlib
 
     NPARTS = 64
 
-    def jpart(terms: list) -> pa.Array:
-        return pa.array(
-            np.array([crc32(t.encode()) % NPARTS for t in terms],
-                     dtype=np.int64), pa.int64())
+    def _h64(terms: list) -> np.ndarray:
+        md5 = hashlib.md5
+        return np.fromiter(
+            (int.from_bytes(md5(t.encode()).digest()[:8], "big") - 2 ** 63
+             for t in terms), dtype=np.int64, count=len(terms))
 
-    def tag_df(batch: pa.Table) -> pa.Table:
-        terms = batch.column("term").to_pylist()
+    def df_rows(batch: pa.Table) -> pa.Table:
+        h = _h64(batch.column("term").to_pylist())
+        n = len(h)
         return pa.table({
-            "jpart": jpart(terms),
-            "term": batch.column("term"),
+            "jpart": pa.array(h & np.int64(NPARTS - 1), pa.int64()),
+            "h": pa.array(h, pa.int64()),
             "n": pc.cast(batch.column("df"), pa.int64()),
-            "doc_id": pa.nulls(len(terms), pa.int64()),
+            "doc_id": pa.nulls(n, pa.int64()),
         })
 
-    def tf_rows(batch: pa.Table) -> pa.Table:
-        ids, terms, tfs = [], [], []
-        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
-                                batch.column("text").to_pylist()):
-            for term, tf in Counter((text or "").split(" ")).items():
-                ids.append(doc_id)
-                terms.append(term)
-                tfs.append(tf)
+    def doc_term_rows(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        f = _doc_term_tf(batch)  # distinct (doc, term) rows, vectorized
+        uniq = pd.unique(f["term"])
+        hmap = dict(zip(uniq.tolist(), _h64(uniq.tolist()).tolist()))
+        h = f["term"].map(hmap).to_numpy(dtype=np.int64)
         return pa.table({
-            "jpart": jpart(terms),
-            "term": pa.array(terms, pa.string()),
-            "n": pa.array(tfs, pa.int64()),
-            "doc_id": pa.array(ids, pa.int64()),
+            "jpart": pa.array(h & np.int64(NPARTS - 1), pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "n": pa.nulls(len(h), pa.int64()),
+            "doc_id": pa.array(f["doc_id"].to_numpy(), pa.int64()),
         })
 
-    def join_on_term(t: pa.Table) -> pa.Table:
+    def join_df(t: pa.Table) -> pa.Table:
         is_df = pc.is_null(t.column("doc_id"))
-        dfs = t.filter(is_df).select(["term", "n"]).to_pandas() \
-            .rename(columns={"n": "df"})
-        tfs = t.filter(pc.invert(is_df)).select(["doc_id", "term", "n"]) \
-            .to_pandas().rename(columns={"n": "tf"})
-        m = tfs.merge(dfs, on="term")
-        m["dpart"] = m["doc_id"].to_numpy() % NPARTS
-        return pa.Table.from_pandas(m, preserve_index=False) \
-            .replace_schema_metadata(None)
-
-    def topk_per_doc(g: pd.DataFrame) -> pa.Table:
-        g = g.assign(score=-(g["tf"].to_numpy() / g["df"].to_numpy()))
-        g = g.sort_values(["doc_id", "score", "term"], kind="mergesort")
-        rank = g.groupby("doc_id", sort=False).cumcount().to_numpy() + 1
-        g = g.assign(rank=rank)[lambda d: d["rank"] <= k]
+        dfh = t.filter(is_df)
+        keys = dfh.column("h").to_numpy()
+        vals = dfh.column("n").to_numpy()
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+        docs = t.filter(pc.invert(is_df))
+        h = docs.column("h").to_numpy()
+        doc_id = docs.column("doc_id").to_numpy()
+        # every doc term is in the df table by construction (same tokenizer
+        # built both sides), so searchsorted positions are exact hits
+        pos = np.searchsorted(keys, h)
+        n = len(h)
         return pa.table({
-            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
-            "term": pa.array(g["term"], pa.string()),
-            "tf": pa.array(g["tf"].to_numpy(), pa.int64()),
-            "df": pa.array(g["df"].to_numpy(), pa.int64()),
-            "rank": pa.array(g["rank"].to_numpy(), pa.int64()),
+            "dpart": pa.array(doc_id % NPARTS, pa.int64()),
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "h": pa.array(h, pa.int64()),
+            "df": pa.array(vals[pos], pa.int64()),
+            "text": pa.nulls(n, pa.string()),
         })
 
-    joined = (df_ds.map_batches(tag_df, batch_format="pyarrow")
-              .union(read_documents(sf_dir).map_batches(
-                  tf_rows, batch_format="pyarrow", zero_copy_batch=True))
-              .groupby("jpart").map_groups(join_on_term,
-                                           batch_format="pyarrow"))
-    return joined.groupby("dpart").map_groups(topk_per_doc,
-                                              batch_format="pandas")
+    def text_rows(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy()
+        n = len(doc_id)
+        return pa.table({
+            "dpart": pa.array(doc_id % NPARTS, pa.int64()),
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "h": pa.nulls(n, pa.int64()),
+            "df": pa.nulls(n, pa.int64()),
+            "text": batch.column("text"),
+        })
+
+    def topk_local(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        is_txt = pc.is_valid(t.column("text"))
+        hd = t.filter(pc.invert(is_txt))
+        txt = t.filter(is_txt)
+        f = _doc_term_tf(pa.table({"doc_id": txt.column("doc_id"),
+                                   "text": txt.column("text")}))
+        uniq = pd.unique(f["term"])
+        hmap = dict(zip(uniq.tolist(), _h64(uniq.tolist()).tolist()))
+        f = f.assign(h=f["term"].map(hmap).to_numpy(dtype=np.int64))
+        dfr = pd.DataFrame({"doc_id": hd.column("doc_id").to_numpy(),
+                            "h": hd.column("h").to_numpy(),
+                            "df": hd.column("df").to_numpy()})
+        # int-keyed hash join: every (doc, term) row has exactly one
+        # (doc, h) df row by construction
+        m = f.merge(dfr, on=["doc_id", "h"])
+        return _rank_topk(m, k)
+
+    from sidecar.ops.dedup import _stage
+
+    # stage + coalesce to NPARTS blocks before each groupby: Ray's sort pays
+    # per-task scheduling for every input block and reduce partition, and the
+    # upstream maps emit ~512 tiny blocks — measured 18.8 s vs 1.4 s for the
+    # IDENTICAL 38M-row groupby at 512 vs 64 input blocks (the same
+    # tiny-block tax as the jaccard join's repartition(8), BASELINE.md).
+    unioned = _stage(
+        df_ds.map_batches(df_rows, batch_format="pyarrow")
+        .union(read_documents(sf_dir).map_batches(
+            doc_term_rows, batch_format="pyarrow",
+            zero_copy_batch=True))).repartition(NPARTS)
+    matched = unioned.groupby("jpart").map_groups(join_df,
+                                                  batch_format="pyarrow")
+    final = _stage(
+        matched.union(read_documents(sf_dir).map_batches(
+            text_rows, batch_format="pyarrow",
+            zero_copy_batch=True))).repartition(NPARTS)
+    return final.groupby("dpart").map_groups(topk_local,
+                                             batch_format="pyarrow")
 
 
 def bigram_topk(sf_dir: str, k: int = 100) -> "pd.DataFrame":
