@@ -183,18 +183,27 @@ def minhash_signatures(sf_dir: str, family: str = "md5") -> "rd.Dataset":
 
 NUM_SHUFFLE_PARTS = 64  # coarse partition count for the salted-group pattern
 
-def _stage(ds: "rd.Dataset") -> "rd.Dataset":
-    """Materialize a small key-row intermediate at a shuffle barrier.
+def _stage(ds: "rd.Dataset", *, max_blocks: int = 64) -> "rd.Dataset":
+    """Materialize a small key-row intermediate at a shuffle barrier, and
+    coalesce it when the upstream maps left it in many tiny blocks.
 
-    Ray's streaming executor fair-shares the CPU pool across ALL plan
-    operators — including sort phases that cannot start until the upstream
-    map finishes — so in a 5-operator plan the one compute-heavy map gets
-    ~2 of 8 CPUs (measured: minhash banding 172 s streamed vs 28 s staged
-    at 8 CPUs / 500k docs; the md5 stage is 95% of the plan's compute).
-    The next operator is an all-to-all barrier ANYWAY, so staging loses no
-    pipeline overlap, and only key-sized rows are ever held — never
-    payloads."""
-    return ds.materialize()
+    Two measured effects, one helper:
+    - Ray's streaming executor fair-shares the CPU pool across ALL plan
+      operators — including sort phases that cannot start until the upstream
+      map finishes — so in a 5-operator plan the one compute-heavy map gets
+      ~2 of 8 CPUs (measured: minhash banding 172 s streamed vs 28 s staged
+      at 8 CPUs / 500k docs).  The next operator is an all-to-all barrier
+      ANYWAY, so staging loses no pipeline overlap.
+    - Ray's sort pays per-task scheduling for every input block and reduce
+      partition: the IDENTICAL 38M-row groupby measured 18.8 s from 512
+      input blocks vs 1.4 s from 64 (isolated A/B, BASELINE.md round 5).
+      Upstream parquet reads auto-split to ~256 blocks, so staged
+      intermediates coalesce to ``max_blocks`` before the shuffle.
+    Only key-sized rows are ever held — never payloads."""
+    out = ds.materialize()
+    if out.num_blocks() > max_blocks:
+        out = out.repartition(max_blocks).materialize()
+    return out
 
 
 

@@ -429,22 +429,21 @@ def _tfidf_topk_partitioned(sf_dir: str, k: int,
 
     from sidecar.ops.dedup import _stage
 
-    # stage + coalesce to NPARTS blocks before each groupby: Ray's sort pays
-    # per-task scheduling for every input block and reduce partition, and the
-    # upstream maps emit ~512 tiny blocks — measured 18.8 s vs 1.4 s for the
-    # IDENTICAL 38M-row groupby at 512 vs 64 input blocks (the same
-    # tiny-block tax as the jaccard join's repartition(8), BASELINE.md).
+    # _stage at both groupby barriers does double duty here: executor
+    # fair-share isolation AND the tiny-block coalesce (the upstream maps
+    # emit ~512 small blocks; the identical 38M-row groupby measured 18.8 s
+    # at 512 input blocks vs 1.4 s at 64 — see _stage's docstring).
     unioned = _stage(
         df_ds.map_batches(df_rows, batch_format="pyarrow")
         .union(read_documents(sf_dir).map_batches(
             doc_term_rows, batch_format="pyarrow",
-            zero_copy_batch=True))).repartition(NPARTS)
+            zero_copy_batch=True)))
     matched = unioned.groupby("jpart").map_groups(join_df,
                                                   batch_format="pyarrow")
     final = _stage(
         matched.union(read_documents(sf_dir).map_batches(
             text_rows, batch_format="pyarrow",
-            zero_copy_batch=True))).repartition(NPARTS)
+            zero_copy_batch=True)))
     return final.groupby("dpart").map_groups(topk_local,
                                              batch_format="pyarrow")
 
