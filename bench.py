@@ -80,29 +80,32 @@ BENCH_QUERIES = (
 # tail (`budget_exceeded`) so interference-vs-regression questions are
 # answerable from the artifact alone (VERDICT r3 #3).  Queries without a
 # recorded clean best (new/rescaled this round) carry no budget.
+# round-5 re-baseline: best-of-3 fresh-process sweeps on an idle machine
+# (BASELINE.md "Measured round 5"); sidecar_extract / cdxj_merge now measure
+# the projection / merge off the memoized flagship
 CLEAN_BEST_SEC = {
-    "sidecar_extract": 0.13,  # r5: measures the projection off the memoized flagship
-    "dedup_minhash_lsh": 3.2,
-    "dedup_passage": 2.2,
-    "dedup_decontam": 1.4,
-    "dedup_embedding_cosine": 1.1,
-    "sim_ann_topk": 0.9,
-    "sim_ann_int8_rerank": 1.7,
-    "rel_pricing_summary": 1.8,
-    "rel_top_revenue_orders": 2.0,
-    "rel_events_windowed": 1.8,
-    "rel_orders_lineitem_join": 3.5,
-    "rel_pivot_events": 1.0,
-    "rel_stratified_sample": 0.5,
-    "text_token_count": 0.45,
-    "text_tfidf_topk": 1.4,
-    "multimodal_image_stats": 3.6,
-    "multimodal_phash_neardup": 4.7,
-    "prep_token_budget": 1.3,
-    "prep_pairs": 3.7,
-    "cdxj_merge": 1.27,  # r5: measures the merge itself off the memoized flagship
-    "crawl_demo": 2.9,
-    "crawl_sql_exact": 5.2,  # r4 scale: 997 fetched rows (was 94)
+    "sidecar_extract": 0.08,
+    "dedup_minhash_lsh": 1.83,
+    "dedup_passage": 1.23,
+    "dedup_decontam": 0.88,
+    "dedup_embedding_cosine": 0.34,
+    "sim_ann_topk": 0.63,
+    "sim_ann_int8_rerank": 0.99,
+    "rel_pricing_summary": 1.05,
+    "rel_top_revenue_orders": 0.82,
+    "rel_events_windowed": 0.84,
+    "rel_orders_lineitem_join": 2.13,
+    "rel_pivot_events": 0.59,
+    "rel_stratified_sample": 0.38,
+    "text_token_count": 0.31,
+    "text_tfidf_topk": 1.23,
+    "multimodal_image_stats": 3.32,
+    "multimodal_phash_neardup": 4.21,
+    "prep_token_budget": 0.69,
+    "prep_pairs": 2.47,
+    "cdxj_merge": 0.87,
+    "crawl_demo": 1.42,
+    "crawl_sql_exact": 2.76,  # full 3-epoch crawl loop, 997 fetched rows
 }
 BUDGET_FACTOR = 2.0
 # additive floor on the 2x gate: sub-second queries (post-memo

@@ -902,7 +902,12 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
     # its (table, bucket)-hash partition, and a vector colliding in two
     # tables lands in two partitions — the id-keyed second pass makes both
     # the broadcast gate and the shipped id array exact (id rows only)
-    cand = (src.map_batches(band_ids, batch_format="pyarrow", zero_copy_batch=True)
+    # _stage before the banding groupby: the band rows arrive in ~256 tiny
+    # blocks from the auto-split read, and Ray's sort pays per-task
+    # scheduling per input block (18.8 s vs 1.4 s on an identical 38M-row
+    # groupby at 512 vs 64 blocks — _stage docstring)
+    cand = (_stage(src.map_batches(band_ids, batch_format="pyarrow",
+                                   zero_copy_batch=True))
             .groupby("part")
             .map_groups(nonsingleton_ids, batch_format="pyarrow")
             .map_batches(add_idpart, batch_format="pyarrow", zero_copy_batch=True)
@@ -928,9 +933,13 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
 
         # candidate rows, read ONCE and kept in the object store (size-gated
         # above): both the broadcast matrix and the candidate banding pass
-        # feed from this subset — no further pass touches the full corpus
-        sub = src.map_batches(select_candidates, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
+        # feed from this subset — no further pass touches the full corpus.
+        # _stage (not bare materialize): the subset is tiny but inherits the
+        # corpus's ~256-block lineage, so every downstream op would pay ~256
+        # near-empty tasks; the coalesce is safe here because the subset is
+        # under the 512 MB broadcast gate by construction
+        sub = _stage(src.map_batches(select_candidates, batch_format="pyarrow",
+                                     zero_copy_batch=True))
 
         mids, mats = [], []
         for b in sub.iter_batches(batch_format="pyarrow", batch_size=None):
