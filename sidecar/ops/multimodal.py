@@ -250,6 +250,117 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POP8[np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)].sum(axis=1)
 
 
+# (band, chunk) buckets below this verify directly (vectorized triu is cheap
+# and allocation-bounded at ~130k pairs); bigger buckets — the hot-key case
+# where one popular chunk value funnels a large slice of the corpus into a
+# single verify task — take the exact two-level split in _bucket_pairs.
+_SPLIT_THRESH = 512
+
+
+def _strip_band_bytes(u: np.ndarray, band: int, band_mode: str):
+    """Drop the band's byte(s) from each uint64 hash, packing the remaining
+    bits contiguously.  Returns (remainder, remainder_bit_width): 56 bits in
+    ``chunk`` mode, 48 in ``chunk_pair``."""
+
+    def drop_byte(x: np.ndarray, b: int) -> np.ndarray:
+        low = x & np.uint64((1 << (8 * b)) - 1)
+        high = (x >> np.uint64(8 * (b + 1))) << np.uint64(8 * b)
+        return low | high
+
+    if band_mode == "chunk":
+        return drop_byte(u, band), 56
+    b1, b2 = _CHUNK_PAIRS[band]
+    return drop_byte(drop_byte(u, b2), b1), 48  # higher byte first
+
+
+def _bucket_pairs(ph: np.ndarray, band: int, max_dist: int, band_mode: str):
+    """All index pairs (i < j) with popcount(ph[i] ^ ph[j]) <= max_dist
+    inside ONE (band, chunk) bucket; returns (i, j, dist) int64 arrays.
+
+    Small buckets verify directly.  Buckets >= _SPLIT_THRESH are the hot-key
+    tail (observed: one popular chunk value drew ~6.5k of 65k banding rows
+    into a single 6 s task at sf0.1) and split EXACTLY in two steps:
+
+    1. collapse identical hashes (np.unique) — intra-group pairs are dist-0
+       by definition; cross pairs inherit their representatives' distance;
+    2. re-band the unique representatives on 8 disjoint sub-chunks of the
+       remainder bits (8x7 over the 56 non-band bits in ``chunk`` mode,
+       8x6 over 48 in ``chunk_pair``).  Every differing bit of an in-bucket
+       pair lives in the remainder, so a pair within max_dist (<= 7 resp.
+       <= 6, both < 8) dirties at most max_dist sub-chunks and shares at
+       least one clean one — the same pigeonhole as the outer banding, so
+       NO false negatives.  Verify per sub-bucket, dedup multi-hit pairs.
+
+    Cost drops from O(n^2) to O(sum of sub-bucket sizes squared) — about
+    n^2/128 when the non-hot bits are spread — and the O(n^2) triu index
+    allocation goes with it.  An adversarial bucket whose remainders also
+    collide stays quadratic (any exact scheme must enumerate those pairs).
+    """
+    n = len(ph)
+    if n < _SPLIT_THRESH:
+        r, c = np.triu_indices(n, k=1)
+        dist = _popcount64(ph[r] ^ ph[c])
+        keep = dist <= max_dist
+        return r[keep], c[keep], dist[keep]
+
+    uniq, inv = np.unique(ph, return_inverse=True)
+    u = len(uniq)
+    order = np.argsort(inv, kind="stable")       # member indices grouped by rep
+    counts = np.bincount(inv, minlength=u)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+
+    out_r, out_c, out_d = [], [], []
+    # 1) intra-identical-hash pairs: dist 0, pure output (no comparisons)
+    for g in np.flatnonzero(counts >= 2):
+        mem = np.sort(order[starts[g]:starts[g + 1]])
+        rr, cc = np.triu_indices(len(mem), k=1)
+        out_r.append(mem[rr])
+        out_c.append(mem[cc])
+        out_d.append(np.zeros(len(rr), np.int64))
+
+    # 2) representative-level candidates via exact sub-chunk re-banding
+    rem, width = _strip_band_bytes(uniq, band, band_mode)
+    sub_bits = width // 8
+    mask = np.uint64((1 << sub_bits) - 1)
+    cand = []
+    for j in range(8):
+        key = ((rem >> np.uint64(sub_bits * j)) & mask).astype(np.int64)
+        sidx = np.argsort(key, kind="stable")
+        bounds = np.flatnonzero(np.diff(key[sidx])) + 1
+        for seg in np.split(sidx, bounds):
+            if len(seg) < 2:
+                continue
+            rr, cc = np.triu_indices(len(seg), k=1)
+            lo = np.minimum(seg[rr], seg[cc])
+            hi = np.maximum(seg[rr], seg[cc])
+            d = _popcount64(uniq[lo] ^ uniq[hi])
+            keep = d <= max_dist
+            if keep.any():
+                cand.append(np.stack([lo[keep], hi[keep], d[keep]], axis=1))
+
+    if cand:
+        pairs = np.concatenate(cand, axis=0)
+        _, first = np.unique(pairs[:, 0] * u + pairs[:, 1], return_index=True)
+        pairs = pairs[first]
+        # vectorized member cross-product expansion of each rep pair
+        cl, ch = counts[pairs[:, 0]], counts[pairs[:, 1]]
+        reps = cl * ch
+        p_idx = np.repeat(np.arange(len(pairs)), reps)
+        t = np.arange(int(reps.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps)
+        a = order[starts[pairs[p_idx, 0]] + t // ch[p_idx]]
+        b = order[starts[pairs[p_idx, 1]] + t % ch[p_idx]]
+        out_r.append(np.minimum(a, b))
+        out_c.append(np.maximum(a, b))
+        out_d.append(pairs[p_idx, 2])
+
+    if not out_r:
+        z = np.array([], np.int64)
+        return z, z, z
+    return (np.concatenate(out_r), np.concatenate(out_c),
+            np.concatenate(out_d))
+
+
 def phash_neardup(images_ds: "rd.Dataset | None", max_dist: int = 7,
                   *, batch_size: int = 64,
                   concurrency: "int | tuple | str | None" = None,
@@ -328,18 +439,18 @@ def phash_neardup(images_ds: "rd.Dataset | None", max_dist: int = 7,
 
     def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_d = [], [], []
-        for _, sub in g.groupby(["band", "chunk"], sort=False):
+        for (band, _chunk), sub in g.groupby(["band", "chunk"], sort=False):
             if len(sub) < 2:
                 continue
             order = np.argsort(sub["image_id"].to_numpy())
             ids = sub["image_id"].to_numpy()[order]
             ph = sub["phash"].to_numpy()[order].astype(np.int64).view(np.uint64)
-            r, c = np.triu_indices(len(ids), k=1)
-            dist = _popcount64(ph[r] ^ ph[c])
-            keep = dist <= max_dist
-            out_a.append(ids[r[keep]])
-            out_b.append(ids[c[keep]])
-            out_d.append(dist[keep])
+            # i < j on the id-sorted arrays keeps id_a < id_b; hot buckets
+            # take the exact sub-chunk split instead of O(n^2) triu
+            r, c, dist = _bucket_pairs(ph, int(band), max_dist, band_mode)
+            out_a.append(ids[r])
+            out_b.append(ids[c])
+            out_d.append(dist)
         if not out_a:
             return pd.DataFrame({"id_a": pd.Series([], dtype="object"),
                                  "id_b": pd.Series([], dtype="object"),

@@ -635,6 +635,45 @@ class TestPhashNearDup:
         with pytest.raises(ValueError):
             phash_neardup(None, max_dist=7, band_mode="chunk_pair")
 
+    @pytest.mark.parametrize("band_mode,band,max_dist",
+                             [("chunk", 0, 7), ("chunk", 5, 7),
+                              ("chunk_pair", 11, 6)])
+    def test_hot_bucket_split_equals_bruteforce(self, band_mode, band, max_dist):
+        """_bucket_pairs' exact hot-bucket split (unique-collapse + 8-way
+        sub-chunk re-banding of the non-band bits): on a bucket above
+        _SPLIT_THRESH with identical-hash clusters and injected near pairs,
+        the (i, j, dist) set equals the O(n^2) brute force and i < j holds."""
+        from sidecar.ops.multimodal import (_CHUNK_PAIRS, _SPLIT_THRESH,
+                                            _bucket_pairs, _popcount64)
+
+        rng = np.random.default_rng(13)
+        n = max(1400, _SPLIT_THRESH + 100)
+        base = rng.integers(0, 2 ** 63, n, dtype=np.int64).view(np.uint64)
+        if band_mode == "chunk":
+            keep = ~np.uint64(0xFF << (8 * band))
+            inject = np.uint64(0xAB) << np.uint64(8 * band)
+        else:
+            b1, b2 = _CHUNK_PAIRS[band]
+            keep = ~(np.uint64(0xFF << (8 * b1)) | np.uint64(0xFF << (8 * b2)))
+            inject = ((np.uint64(0xAB) << np.uint64(8 * b1))
+                      | (np.uint64(0xCD) << np.uint64(8 * b2)))
+        ph = (base & keep) | inject           # all rows share the band bytes
+        for i in range(0, 60, 4):             # identical-hash clusters of 4
+            ph[i:i + 4] = ph[i]
+        for i in range(100, 160, 2):          # in-bucket near pairs
+            v = ph[i]
+            for f in rng.integers(0, 64, rng.integers(1, max_dist + 1)):
+                v = v ^ np.uint64(1 << int(f))
+            ph[i + 1] = (v & keep) | inject
+        r, c, d = _bucket_pairs(ph, band, max_dist, band_mode)
+        got = set(zip(r.tolist(), c.tolist(), d.tolist()))
+        rr, cc = np.triu_indices(n, k=1)
+        dd = _popcount64(ph[rr] ^ ph[cc])
+        k = dd <= max_dist
+        want = set(zip(rr[k].tolist(), cc[k].tolist(), dd[k].tolist()))
+        assert got == want and len(want) > 100
+        assert (r < c).all()
+
     def test_fused_b16_stats_equals_literal_plan(self, images_table):
         """image_decode_stats_with_b16 (one decode per image, quantization
         identity instead of the encode+decode round trip) is row-equal to
