@@ -101,6 +101,8 @@ def gen_docs_batch(batch: pa.Table) -> pa.Table:
 REL_SOAK_OPS = frozenset({"rel_pricing_summary", "rel_top_revenue_orders",
                           "rel_orders_lineitem_join", "rel_events_windowed",
                           "rel_sessionize", "rel_asof_last_order"})
+# ops that build their own synthetic input inline (no docs corpus needed)
+SELF_CONTAINED_OPS = frozenset({"multimodal_phash_neardup_hot"})
 BASE_US = 1_704_067_200 * 1_000_000   # 2024-01-01 in epoch-us
 SPAN_S = 90_000                        # order/ship dates span ~the event window
 EVENT_STEP_S = 600                     # events per user are 10 min apart...
@@ -318,7 +320,7 @@ def main() -> int:
                     "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
                     "ops": {}, "checks": {}}
     try:
-        if only is None or (only - REL_SOAK_OPS):
+        if only is None or (only - REL_SOAK_OPS - SELF_CONTAINED_OPS):
             report["gen_sec"] = round(synthesize(out_dir, n), 2)
 
         ids = np.arange(n, dtype=np.uint64)
@@ -498,6 +500,55 @@ def main() -> int:
                   and all(mm.sum(c) == want_tot[c]
                           for c in ("sum_r", "sum_g", "sum_b")))
             report["checks"]["image_stats_totals_exact"] = bool(ok)
+
+        # --- perceptual near-dup banding at soak scale -------------------
+        # At n images, EVERY 8-bit chunk bucket holds ~n/256 rows, so the
+        # pre-split verify kernel was O(n^2/256) total popcounts (~1.6e10 at
+        # 1M) — the hot-bucket sub-chunk split (multimodal._bucket_pairs)
+        # is what makes chunk-mode banding feasible here at all.  The
+        # manifest is synthetic (id, phash) — splitmix hashes with (a) a
+        # deliberately hot byte-0 bucket over 5% of the corpus and (b) a
+        # twin every PHASH_TWIN_EVERY ids whose hash flips <= 7 deterministic
+        # bits; pigeonhole banding must recover every twin pair exactly.
+        PHASH_TWIN_EVERY = 500
+
+        def _soak_phash(ids_u64: np.ndarray) -> np.ndarray:
+            base = np.where(ids_u64 % PHASH_TWIN_EVERY == 1,
+                            ids_u64 - 1, ids_u64)
+            h = _mix(base * np.uint64(101))
+            hot = (base % np.uint64(20)) == 0
+            h = np.where(hot, (h & ~np.uint64(0xFF)) | np.uint64(0x42), h)
+            m = _mix(base + np.uint64(0xABCD))
+            flip = np.zeros_like(h)
+            for j in range(7):       # <= 7 set bits (collisions only shrink)
+                flip |= np.uint64(1) << ((m >> np.uint64(6 * j))
+                                         & np.uint64(63))
+            return np.where(ids_u64 % PHASH_TWIN_EVERY == 1, h ^ flip, h)
+
+        def _phash_soak_query(_dir: str):
+            import ray.data as _rd
+
+            from sidecar.ops import multimodal as _mm
+
+            def stats(batch: pa.Table) -> pa.Table:
+                i = batch.column("id").to_numpy().astype(np.uint64)
+                return pa.table({
+                    "image_id": pa.array([f"img-{v:09d}" for v in i]),
+                    "phash": pa.array(_soak_phash(i).view(np.int64)),
+                })
+
+            manifest = _rd.range(n, override_num_blocks=64).map_batches(
+                stats, batch_format="pyarrow", zero_copy_batch=True)
+            return _mm.phash_neardup(None, stats_ds=manifest)
+
+        q["multimodal_phash_neardup_hot"] = _phash_soak_query
+        ph = run("multimodal_phash_neardup_hot", lambda ds: ds.to_pandas())
+        if ph is not None:
+            got = set(zip(ph["id_a"], ph["id_b"]))
+            want = {(f"img-{k:09d}", f"img-{k + 1:09d}")
+                    for k in range(0, n - 1, PHASH_TWIN_EVERY)}
+            report["checks"]["phash_twin_recall_exact"] = bool(want <= got)
+            report["ops"]["multimodal_phash_neardup_hot"]["n_pairs"] = len(got)
 
         # --- relational family (r4 VERDICT round-5 item) -----------------
         # orders/lineitem/events/customer synthesized at soak scale; every
