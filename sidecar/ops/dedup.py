@@ -23,6 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -87,17 +88,25 @@ def _sig_md5(shingles: list[str]) -> list[str]:
             for pre in _PERM_PREFIX]
 
 
+def md5_u64(strings) -> np.ndarray:
+    """First 8 bytes of md5 as a big-endian uint64 array — THE string→64-bit
+    key primitive shared by the splitmix minhash base hash, the jaccard
+    shingle df/index keys below, and tfidf's partitioned term join keys
+    (text.py) — one definition so truncation width and endianness can never
+    drift between the families."""
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(md5(s.encode()).digest()[:8], "big")
+         for s in strings), dtype=np.uint64, count=len(strings))
+
+
 def _sig_splitmix(shingles: list[str]) -> list[str]:
     """One-hash + cheap-permutations minhash (the production family): each
     shingle is md5-hashed ONCE to a 64-bit base value; permutation p's hash
     is splitmix64(base ^ salt_p), all NUM_PERMS x |shingles| values in one
     vectorized numpy pass.  ~NUM_PERMS x fewer digest computations than the
     md5 family; NOT SQL-expressible, so oracle paths keep md5."""
-    md5 = hashlib.md5
-    base = np.fromiter(
-        (int.from_bytes(md5(s.encode()).digest()[:8], "big")
-         for s in shingles), dtype=np.uint64, count=len(shingles))
-    vals = _mix64(base[None, :] ^ _PERM_SALTS[:, None])  # P x |sh|
+    vals = _mix64(md5_u64(shingles)[None, :] ^ _PERM_SALTS[:, None])  # P x |sh|
     return [f"{int(v):016x}" for v in vals.min(axis=1)]
 
 
@@ -319,10 +328,9 @@ def minhash_lsh_pairs(sf_dir: str, family: str = "md5") -> "rd.Dataset":
     hash (MINHASH_FAMILIES); "md5" is the oracle default, "splitmix64" the
     one-hash-many-permutations production family.
     """
-    bucketize = (bucketize_batch if family == "md5"
-                 else (lambda b: bucketize_batch(b, family)))
     bands = _stage(read_documents(sf_dir).map_batches(
-        bucketize, batch_format="pyarrow", zero_copy_batch=True))
+        functools.partial(bucketize_batch, family=family),
+        batch_format="pyarrow", zero_copy_batch=True))
     candidates = bands.groupby("part").map_groups(
         lambda g: _pairs_within(g, ["band", "bucket"]), batch_format="pandas")
     return _dedup_pairs(candidates)
@@ -421,11 +429,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5,
     # the order stays consistent.  Candidate bucketing below groups on the
     # same 64-bit shingle hash; a collision can only ADD candidate pairs,
     # which stage-3 exact verification filters back out.
-    def _sh_hash(shingles: list[str]) -> np.ndarray:
-        md5 = hashlib.md5
-        return np.fromiter(
-            (int.from_bytes(md5(s.encode()).digest()[:8], "big")
-             for s in shingles), dtype=np.uint64, count=len(shingles))
+    _sh_hash = md5_u64  # the shared string→uint64 key primitive
 
     def partial_df(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()

@@ -341,15 +341,14 @@ def _tfidf_topk_partitioned(sf_dir: str, k: int,
     (probability ~vocab²/2^64), the documented approximation shared with the
     jaccard join's df table; the oracle/default broadcast path is
     exact-by-construction whenever the vocab fits the gate."""
-    import hashlib
+    from sidecar.ops.dedup import md5_u64
 
     NPARTS = 64
 
     def _h64(terms: list) -> np.ndarray:
-        md5 = hashlib.md5
-        return np.fromiter(
-            (int.from_bytes(md5(t.encode()).digest()[:8], "big") - 2 ** 63
-             for t in terms), dtype=np.int64, count=len(terms))
+        # xor of the sign bit == subtracting 2^63: signed view of the shared
+        # string→uint64 primitive (arrow int64 columns want signed keys)
+        return (md5_u64(terms) ^ np.uint64(1 << 63)).view(np.int64)
 
     def df_rows(batch: pa.Table) -> pa.Table:
         h = _h64(batch.column("term").to_pylist())
@@ -400,12 +399,19 @@ def _tfidf_topk_partitioned(sf_dir: str, k: int,
     def text_rows(batch: pa.Table) -> pa.Table:
         doc_id = batch.column("doc_id").to_numpy()
         n = len(doc_id)
+        # fill_null matches _doc_term_tf's tokenizer (NULL ≡ ""): topk_local
+        # routes union rows by is_valid(text), so a raw NULL here would
+        # misclassify the doc's text row as a df row and drop the doc —
+        # diverging from the broadcast twin and the oracle
+        txt = batch.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
         return pa.table({
             "dpart": pa.array(doc_id % NPARTS, pa.int64()),
             "doc_id": pa.array(doc_id, pa.int64()),
             "h": pa.nulls(n, pa.int64()),
             "df": pa.nulls(n, pa.int64()),
-            "text": batch.column("text"),
+            "text": txt.fill_null(""),
         })
 
     def topk_local(t: pa.Table) -> pa.Table:

@@ -7,6 +7,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -461,6 +462,34 @@ class TestNewText:
             .sort_values(["doc_id", "rank"]).reset_index(drop=True)
         assert part.equals(base)
         assert len(base) > 0
+
+    def test_tfidf_topk_partitioned_null_text(self, tmp_path):
+        """NULL text must rank identically to "" in the partitioned plan.
+        Regression: topk_local routes union rows by is_valid(text), so a raw
+        NULL text row was misclassified as a df row and the doc silently
+        dropped from the partitioned output (text_rows now fill_null's)."""
+        import pyarrow.parquet as pq
+
+        from sidecar.ops.text import tfidf_topk
+
+        src = pq.read_table(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text"])
+        txt = src.column("text").combine_chunks().to_pylist()
+        txt = [None if i % 7 == 0 else v for i, v in enumerate(txt)]
+        pq.write_table(
+            src.set_column(src.schema.get_field_index("text"), "text",
+                           pa.array(txt, pa.string())),
+            str(tmp_path / "documents.parquet"))
+        cols = ["doc_id", "rank", "term", "tf", "df"]
+        base = tfidf_topk(str(tmp_path), k=5, broadcast=True) \
+            .to_pandas()[cols].sort_values(["doc_id", "rank"]) \
+            .reset_index(drop=True)
+        part = tfidf_topk(str(tmp_path), k=5, broadcast=False) \
+            .to_pandas()[cols].sort_values(["doc_id", "rank"]) \
+            .reset_index(drop=True)
+        assert part.equals(base)
+        # the NULL-text docs are present in BOTH (their lone "" term ranks)
+        assert set(base["doc_id"]) == set(src.column("doc_id").to_pylist())
 
     def test_tfidf_topk_auto_gate(self, monkeypatch):
         """broadcast="auto" (the default) routes by the measured size of the

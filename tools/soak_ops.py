@@ -663,9 +663,11 @@ def main() -> int:
                 t = np.concatenate([evc["ts_us"], od["o_orderdate_us"]])
                 io = np.concatenate([np.zeros(n, np.int64),
                                      np.ones(n, np.int64)])
-                ids = np.concatenate([evc["event_id"], od["o_orderkey"]])
-                order = np.lexsort((ids, -io, t, key))
-                k2, io2, di2 = key[order], io[order], ids[order]
+                # ao_ids, not ids: main()'s `ids` is the uint64 id range that
+                # earlier closed-form checks read — don't shadow it here
+                ao_ids = np.concatenate([evc["event_id"], od["o_orderkey"]])
+                order = np.lexsort((ao_ids, -io, t, key))
+                k2, io2, di2 = key[order], io[order], ao_ids[order]
                 pos = np.where(io2 == 1, np.arange(2 * n), -1)
                 last = np.maximum.accumulate(pos)
                 evm = io2 == 0
