@@ -158,19 +158,37 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
         times[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()) + headline_s, 3)
-    exceeded = [
-        {"query": q, "sec": t,
-         "budget": round(CLEAN_BEST_SEC[q] * BUDGET_FACTOR + BUDGET_FLOOR_SEC, 2)}
-        for q, t in times.items()
-        if q in CLEAN_BEST_SEC
-        and t > CLEAN_BEST_SEC[q] * BUDGET_FACTOR + BUDGET_FLOOR_SEC
-    ]
+    # Budget gate with a warm retry: the sweep runs each query ONCE, so its
+    # time folds in first-call costs (actor-pool spin-up, object-store
+    # population) plus whatever the shared-sandbox window adds — measured
+    # drift puts driver-heavy queries at 2-4x their clean best with zero
+    # code change (isolated warm trials hit the bests in the same window).
+    # A first-run exceed therefore re-runs that query once and flags it only
+    # if the WARM run also blows the budget; both times are recorded either
+    # way (`budget_retried`) so the artifact answers interference-vs-
+    # regression on its own.
+    exceeded, retried = [], []
+    for q, t in times.items():
+        if q not in CLEAN_BEST_SEC:
+            continue
+        budget = round(CLEAN_BEST_SEC[q] * BUDGET_FACTOR + BUDGET_FLOOR_SEC, 2)
+        if t <= budget:
+            continue
+        t0 = time.perf_counter()
+        _consume(qs[q](sf_dir))
+        warm = round(time.perf_counter() - t0, 3)
+        retried.append({"query": q, "sec": t, "warm_sec": warm,
+                        "budget": budget})
+        if warm > budget:
+            exceeded.append({"query": q, "sec": t, "warm_sec": warm,
+                             "budget": budget})
     return {
         "metric": "fetch+sidecar wall time (headline) + per-query times",
         "value": total,
         "unit": "sec",
         "queries": times,
         "budget_exceeded": exceeded,
+        "budget_retried": retried,
         "headline_sidecar_sec": round(headline_s, 3),
         "headline_urls": n_urls,
         "headline_urls_per_sec": round(n_urls / headline_s, 2),
