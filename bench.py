@@ -144,7 +144,7 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
     # callables are untouched — the driver never warms the memo.
     from sidecar import flagship as _fs
 
-    _fs._FLAGSHIP_MEMO.clear()
+    _fs.invalidate_flagship_memo()
     t0 = time.perf_counter()
     handle = _fs.memoize_flagship(sf_dir)
     n_urls = handle.count()

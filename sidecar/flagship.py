@@ -52,10 +52,31 @@ def images_dataset(sf_dir: str, *, batch_size: int = 256):
 _FLAGSHIP_MEMO: dict = {}
 
 
+def _memo_key(sf_dir: str, batch_size: int) -> tuple:
+    """Memo key includes the input file's (size, mtime_ns) fingerprint, so a
+    corpus rewritten at the same path within one process misses the memo
+    instead of silently serving stale rows (review r5)."""
+    import os
+
+    try:
+        st = os.stat(f"{sf_dir}/documents.parquet")
+        fp = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        fp = None
+    return (sf_dir, batch_size, fp)
+
+
+def invalidate_flagship_memo() -> None:
+    """Drop every memoized extraction (frees the pinned object-store blocks
+    once the returned handles also go out of scope)."""
+    _FLAGSHIP_MEMO.clear()
+
+
 def memoize_flagship(sf_dir: str, *, batch_size: int = 256):
-    """Materialize the flagship extraction once per (sf_dir, batch_size) and
-    serve subsequent ``flagship()`` calls from the handle.  Bench-only."""
-    key = (sf_dir, batch_size)
+    """Materialize the flagship extraction once per (sf_dir, batch_size,
+    input fingerprint) and serve subsequent ``flagship()`` calls from the
+    handle.  Bench-only."""
+    key = _memo_key(sf_dir, batch_size)
     if key not in _FLAGSHIP_MEMO:
         _FLAGSHIP_MEMO[key] = pipeline.sidecar_dataset(
             images_dataset(sf_dir, batch_size=batch_size),
@@ -65,7 +86,7 @@ def memoize_flagship(sf_dir: str, *, batch_size: int = 256):
 
 def flagship(sf_dir: str, *, batch_size: int = 256):
     """The end-to-end flagship: read → synth-fetch/encode → sidecar extract."""
-    memo = _FLAGSHIP_MEMO.get((sf_dir, batch_size))
+    memo = _FLAGSHIP_MEMO.get(_memo_key(sf_dir, batch_size))
     if memo is not None:
         return memo
     return pipeline.sidecar_dataset(images_dataset(sf_dir, batch_size=batch_size),

@@ -938,12 +938,13 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
         # candidate rows, read ONCE and kept in the object store (size-gated
         # above): both the broadcast matrix and the candidate banding pass
         # feed from this subset — no further pass touches the full corpus.
-        # _stage (not bare materialize): the subset is tiny but inherits the
-        # corpus's ~256-block lineage, so every downstream op would pay ~256
-        # near-empty tasks; the coalesce is safe here because the subset is
-        # under the 512 MB broadcast gate by construction
-        sub = _stage(src.map_batches(select_candidates, batch_format="pyarrow",
-                                     zero_copy_batch=True))
+        # bare materialize, NOT _stage: these rows carry embedding payloads,
+        # and _stage's coalesce would repartition them through a second
+        # all-to-all pass holding two transient copies (its contract is
+        # key-sized rows only); the ~256-tiny-block lineage is coalesced
+        # downstream at the banding output, where rows ARE key-sized
+        sub = src.map_batches(select_candidates, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
 
         mids, mats = [], []
         for b in sub.iter_batches(batch_format="pyarrow", batch_size=None):
@@ -999,8 +1000,11 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.4,
             return pa.table({"vec_a": pa.array(a[keep], pa.int64()),
                              "vec_b": pa.array(b[keep], pa.int64())})
 
-        candidates = (sub.map_batches(band_cand_ids, batch_format="pyarrow",
-                                      zero_copy_batch=True)
+        # _stage here (key-sized band rows): coalesces the subset's inherited
+        # tiny-block lineage before the sort pays per-input-block scheduling
+        candidates = (_stage(sub.map_batches(band_cand_ids,
+                                             batch_format="pyarrow",
+                                             zero_copy_batch=True))
                       .groupby("part")
                       .map_groups(pairs_ids_in_partition, batch_format="pyarrow")
                       .map_batches(verify_pairs, batch_format="pyarrow",

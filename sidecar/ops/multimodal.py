@@ -264,6 +264,12 @@ def _strip_band_bytes(u: np.ndarray, band: int, band_mode: str):
 
     def drop_byte(x: np.ndarray, b: int) -> np.ndarray:
         low = x & np.uint64((1 << (8 * b)) - 1)
+        if b == 7:
+            # no bytes above byte 7: the general formula would shift by 64,
+            # which is C-level UB — on x86/numpy it evaluates as >> 0 and
+            # injects byte 0 into the high bits (masked today only because
+            # callers consume <= 56 remainder bits; don't rely on it)
+            return low
         high = (x >> np.uint64(8 * (b + 1))) << np.uint64(8 * b)
         return low | high
 

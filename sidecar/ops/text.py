@@ -381,12 +381,29 @@ def _tfidf_topk_partitioned(sf_dir: str, k: int,
         vals = dfh.column("n").to_numpy()
         order = np.argsort(keys)
         keys, vals = keys[order], vals[order]
+        # collapse 64-bit collisions deterministically: distinct terms that
+        # share h get ONE key row carrying the SUM of their dfs (the
+        # "merged df" the plan docstring promises) — without this, equal
+        # keys would make searchsorted's pick depend on block-arrival order
+        if len(keys):
+            first = np.ones(len(keys), dtype=bool)
+            first[1:] = keys[1:] != keys[:-1]
+            starts = np.flatnonzero(first)
+            vals = np.add.reduceat(vals, starts)
+            keys = keys[starts]
         docs = t.filter(pc.invert(is_df))
         h = docs.column("h").to_numpy()
         doc_id = docs.column("doc_id").to_numpy()
         # every doc term is in the df table by construction (same tokenizer
-        # built both sides), so searchsorted positions are exact hits
+        # built both sides) — verify the exact hit rather than trusting the
+        # cross-plan invariant: a miss would otherwise silently return the
+        # df of an unrelated neighboring key (or index past the end)
         pos = np.searchsorted(keys, h)
+        if len(h) and (len(keys) == 0 or not np.array_equal(
+                keys[np.minimum(pos, len(keys) - 1)], h)):
+            raise ValueError(
+                "tfidf partitioned plan: doc term hash missing from the df "
+                "table — the two passes tokenized different corpora")
         n = len(h)
         return pa.table({
             "dpart": pa.array(doc_id % NPARTS, pa.int64()),
@@ -428,8 +445,12 @@ def _tfidf_topk_partitioned(sf_dir: str, k: int,
         dfr = pd.DataFrame({"doc_id": hd.column("doc_id").to_numpy(),
                             "h": hd.column("h").to_numpy(),
                             "df": hd.column("df").to_numpy()})
-        # int-keyed hash join: every (doc, term) row has exactly one
-        # (doc, h) df row by construction
+        # int-keyed hash join: each (doc, term) row has exactly one (doc, h)
+        # df row — except under a 64-bit collision, where two terms of the
+        # same doc ship two now-identical (doc, h, df) rows; drop_duplicates
+        # keeps the join 1:1 so each colliding term appears ONCE with the
+        # merged df (never a 2x2 cartesian duplicating output rows)
+        dfr = dfr.drop_duplicates(["doc_id", "h"])
         m = f.merge(dfr, on=["doc_id", "h"])
         return _rank_topk(m, k)
 

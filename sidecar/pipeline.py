@@ -380,8 +380,6 @@ def _dedup_digest_join(images_ds, meta, *, batch_size: int, num_parts: int):
     assembles via a partition-local digest dict.  Nothing corpus-sized is
     ever on the driver, and the only payload-byte shuffle remains step 2's
     keep-first (one representative per surviving candidate)."""
-    from zlib import crc32
-
     src = images_ds.schema().base_schema
     passthrus = [c for c in ("part", "concurrent_id", "warcinfo_id")
                  if c in src.names]
@@ -406,8 +404,12 @@ def _dedup_digest_join(images_ds, meta, *, batch_size: int, num_parts: int):
         + [(c, src.field(c).type) for c in passthrus])
 
     def _part(digs) -> pa.Array:
+        # digests are 'sha1:<hex>' — already uniform hashes, so the partition
+        # key comes from their OWN first 8 hex chars (chars 5:13), the same
+        # content-hash-prefix convention as dedup.fp_rows_batch: no per-row
+        # re-hashing, and one convention shared by row_rows and meta_rows
         return pa.array(
-            np.array([crc32(d.encode()) % num_parts for d in digs],
+            np.array([int(d[5:13], 16) % num_parts for d in digs],
                      dtype=np.int64), pa.int64())
 
     def row_rows(batch: pa.Table) -> pa.Table:

@@ -666,7 +666,12 @@ class TestPhashNearDup:
 
     @pytest.mark.parametrize("band_mode,band,max_dist",
                              [("chunk", 0, 7), ("chunk", 5, 7),
-                              ("chunk_pair", 11, 6)])
+                              ("chunk_pair", 11, 6),
+                              # byte-7 bands: the dropped byte is the TOP
+                              # byte, where drop_byte's general formula would
+                              # shift by 64 (C-level UB) — pins the b == 7
+                              # special case
+                              ("chunk", 7, 7), ("chunk_pair", 27, 6)])
     def test_hot_bucket_split_equals_bruteforce(self, band_mode, band, max_dist):
         """_bucket_pairs' exact hot-bucket split (unique-collapse + 8-way
         sub-chunk re-banding of the non-band bits): on a bucket above
@@ -702,6 +707,25 @@ class TestPhashNearDup:
         want = set(zip(rr[k].tolist(), cc[k].tolist(), dd[k].tolist()))
         assert got == want and len(want) > 100
         assert (r < c).all()
+
+    def test_strip_band_bytes_stays_within_width(self):
+        """Every band's remainder fits its declared bit width — in
+        particular for byte-7 bands, where an unguarded 64-bit shift would
+        smear byte 0 into the high remainder bits."""
+        from sidecar.ops.multimodal import _CHUNK_PAIRS, _strip_band_bytes
+
+        rng = np.random.default_rng(7)
+        u = rng.integers(0, 2 ** 63, 500, dtype=np.int64).view(np.uint64)
+        u |= np.uint64(1 << 63)  # force the top byte nonzero
+        for band in range(8):
+            rem, width = _strip_band_bytes(u, band, "chunk")
+            assert width == 56 and not (rem >> np.uint64(width)).any()
+        for band in range(len(_CHUNK_PAIRS)):
+            rem, width = _strip_band_bytes(u, band, "chunk_pair")
+            assert width == 48 and not (rem >> np.uint64(width)).any()
+        # byte-7 semantics exactly: remainder == low 56 bits
+        rem7, _ = _strip_band_bytes(u, 7, "chunk")
+        assert np.array_equal(rem7, u & np.uint64((1 << 56) - 1))
 
     def test_fused_b16_stats_equals_literal_plan(self, images_table):
         """image_decode_stats_with_b16 (one decode per image, quantization

@@ -213,4 +213,4 @@ def test_flagship_memo_parity():
             .combine_chunks().sort_by("image_id"))
         assert fresh.equals(memod)
     finally:
-        fsmod._FLAGSHIP_MEMO.clear()
+        fsmod.invalidate_flagship_memo()
