@@ -39,11 +39,20 @@ def _norm_path(path: str) -> str:
 def split_url(url: str) -> tuple[str, str, str, str]:
     """Return (host[:port], path, query, fragmentless-url): host lowercased,
     default scheme port dropped, non-default port kept (public SURT rule),
-    path slash-collapsed and %-hex-normalized.  Scheme-less urls get http."""
-    if not _SCHEME.match(url):
+    path slash-collapsed and %-hex-normalized.  Scheme-less urls get http;
+    IPv6 literal hosts come back bracketed (``[::1]:8080``) so the host:port
+    split downstream stays unambiguous."""
+    m = _SCHEME.match(url)
+    # 'example.com:8080/x' would lex as scheme 'example.com' and swallow the
+    # host — a colon followed by a digit is a PORT unless '//' follows, so
+    # such urls are scheme-less host:port forms and get the http prefix too
+    if not m or (url[m.end():m.end() + 1].isdigit()
+                 and url[m.end():m.end() + 2] != "//"):
         url = "http://" + url
     parts = urlsplit(url)
     host = (parts.hostname or "").lower()
+    if ":" in host:  # IPv6 literal — urlsplit strips the brackets
+        host = f"[{host}]"
     try:
         port = parts.port
     except ValueError:
@@ -54,11 +63,28 @@ def split_url(url: str) -> tuple[str, str, str, str]:
     return host, path, parts.query, url
 
 
+def _split_host_port(host: str) -> tuple[str, str]:
+    """'ex.com:8080' → ('ex.com', ':8080'); '[::1]:8080' → ('[::1]', ':8080');
+    portless forms return ('host', '')."""
+    if host.startswith("["):
+        end = host.find("]")
+        if end != -1:
+            return host[:end + 1], host[end + 1:]
+    if ":" in host:
+        h, p = host.split(":", 1)
+        return h, ":" + p
+    return host, ""
+
+
 def host_of(url: str) -> str:
     """Registered host of a URL, lowercased, www-stripped, port-stripped
-    (politeness is per machine-name, not per port)."""
+    (politeness is per machine-name, not per port).  IPv6 literals return
+    the unbracketed address so each address gets its own politeness bucket."""
     host, _, _, _ = split_url(url)
-    return _WWW.sub("", host).split(":")[0]
+    host, _port = _split_host_port(host)
+    if host.startswith("[") and host.endswith("]"):
+        return host[1:-1]
+    return _WWW.sub("", host)
 
 
 # IA default-canonicalizer session-id rules (public semantics of the surt
@@ -110,10 +136,9 @@ def surt(url: str) -> str:
     """
     host, path, query, _ = split_url(url)
     host = _idna_host(_WWW.sub("", host))
-    port = ""
-    if ":" in host:
-        host, port = host.split(":", 1)
-        port = ":" + port
+    host, port = _split_host_port(host)
+    # bracketed IPv6 literals have no dot-separated labels to reverse —
+    # they pass through whole (the reversed() of a 1-element split)
     rev = (",".join(reversed(host.split("."))) + port) if host else ""
     path = _JSESSIONID_PATH.sub("", path).lower() or "/"
     out = rev + ")" + path

@@ -21,12 +21,13 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 import pyarrow as pa
 
 import ray
 import ray.data as rd
 
-from sidecar.canon import surt
+from sidecar.canon import cdxj_key, surt
 from sidecar.pipeline import _lang_struct_to_ref
 
 # Full ISO-639-1 → ISO-639-2/T (alpha-3) table, statically embedded (the
@@ -208,7 +209,7 @@ def merge_cdxj(meta_ds, original_ds, *,
             tbl.column("ts").to_pylist(),
             tbl.column("json").to_pylist(),
         ):
-            meta_dict[s + " " + t] = json.loads(j)
+            meta_dict[cdxj_key(s, t)] = json.loads(j)
         if limit is not None and len(meta_dict) > limit:
             return _merge_cdxj_partitioned(meta_ds, original_ds)
     meta_ref = ray.put(meta_dict)
@@ -220,7 +221,7 @@ def merge_cdxj(meta_ds, original_ds, *,
         tss = batch.column("ts").to_pylist()
         js = batch.column("json").to_pylist()
         for s, t, j in zip(surts, tss, js):
-            m = meta.get(s + " " + t)
+            m = meta.get(cdxj_key(s, t))
             if m:  # TRUTHINESS, not None-ness: an empty meta object {} is
                 # no match in the reference (merge_cdxj.py:72 'if ...get(key):')
                 # and its original line passes through byte-identical
@@ -247,9 +248,26 @@ def _merge_cdxj_partitioned(meta_ds, original_ds) -> "rd.Dataset":
     merge per group (SURVEY.md §2.4 J1 'large build side')."""
     import pandas as pd
 
+    # union sides must agree on schema (names, ORDER, and dtypes): the meta
+    # side has no lineno column, and letting pandas NaN-fill it inside
+    # merge_partition coerced every partition containing meta rows to
+    # float64 linenos (0.0 vs 1 mixed dtypes downstream) — so tag() emits a
+    # canonical column order and an int64 -1 sentinel lineno for meta rows
+    # (meta rows never survive the merge, so the sentinel never escapes)
+    has_lineno = "lineno" in original_ds.schema().base_schema.names
+
     def tag(side: str):
         def f(batch: pa.Table) -> pa.Table:
-            return batch.append_column("side", pa.array([side] * batch.num_rows))
+            n = batch.num_rows
+            cols = {"surt": batch.column("surt"), "ts": batch.column("ts"),
+                    "json": batch.column("json")}
+            if has_lineno:
+                cols["lineno"] = (batch.column("lineno")
+                                  if "lineno" in batch.column_names
+                                  else pa.array(np.full(n, -1, np.int64),
+                                                pa.int64()))
+            cols["side"] = pa.array([side] * n, pa.string())
+            return pa.table(cols)
         return f
 
     both = meta_ds.map_batches(tag("meta"), batch_format="pyarrow").union(
@@ -259,8 +277,8 @@ def _merge_cdxj_partitioned(meta_ds, original_ds) -> "rd.Dataset":
     from zlib import crc32
 
     def add_key(batch: pa.Table) -> pa.Table:
-        key = [s + " " + t for s, t in zip(batch.column("surt").to_pylist(),
-                                           batch.column("ts").to_pylist())]
+        key = [cdxj_key(s, t) for s, t in zip(batch.column("surt").to_pylist(),
+                                              batch.column("ts").to_pylist())]
         part = [crc32(k.encode()) % 64 for k in key]
         t = batch.append_column("key", pa.array(key, pa.string()))
         return t.append_column("part", pa.array(part, pa.int64()))

@@ -42,6 +42,25 @@ from sidecar.ops.dedup import (
 )
 from sidecar.ops.text import read_documents
 
+if NUM_SHUFFLE_PARTS & (NUM_SHUFFLE_PARTS - 1):
+    raise ValueError("NUM_SHUFFLE_PARTS must stay a power of two: "
+                     "prep_pairs masks phash with NUM_SHUFFLE_PARTS - 1")
+
+
+def _rank_part_cols(ids: np.ndarray, srcs: list[str]) -> tuple[list, np.ndarray]:
+    """(rank-hash hex list, crc32(source) % NUM_SHUFFLE_PARTS int64 array) —
+    THE deterministic-sampling contract shared by source_balance and
+    token_budget (and mirrored by their SQL oracles): md5(str(doc_id)) is
+    the stable pseudo-random admission order, crc32(source) the co-location
+    key.  One definition so the two mixture knobs can't drift."""
+    from zlib import crc32
+
+    md5 = hashlib.md5
+    rk = [md5(str(i).encode()).hexdigest() for i in ids]
+    part = np.array([crc32(s.encode()) % NUM_SHUFFLE_PARTS for s in srcs],
+                    dtype=np.int64)
+    return rk, part
+
 
 def prep_images(images_ds: "rd.Dataset", max_dist: int = 7) -> "rd.Dataset":
     """image_id, phash, w, h, fmt — the image-side prep flow: decode-validate
@@ -203,14 +222,9 @@ def source_balance(sf_dir: str, quota: int = BALANCE_QUOTA) -> "rd.Dataset":
     """
 
     def with_rank(batch: pa.Table) -> pa.Table:
-        from zlib import crc32
-
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         srcs = batch.column("source").to_pylist()
-        md5 = hashlib.md5
-        rk = [md5(str(i).encode()).hexdigest() for i in ids]
-        part = np.array([crc32(s.encode()) % NUM_SHUFFLE_PARTS for s in srcs],
-                        dtype=np.int64)
+        rk, part = _rank_part_cols(ids, srcs)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "source": pa.array(srcs, pa.string()),
@@ -292,8 +306,11 @@ def prep_pairs(images_ds: "rd.Dataset") -> "rd.Dataset":
     # is collected on the driver at any corpus size.
     def add_part(batch: pa.Table) -> pa.Table:
         ph = batch.column("phash")
+        # mask == mod only for powers of two (module-load guard above); the
+        # mask keeps negative phashes in [0, parts) where Arrow's % wouldn't
         return batch.append_column(
-            "part", pc.bit_wise_and(ph, pa.scalar(63, pa.int64())))
+            "part", pc.bit_wise_and(
+                ph, pa.scalar(NUM_SHUFFLE_PARTS - 1, pa.int64())))
 
     def keep_first(g: pd.DataFrame) -> pa.Table:
         g = g.sort_values(["phash", "image_id"]).drop_duplicates(
@@ -325,22 +342,18 @@ def token_budget(sf_dir: str, budget: int = TOKEN_BUDGET) -> "rd.Dataset":
     rank-hash) row — text never leaves the scan; one coarse shuffle on
     crc32(source) % 64 co-locates each source, and the per-source ordered
     cumsum + cutoff runs vectorized inside each partition task."""
-    from zlib import crc32
 
     def project(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         srcs = batch.column("source").to_pylist()
         toks = pc.split_pattern(batch.column("text").fill_null(""), " ")
-        md5 = hashlib.md5
+        rk, part = _rank_part_cols(ids, srcs)
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "source": pa.array(srcs, pa.string()),
             "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
-            "rk": pa.array([md5(str(i).encode()).hexdigest() for i in ids],
-                           pa.string()),
-            "part": pa.array(
-                np.array([crc32(s.encode()) % NUM_SHUFFLE_PARTS for s in srcs],
-                         dtype=np.int64), pa.int64()),
+            "rk": pa.array(rk, pa.string()),
+            "part": pa.array(part, pa.int64()),
         })
 
     def admit(g: "pd.DataFrame") -> pa.Table:

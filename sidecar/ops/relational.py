@@ -685,6 +685,9 @@ def small_qty_lineitems(sf_dir: str) -> "rd.Dataset":
         kc.append(b.column("l_partkey").to_numpy(zero_copy_only=False))
         nc.append(b.column("n").to_numpy(zero_copy_only=False))
         sc.append(b.column("s").to_numpy(zero_copy_only=False))
+    if not kc:  # empty lineitem table: same guard as customers_order_counts
+        kc = [np.array([], dtype=np.int64)]
+        nc = sc = [np.array([], dtype=np.int64)]
     k_all = np.concatenate(kc)
     order = np.argsort(k_all)
     stats_ref = ray.put((k_all[order],
@@ -1097,7 +1100,7 @@ def order_gaps(sf_dir: str) -> "rd.Dataset":
     def proj(batch: pa.Table) -> pa.Table:
         ck = batch.column("o_custkey")
         return pa.table({
-            "part": pc.bit_wise_and(ck, pa.scalar(63, pa.int64())),
+            "part": _jpart(ck),
             "o_custkey": ck,
             "o_orderkey": batch.column("o_orderkey"),
             "ts_us": pc.cast(batch.column("o_orderdate"), pa.int64()),

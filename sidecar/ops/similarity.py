@@ -41,14 +41,22 @@ def _emb_matrix(col) -> "np.ndarray | None":
     if isinstance(arr, pa.Array) and arr.null_count == 0:
         lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
         if lens.min() == lens.max() and lens[0] > 0:
-            flat = arr.flatten().to_numpy(zero_copy_only=False)
-            return flat.astype(np.float64, copy=False).reshape(len(arr), int(lens[0]))
+            flat = arr.flatten()
+            # element-LEVEL nulls hide below the top-level null_count; they
+            # must not ride the fast path as silent NaNs (a NaN corrupts
+            # kmeans' fixed-point partials as INT64_MIN) — fall through to
+            # the checked path, which raises
+            if flat.null_count == 0:
+                fl = flat.to_numpy(zero_copy_only=False)
+                return fl.astype(np.float64, copy=False).reshape(
+                    len(arr), int(lens[0]))
     # ragged or mixed-null rows raise ValueError inside np.array; an
-    # ALL-null column instead converts to a 1-D nan array — raise
-    # explicitly so non-empty bad input never escapes as a 1-D array
+    # ALL-null column instead converts to a 1-D nan array, and element
+    # nulls convert to NaN in a clean 2-D array — raise explicitly on
+    # both so non-empty bad input never escapes into a kernel
     E = np.array(arr.to_pylist(), dtype=np.float64)
-    if E.ndim != 2:
-        raise ValueError("embedding column has null or ragged rows")
+    if E.ndim != 2 or np.isnan(E).any():
+        raise ValueError("embedding column has null, NaN, or ragged rows")
     return E
 
 
@@ -192,6 +200,14 @@ def kmeans(sf_dir: str, k: int = 8, iters: int = 5) -> "rd.Dataset":
     tids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
     C = np.array(t.column("embedding").to_pylist(),
                  dtype=np.float64)[np.argsort(tids)]
+    # fewer than k vectors can't seed k centroids: C would have n < k rows
+    # while the length-k count vectors below index it — raise a clear
+    # contract error instead of a shape mismatch mid-iteration (an EMPTY
+    # table leaves C 1-D and would crash on .shape[1])
+    if C.ndim != 2 or C.shape[0] < k:
+        n_have = C.shape[0] if C.ndim == 2 else 0
+        raise ValueError(f"kmeans requires at least k={k} vectors; "
+                         f"corpus has {n_have}")
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
@@ -263,6 +279,10 @@ def kmeans_oracle(sf_dir: str, k: int = 8, iters: int = 5) -> dict[int, int]:
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
     E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    if E.ndim != 2 or E.shape[0] < k:  # same contract as kmeans()
+        n_have = E.shape[0] if E.ndim == 2 else 0
+        raise ValueError(f"kmeans requires at least k={k} vectors; "
+                         f"corpus has {n_have}")
     order = np.argsort(ids)
     C = E[order[:k]].copy()
     fx = np.round(E * KMEANS_SCALE).astype(np.int64)

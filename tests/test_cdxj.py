@@ -118,6 +118,29 @@ def test_merge_partitioned():
     _merge_case(broadcast=False)
 
 
+def test_merge_partitioned_lineno_stays_int64():
+    """Partitions containing meta rows must not NaN-coerce the orig rows'
+    lineno to float64 (review r5: the two-sided union now ships an int64
+    sentinel lineno for meta rows, so dtypes stay uniform)."""
+    meta = rd.from_arrow(pa.table({
+        "surt": ["com,example)/"],
+        "ts": ["20210101000000"],
+        "json": [json.dumps({"Identified-Payload-Type":
+                             {"python-magic": "text/html"}})],
+    }))
+    orig = _mk_cdxj_ds([
+        ("com,example)/", "20210101000000", json.dumps({"url": "a"})),
+        ("com,nomatch)/", "20210101000000", json.dumps({"url": "b"})),
+    ])
+    out = cdxj.merge_cdxj(meta, orig, broadcast=False)
+    for b in out.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if t.num_rows:
+            assert t.schema.field("lineno").type == pa.int64(), t.schema
+    linenos = sorted(r["lineno"] for r in out.take_all())
+    assert linenos == [0, 1] and all(isinstance(x, int) for x in linenos)
+
+
 def test_merge_auto_small_and_overflow():
     """broadcast="auto" (default): small build side behaves exactly like the
     broadcast plan; with the build cap forced to 0 it must fall back to the
@@ -148,6 +171,30 @@ def test_canonicalization_port_and_path_rules():
     assert cu("http://ex.com/a%2fb") == "http://ex.com/a%2Fb"  # canon uppercases hex
     assert canonical_url("http://ex.com/p#frag") == "http://ex.com/p"
     assert host_of("http://ex.com:8080/x") == "ex.com"
+
+
+def test_schemeless_port_and_ipv6_hosts():
+    """Scheme-less host:port urls must not lex the host as a URL scheme
+    (seen-set / politeness keys would lose the host entirely), and IPv6
+    literals keep their address through host_of / surt (review r5)."""
+    from sidecar.canon import canonical_url, host_of, split_url, surt
+
+    # 'example.com:8080/y' is a host:port, not a scheme
+    assert split_url("example.com:8080/y")[0] == "example.com:8080"
+    assert surt("example.com:8080/y") == "com,example:8080)/y"
+    assert host_of("example.com:8080/y") == "example.com"
+    assert host_of("localhost:9999") == "localhost"
+    # real schemes still lex as schemes
+    assert split_url("dns:example.com")[0] == ""
+    assert surt("http://example.com/x") == surt("example.com/x")
+    # IPv6: per-address politeness buckets, bracketed host:port in keys
+    assert host_of("http://[::1]:8080/x") == "::1"
+    assert host_of("http://[2001:db8::1]/p") == "2001:db8::1"
+    assert surt("http://[::1]:8080/x") == "[::1]:8080)/x"
+    assert surt("http://[2001:db8::1]/p") == "[2001:db8::1])/p"
+    assert canonical_url("http://[::1]:8080/x") == "http://[::1]:8080/x"
+    # distinct IPv6 hosts get DISTINCT seen-set keys
+    assert surt("http://[::1]/p") != surt("http://[::2]/p")
 
 
 def test_alpha3_full_table_merge():

@@ -240,6 +240,36 @@ class TestEmbMatrix:
         allnull = pa.array([None, None], pa.list_(pa.float32()))
         with pytest.raises(ValueError):  # all-null converts to 1-D nan in
             _emb_matrix(allnull)         # numpy — must raise, not escape
+        # ELEMENT-level nulls hide below the top-level null_count: they must
+        # raise too, never ride the fast path as silent NaNs (review r5 —
+        # a NaN corrupts kmeans' fixed-point partials as INT64_MIN)
+        elemnull = pa.array([[1.0, None], [3.0, 4.0]], pa.list_(pa.float32()))
+        assert elemnull.null_count == 0  # the trap: top-level count is clean
+        with pytest.raises(ValueError):
+            _emb_matrix(elemnull)
+
+    def test_kmeans_requires_k_vectors(self, tmp_path):
+        """k > corpus size raises a contract error up front in BOTH the
+        distributed kmeans and its single-thread oracle (review r5: the
+        length-k count vectors would otherwise shape-mismatch mid-iter)."""
+        import pyarrow.parquet as pq
+
+        from sidecar.ops.similarity import kmeans, kmeans_oracle
+
+        t = pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+                                  pa.list_(pa.float64())),
+        })
+        pq.write_table(t, tmp_path / "embeddings.parquet")
+        with pytest.raises(ValueError, match="at least k=8"):
+            kmeans(str(tmp_path), k=8)
+        with pytest.raises(ValueError, match="at least k=8"):
+            kmeans_oracle(str(tmp_path), k=8)
+        # n == k still works end-to-end
+        got = kmeans(str(tmp_path), k=3, iters=2).to_pandas()
+        want = kmeans_oracle(str(tmp_path), k=3, iters=2)
+        assert dict(zip(got["vec_id"], got["cluster"])) == want
 
 
 class TestSimilarity:
@@ -1042,6 +1072,16 @@ class TestSmallQty:
         assert len(got) == keep.sum() and len(got) > 0
         assert (set(zip(got["l_orderkey"], got["l_linenumber"]))
                 == set(zip(want["l_orderkey"], want["l_linenumber"].astype("int64"))))
+
+    def test_empty_lineitem_returns_empty(self, tmp_path):
+        """An empty lineitem table must produce an empty result, not crash
+        on np.concatenate([]) (review r5: same guard as
+        customers_order_counts_left)."""
+        from sidecar.ops.relational import small_qty_lineitems
+
+        src = pq.read_table(f"{SF}/lineitem.parquet")
+        pq.write_table(src.slice(0, 0), tmp_path / "lineitem.parquet")
+        assert small_qty_lineitems(str(tmp_path)).count() == 0
 
 
 class TestMinhashEstimates:
