@@ -39,7 +39,10 @@ def payload_to_json(payload: str) -> str:
     each 'Title: value' line parsed with a JSON fallback to the raw string;
     the trailing ':' of the Title is stripped."""
     d: dict = {}
-    for line in payload.split("\n"):
+    # splitlines, not split('\n'): a spec-conformant (warcio-written) sidecar
+    # joins warc-fields lines with CRLF — split('\n') would leave a trailing
+    # '\r' on every value, breaking the JSON fallback parse
+    for line in payload.splitlines():
         if not line.strip():
             continue
         key, _, value = line.partition(": ")
@@ -50,30 +53,43 @@ def payload_to_json(payload: str) -> str:
     return json.dumps(d)
 
 
-def _split_http_payload(payload: str) -> tuple[str, int]:
+def _split_http_payload_bytes(payload: bytes) -> tuple[bytes, int]:
     """HTTP-response record blocks carry 'HTTP/1.x <status> ...' + headers +
     body; the reference reads record.content_stream() (body only,
     warc_metadata_sidecar.py:213) and gates soft-404 on status=='200'
     (:263-265).  Returns (body, status); non-HTTP payloads pass through with
-    status 200 (resource records / synthetic fixtures have no status line)."""
-    if not payload.startswith("HTTP/"):
+    status 200 (resource records / synthetic fixtures have no status line).
+
+    Operates on RAW bytes so the body the detectors see keeps its original
+    encoding (an up-front utf-8/replace decode would destroy ISO-8859-1
+    bytes, UTF-16 BOMs, and binary image payloads before mime/charset/phash
+    ever ran)."""
+    if not payload.startswith(b"HTTP/"):
         return payload, 200
     # headers end at the EARLIEST blank line of either convention — probing
     # CRLF first would mis-split an LF-headered payload whose BODY contains
     # a CRLF blank line (dropping the real body as "headers")
-    cuts = [(payload.find(sep), sep) for sep in ("\r\n\r\n", "\n\n")]
+    cuts = [(payload.find(sep), sep) for sep in (b"\r\n\r\n", b"\n\n")]
     cuts = [(i, sep) for i, sep in cuts if i >= 0]
     if cuts:
         idx, sep = min(cuts)
         head, body = payload[:idx], payload[idx + len(sep):]
     else:
-        head, body = payload, ""
-    first = head.split("\n", 1)[0].strip()
+        head, body = payload, b""
+    first = head.split(b"\n", 1)[0].strip()
     parts = first.split()
     status = 200
     if len(parts) > 1 and parts[1][:3].isdigit():
         status = int(parts[1][:3])
     return body, status
+
+
+def _split_http_payload(payload: str) -> tuple[str, int]:
+    """String-input convenience twin of :func:`_split_http_payload_bytes`
+    (the blank-line separators and status line are pure ASCII, so the byte
+    and str splits agree on any utf-8 text)."""
+    body, status = _split_http_payload_bytes(payload.encode("utf-8", "replace"))
+    return body.decode("utf-8", "replace"), status
 
 
 def records_to_images(records_ds: "rd.Dataset", *, source_is_warc: bool = True
@@ -94,20 +110,28 @@ def _records_to_images_batch(batch: pa.Table, *,
     """The ONE implementation of the record filters + HTTP split (used by
     both the single-file and batch CLIs — ``keep_path`` adds the source
     path as the batch mode's ``part`` routing column)."""
-    ids, urls, tss, blobs, paths, rec_ids, winfo_ids, statuses = \
-        [], [], [], [], [], [], [], []
+    ids, urls, tss, blobs, paths, linenos, rec_ids, winfo_ids, statuses = \
+        [], [], [], [], [], [], [], [], []
     for row in batch.to_pylist():
         if row["rec_type"] not in ("response", "resource"):
             continue
         if row["url"].startswith("dns:"):
             continue
-        body, status = _split_http_payload(row["payload"])
+        # detectors must see the ORIGINAL payload bytes (charset/mime/phash
+        # on a utf-8/replace re-encode would never detect ISO-8859-1, UTF-16
+        # or binary formats); the decoded 'payload' is a fallback for rows
+        # built without the raw slice (tests, synthetic records)
+        raw = row.get("payload_bytes")
+        if raw is None:
+            raw = row["payload"].encode("utf-8", "replace")
+        body, status = _split_http_payload_bytes(raw)
         ids.append(row["url"])
         urls.append(row["url"])
         tss.append(row["ts"])
-        blobs.append(body.encode("utf-8", "replace"))
+        blobs.append(body)
         if keep_path:
             paths.append(row["path"])
+            linenos.append(row["lineno"])
         rec_ids.append(row["headers"].get("WARC-Record-ID", ""))
         winfo_ids.append(row["headers"].get("WARC-Warcinfo-ID", ""))
         statuses.append(status)
@@ -124,6 +148,7 @@ def _records_to_images_batch(batch: pa.Table, *,
     }
     if keep_path:
         cols["part"] = pa.array(paths, pa.string())  # rides through extraction
+        cols["lineno"] = pa.array(linenos, pa.int64())  # source order, ditto
     return pa.table(cols)
 
 
@@ -211,8 +236,15 @@ def cmd_sidecar_all(archive_dir: str, operator: str | None = None,
         functools.partial(_records_to_images_batch, keep_path=True),
         batch_format="pyarrow", zero_copy_batch=True))
 
-    def write_one(g: pd.DataFrame) -> pd.DataFrame:
-        src = g["part"].iloc[0]
+    # Arrow groups, not pandas: pandas converts nullable float/struct cells
+    # to NaN, which passes sidecar_row_to_payload's 'is not None' check and
+    # emitted literal 'Soft-404-Detected: nan' lines; Arrow to_pylist gives
+    # real None, matching the single-file path bit-for-bit.
+    def write_one(g: pa.Table) -> pa.Table:
+        # the groupby shuffle does not preserve within-group order — restore
+        # source record order from the lineno carried through extraction
+        g = g.sort_by("lineno")
+        src = g.column("part")[0].as_py()
         name = os.path.basename(src)
         out_path = os.path.join(archive_dir, warc.sidecar_name(name))
         is_warc = not warc.is_arc_name(name)
@@ -221,20 +253,21 @@ def cmd_sidecar_all(archive_dir: str, operator: str | None = None,
         # existing output as done, so a crash mid-write must not leave a
         # truncated file behind
         tmp = out_path + ".tmp"
-        with open(tmp, "w") as fh:
+        with open(tmp, "w", encoding="utf-8", newline="") as fh:
             fh.write(warc.warcinfo_record_text(warc.sidecar_name(name),
                                                operator, publisher,
                                                source_name=name))
-            for row in g.drop(columns=["part"]).to_dict("records"):
+            for row in g.drop_columns(["part", "lineno"]).to_pylist():
                 if pipeline.sidecar_row_to_payload(row):
                     fh.write(warc.metadata_record_text(
                         row, source_is_warc=is_warc))
                     n += 1
         os.replace(tmp, out_path)
-        return pd.DataFrame({"path": [src], "records_written": [n]})
+        return pa.table({"path": pa.array([src], pa.string()),
+                         "records_written": pa.array([n], pa.int64())})
 
     per_file = sidecar_ds.groupby("part").map_groups(
-        write_one, batch_format="pandas").to_pandas()
+        write_one, batch_format="pyarrow").to_pandas()
 
     # a source that yields ZERO sidecar rows (only warcinfo/dns/revisit
     # records, or all-empty payloads) produces no group above — write its
@@ -274,7 +307,9 @@ def cmd_cdxj(sidecar_file: str, archive_dir: str) -> dict:
     out_path = os.path.join(archive_dir,
                             warc.cdxj_name_from_sidecar(sidecar_file))
     n = 0
-    with open(out_path, "w") as f:
+    # golden-file serialization: line order = sidecar record order, so pin
+    # preserve_order for exactly this iteration (S6, sidecar2cdxj.py:56-61)
+    with open(out_path, "w", encoding="utf-8") as f, warc.ordered_execution():
         for b in records.map_batches(to_lines, batch_format="pyarrow",
                                      zero_copy_batch=True).iter_batches(
                                          batch_format="pyarrow", batch_size=None):
@@ -302,24 +337,29 @@ def cmd_cdxj_all(archive_dir: str) -> dict:
     records = warc.read_warc_text(todo)
 
     def to_lines(batch: pa.Table) -> pa.Table:
-        paths, lines = [], []
+        paths, linenos, lines = [], [], []
         for row in batch.to_pylist():
             if row["rec_type"] == "warcinfo":
                 continue
             paths.append(row["path"])
+            linenos.append(row["lineno"])
             lines.append(cdxj_line(surt(row["url"]), row["ts"],
                                    payload_to_json(row["payload"])))
         return pa.table({"part": pa.array(paths, pa.string()),
+                         "lineno": pa.array(linenos, pa.int64()),
                          "line": pa.array(lines, pa.string())})
 
     def write_one(g: pd.DataFrame) -> pd.DataFrame:
+        # the groupby shuffle does not preserve within-group order — restore
+        # sidecar record order so batch output matches cmd_cdxj byte-for-byte
+        g = g.sort_values("lineno")
         src = g["part"].iloc[0]
         out_path = os.path.join(archive_dir, warc.cdxj_name_from_sidecar(src))
         # atomic tmp+rename (same invariant as merge_one): resume treats an
         # existing output as done, so a crash mid-write must not leave a
         # truncated file behind
         tmp = out_path + ".tmp"
-        with open(tmp, "w") as fh:
+        with open(tmp, "w", encoding="utf-8") as fh:
             fh.writelines(g["line"])
         os.replace(tmp, out_path)
         return pd.DataFrame({"path": [src], "lines": [len(g)]})
@@ -352,7 +392,7 @@ def cmd_merge(metadata_cdxj: str, warc_cdxj: str, cdxj_dir: str) -> dict:
     # of the output contract (merged lines in original-file order), and a
     # parallel read_text cannot assign global line numbers safely; the
     # reference reads this file serially too (merge_cdxj.py:126-130)
-    with open(warc_cdxj) as f:
+    with open(warc_cdxj, encoding="utf-8") as f:
         orig_lines = [ln.rstrip("\n") for ln in f if ln.strip()]
     surts, tss, js = [], [], []
     for ln in orig_lines:
@@ -370,7 +410,7 @@ def cmd_merge(metadata_cdxj: str, warc_cdxj: str, cdxj_dir: str) -> dict:
     rows = sorted(merged.take_all(), key=lambda r: r["lineno"])
     out_path = os.path.join(cdxj_dir, warc.merged_cdxj_name(warc_cdxj))
     edited = 0
-    with open(out_path, "w") as f:
+    with open(out_path, "w", encoding="utf-8") as f:
         for r in rows:
             f.write(cdxj_line(r["surt"], r["ts"], r["json"]))
             edited += int(r["matched"])
@@ -423,7 +463,7 @@ def cmd_merge_all(meta_dir: str, warc_cdxj_dir: str, cdxj_dir: str) -> dict:
 
     def read_file(row: dict) -> list[dict]:
         out = []
-        with open(row["path"]) as fh:
+        with open(row["path"], encoding="utf-8") as fh:
             i = 0
             for ln in fh:
                 ln = ln.rstrip("\n")
@@ -450,7 +490,7 @@ def cmd_merge_all(meta_dir: str, warc_cdxj_dir: str, cdxj_dir: str) -> dict:
         # atomic tmp+rename: resume treats an existing output as "pair
         # done", so a crash mid-write must not leave a truncated file
         tmp_path = out_path + ".tmp"
-        with open(tmp_path, "w") as fh:
+        with open(tmp_path, "w", encoding="utf-8") as fh:
             for s, t, j in zip(origs["surt"], origs["ts"], origs["json"]):
                 mj = build.get(s + " " + t)
                 # truthiness: an empty meta object {} is no match

@@ -109,6 +109,13 @@ def find_language_batch(texts: pa.Array, mask: np.ndarray | None = None) -> np.n
     if n == 0:
         return out
     arr = arr.fill_null("") if arr.null_count else arr
+    # apply the mask BEFORE the expensive kernels: blanking off-mask rows up
+    # front skips their share of the regex-clean/lower/tokenize/lexicon-scan
+    # work (the dominant cost on image-heavy batches where only a few
+    # caption rows are gated in) while keeping every array length-aligned;
+    # masked-in rows see exactly their own text, so results are unchanged
+    if mask is not None and not mask.all():
+        arr = pc.if_else(pa.array(mask), arr, "")
     clean = pc.replace_substring_regex(arr, _BAD_CHARS_RE2, "")
     nbytes = pc.binary_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
     nchars = pc.utf8_length(clean).to_numpy(zero_copy_only=False).astype(np.int64)

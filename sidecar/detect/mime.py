@@ -21,28 +21,32 @@ import pyarrow as pa
 # reference: warc_metadata_sidecar.py:33 — gates charset/language extraction
 TEXT_FORMAT_MIMES = re.compile(r"(text|html|xml)")
 
-# (prefix, fido_mime, magic_mime, puid) — first match wins, like fido's
+# (prefix, fido_mime, magic_mime, puid, ci) — first match wins, like fido's
 # ordered signature table (warc_metadata_sidecar.py:69 "matches[0]").
-_SIGNATURES: list[tuple[bytes, str | None, str | None, str | None]] = [
-    (b"\x89PNG\r\n\x1a\n", "image/png", "image/png", "fmt/11"),
-    (b"GIF87a", "image/gif", "image/gif", "fmt/3"),
-    (b"GIF89a", "image/gif", "image/gif", "fmt/4"),
-    (b"\xff\xd8\xff", "image/jpeg", "image/jpeg", "fmt/43"),
-    (b"P6\n", "image/x-portable-pixmap", "image/x-portable-pixmap", "fmt/409"),
-    (b"B16\n", None, "application/octet-stream", None),
-    (b"%PDF-", "application/pdf", "application/pdf", "fmt/18"),
-    (b"<?xml", "text/xml", "text/xml", "fmt/101"),
+# ``ci=True`` case-folds ASCII letters before comparing: HTML markup is
+# case-insensitive in the wild ('<!doctype html>' is ubiquitous) and the
+# reference's fido/libmagic HTML detection is case-insensitive too; every
+# other signature is exact bytes (the XML decl is lowercase per spec).
+_SIGNATURES: list[tuple[bytes, str | None, str | None, str | None, bool]] = [
+    (b"\x89PNG\r\n\x1a\n", "image/png", "image/png", "fmt/11", False),
+    (b"GIF87a", "image/gif", "image/gif", "fmt/3", False),
+    (b"GIF89a", "image/gif", "image/gif", "fmt/4", False),
+    (b"\xff\xd8\xff", "image/jpeg", "image/jpeg", "fmt/43", False),
+    (b"P6\n", "image/x-portable-pixmap", "image/x-portable-pixmap", "fmt/409", False),
+    (b"B16\n", None, "application/octet-stream", None, False),
+    (b"%PDF-", "application/pdf", "application/pdf", "fmt/18", False),
+    (b"<?xml", "text/xml", "text/xml", "fmt/101", False),
     # HTML5 doctype → fmt/471, matching the reference's own golden
     # (tests/test_warc_metadata_sidecar.py:55-58 asserts fido fmt/471 for
     # a '<!DOCTYPE html>' payload); bare <html> stays the generic fmt/96
-    (b"<!DOCTYPE html", "text/html", "text/html", "fmt/471"),
-    (b"<html", "text/html", "text/html", "fmt/96"),
-    (b"{", None, "application/json", None),
+    (b"<!doctype html", "text/html", "text/html", "fmt/471", True),
+    (b"<html", "text/html", "text/html", "fmt/96", True),
+    (b"{", None, "application/json", None, False),
     # UTF-16 BOMs: python-magic reports such payloads as text (the
     # reference's golden carries Charset-Detected UTF-16); fido has no
     # signature for them
-    (b"\xff\xfe", None, "text/plain", None),
-    (b"\xfe\xff", None, "text/plain", None),
+    (b"\xff\xfe", None, "text/plain", None, False),
+    (b"\xfe\xff", None, "text/plain", None, False),
 ]
 _MAX_PREFIX = max(len(s[0]) for s in _SIGNATURES)
 _N_SIGS = len(_SIGNATURES)
@@ -110,11 +114,14 @@ def sniff_batch(binary: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     (mime_fido, mime_magic, puid) object ndarrays (None where undetected)."""
     prefix, lengths, ascii_ok = _prefix_matrix(binary)
     n = prefix.shape[0]
+    # ASCII-case-folded view for the ci signatures (A-Z → a-z, bytes only)
+    folded = np.where((prefix >= 65) & (prefix <= 90), prefix + 32, prefix)
     sig_idx = np.full(n, _N_SIGS + 1, dtype=np.int64)  # default: octet-stream
     sig_idx[ascii_ok] = _N_SIGS  # printable → text/plain
     for i in range(_N_SIGS - 1, -1, -1):  # reverse so earlier sigs win
-        sig, _, _, _ = _SIGNATURES[i]
-        m = (prefix[:, : len(sig)] == np.frombuffer(sig, dtype=np.uint8)).all(axis=1)
+        sig, _, _, _, ci = _SIGNATURES[i]
+        view = folded if ci else prefix
+        m = (view[:, : len(sig)] == np.frombuffer(sig, dtype=np.uint8)).all(axis=1)
         m &= lengths >= len(sig)
         sig_idx[m] = i
     empty = lengths == 0

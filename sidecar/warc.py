@@ -28,6 +28,24 @@ from sidecar.pipeline import create_warcinfo_payload, sidecar_row_to_payload
 _CRLF = "\r\n"
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def ordered_execution():
+    """Pin ``preserve_order`` for a golden-file serialization: the streaming
+    executor may otherwise yield completed blocks out of input order
+    (SURVEY.md §4.2 — order is a data property everywhere EXCEPT the byte-
+    exact file writers, which use this for exactly the write loop)."""
+    ctx = rd.DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        yield
+    finally:
+        ctx.execution_options.preserve_order = prev
+
+
 def _record_text(headers: list[tuple[str, str]], payload: str) -> str:
     body = payload.encode()
     head = _CRLF.join(f"{k}: {v}" for k, v in headers)
@@ -120,23 +138,31 @@ def write_sidecar_warc(sidecar_ds, path: str, *, filename: str | None = None,
     round-trip."""
     import gzip as _gzip
 
+    # encoding pinned: _record_text's Content-Length counts UTF-8 BYTES, so a
+    # locale-default text open (LANG=C → ascii) would either raise mid-write
+    # on a non-ASCII URI or desynchronize the declared lengths from the bytes
+    # on disk; newline="" protects the explicit CRLF framing from platform
+    # newline translation
     def opener():
-        return _gzip.open(path, "wt", encoding="utf-8") if compress \
-            else open(path, "w")
+        return _gzip.open(path, "wt", encoding="utf-8", newline="") if compress \
+            else open(path, "w", encoding="utf-8", newline="")
 
     n = 0
     with opener() as f:
         f.write(warcinfo_record_text(filename or os.path.basename(path),
                                      operator, publisher,
                                      source_name=source_name))
-        for batch in sidecar_to_warc_text(
-                sidecar_ds, source_is_warc=source_is_warc,
-                warcinfo_id=warcinfo_id).iter_batches(
-                batch_format="pyarrow", batch_size=None):
-            col = batch.column("record") if hasattr(batch, "column") else batch["record"]
-            for rec in col.to_pylist():
-                f.write(rec)
-                n += 1
+        # golden-file serialization: record order is part of the output
+        # contract, so pin preserve_order for exactly this iteration
+        with ordered_execution():
+            for batch in sidecar_to_warc_text(
+                    sidecar_ds, source_is_warc=source_is_warc,
+                    warcinfo_id=warcinfo_id).iter_batches(
+                    batch_format="pyarrow", batch_size=None):
+                col = batch.column("record") if hasattr(batch, "column") else batch["record"]
+                for rec in col.to_pylist():
+                    f.write(rec)
+                    n += 1
     if n == 0:  # S4: rewrite holding only the zero-record-marker warcinfo
         write_zero_record_sidecar(path, filename=filename, operator=operator,
                                   publisher=publisher, compress=compress,
@@ -161,8 +187,10 @@ def write_zero_record_sidecar(path: str, *, filename: str | None = None,
     info["description"] = info.get("description", "") + \
         "; 0 metadata sidecar records"
     payload = "".join(f"{k}: {v}\r\n" for k, v in info.items())
-    opener = (lambda: _gzip.open(path, "wt", encoding="utf-8")) if compress \
-        else (lambda: open(path, "w"))
+    # utf-8 + newline='' for the same byte-exactness reasons as
+    # write_sidecar_warc (Content-Length counts UTF-8 bytes; CRLF framing)
+    opener = (lambda: _gzip.open(path, "wt", encoding="utf-8", newline="")) \
+        if compress else (lambda: open(path, "w", encoding="utf-8", newline=""))
     with opener() as f:
         f.write(_record_text([("WARC-Type", "warcinfo"),
                               ("WARC-Filename", filename or os.path.basename(path)),
@@ -182,20 +210,30 @@ def _lf_payload_end(data: bytes, body_start: int, ln: int) -> int:
 
 
 def parse_warc_bytes(data: bytes) -> list[dict]:
-    """Split WARC bytes into records: {rec_type, url, ts14, headers, payload}.
-    Boundary = 'WARC/1.0' at line start after a blank region; payload sliced
-    by Content-Length in BYTES (the WARC contract — a character-count slice
-    corrupts multibyte payloads and can swallow the next record).  Header
-    lines and payload are decoded utf-8/replace for the downstream detectors.
+    """Split WARC bytes into records: {rec_type, url, ts14, headers, payload,
+    payload_bytes}.  Boundary = 'WARC/1.0' at line start after a blank
+    region; payload sliced by Content-Length in BYTES (the WARC contract — a
+    character-count slice corrupts multibyte payloads and can swallow the
+    next record).  ``payload_bytes`` carries the RAW slice for the detectors
+    (charset/mime/image sniffing must see original bytes — a utf-8/replace
+    decode destroys ISO-8859-1 bytes and UTF-16 BOMs); ``payload`` is the
+    utf-8/replace decode for text consumers (CDXJ warc-fields parsing).
     LF-normalized input (a text-mode read translated CRLF) is handled
     best-effort by counting each payload newline as the 2 bytes it was."""
-    delim = b"\r\n" if b"\r\n\r\n" in data else b"\n"
     out = []
     i = 0
     while True:
         start = data.find(b"WARC/1.0", i)
         if start < 0:
             break
+        # per-RECORD delimiter sniff from the version line's own ending: a
+        # global "does \r\n\r\n appear anywhere" probe would mis-frame an
+        # LF-framed file whose PAYLOAD body contains a CRLF blank line (the
+        # header-block search would land deep inside the first payload)
+        nl = data.find(b"\n", start)
+        if nl < 0:
+            break
+        delim = b"\r\n" if data[nl - 1:nl] == b"\r" else b"\n"
         head_end = data.find(delim + delim, start)
         if head_end < 0:
             break
@@ -210,7 +248,7 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             body_end = _lf_payload_end(data, body_start, ln)
         else:
             body_end = body_start + ln
-        payload = data[body_start:body_end].decode("utf-8", "replace")
+        raw_payload = data[body_start:body_end]
         date = headers.get("WARC-Date", "")
         ts14 = "".join(c for c in date if c.isdigit())[:14]
         out.append({
@@ -218,7 +256,8 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
             "url": headers.get("WARC-Target-URI", ""),
             "ts": ts14,
             "headers": headers,
-            "payload": payload,
+            "payload": raw_payload.decode("utf-8", "replace"),
+            "payload_bytes": raw_payload,
         })
         i = body_end
     return out
@@ -280,13 +319,14 @@ def parse_arc_bytes(data: bytes) -> list[dict]:
         url = " ".join(parts[:-4])
         ts, ln = parts[-3], int(parts[-1])
         body_start = line_end + 1
-        payload = data[body_start : body_start + ln].decode("utf-8", "replace")
+        raw_payload = data[body_start : body_start + ln]
         out.append({
             "rec_type": "warcinfo" if url.startswith("filedesc://") else "response",
             "url": url,
             "ts": "".join(c for c in ts if c.isdigit())[:14],
             "headers": {"ARC-Header": header},
-            "payload": payload,
+            "payload": raw_payload.decode("utf-8", "replace"),
+            "payload_bytes": raw_payload,
         })
         i = body_start + ln
     if malformed:
@@ -335,7 +375,11 @@ def read_warc_text(paths: str | list[str]) -> "rd.Dataset":
         # parsing stays at the BYTE level so Content-Length slices exactly
         parse = parse_arc_bytes if raw.lstrip().startswith(b"filedesc://") \
             else parse_warc_bytes
-        return [{"path": row["path"], **r} for r in parse(raw)]
+        # per-file record index: batch mode's groupby(path) shuffle does not
+        # preserve within-group order, so source order must be a DATA
+        # property the writer can sort on (SURVEY.md §4.2)
+        return [{"path": row["path"], "lineno": j, **r}
+                for j, r in enumerate(parse(raw))]
 
     return rd.from_items([{"path": f} for f in files]).flat_map(split_file)
 
