@@ -167,7 +167,7 @@ def cmd_sidecar(archive_dir: str, warc_file: str, operator: str | None = None,
     is_warc = not warc.is_arc_name(name)
     # materialize once: count() + the sidecar write would otherwise each
     # execute the full read+gunzip+record-split lineage (datasets are lazy)
-    records = warc.read_warc_text(src).materialize()
+    records = warc.read_warc_text(src, payload="bytes").materialize()
     total_read = records.count()
     sidecar_ds = pipeline.sidecar_dataset(records_to_images(records))
     out_path = os.path.join(archive_dir, warc.sidecar_name(name))
@@ -226,7 +226,7 @@ def cmd_sidecar_all(archive_dir: str, operator: str | None = None,
     if not todo:
         return {"files": len(all_files), "processed": 0, "skipped": len(all_files)}
 
-    records = warc.read_warc_text(todo)
+    records = warc.read_warc_text(todo, payload="bytes")
 
     # the shared record filters (incl. HTTP body/status split), with the
     # source path kept as the routing key
@@ -293,7 +293,7 @@ def cmd_sidecar_all(archive_dir: str, operator: str | None = None,
 
 def cmd_cdxj(sidecar_file: str, archive_dir: str) -> dict:
     os.makedirs(archive_dir, exist_ok=True)
-    records = warc.read_warc_text(sidecar_file)
+    records = warc.read_warc_text(sidecar_file, payload="text")
 
     def to_lines(batch: pa.Table) -> pa.Table:
         lines = []
@@ -334,7 +334,7 @@ def cmd_cdxj_all(archive_dir: str) -> dict:
     if not todo:
         return {"files": len(all_files), "processed": 0, "skipped": len(all_files)}
 
-    records = warc.read_warc_text(todo)
+    records = warc.read_warc_text(todo, payload="text")
 
     def to_lines(batch: pa.Table) -> pa.Table:
         paths, linenos, lines = [], [], []

@@ -340,10 +340,22 @@ def parse_arc_text(text: str) -> list[dict]:
     return parse_arc_bytes(text.encode("utf-8"))
 
 
-def read_warc_text(paths: str | list[str]) -> "rd.Dataset":
+def read_warc_text(paths: str | list[str], *,
+                   payload: str = "both") -> "rd.Dataset":
     """S1 analog: a directory/file(s) of WARC text → Dataset of records.
     One file per read task (WARC is not splittable without an index);
-    record splitting happens inside the flat_map."""
+    record splitting happens inside the flat_map.
+
+    ``payload`` prunes at the read (the 100 TB shape — the payload column
+    dominates record size, and carrying both representations doubles every
+    downstream block): ``"bytes"`` keeps only the raw ``payload_bytes``
+    (sidecar extraction — detectors need original bytes), ``"text"`` keeps
+    only the utf-8/replace ``payload`` (CDXJ paths — warc-fields payloads
+    are text), ``"both"`` (default) keeps both for callers that need the
+    full record view."""
+    if payload not in ("both", "bytes", "text"):
+        raise ValueError(f"payload must be 'both'|'bytes'|'text', got {payload!r}")
+    drop = {"both": None, "bytes": "payload", "text": "payload_bytes"}[payload]
 
     import glob as _glob
 
@@ -378,8 +390,12 @@ def read_warc_text(paths: str | list[str]) -> "rd.Dataset":
         # per-file record index: batch mode's groupby(path) shuffle does not
         # preserve within-group order, so source order must be a DATA
         # property the writer can sort on (SURVEY.md §4.2)
+        recs = parse(raw)
+        if drop is not None:
+            for r in recs:
+                del r[drop]
         return [{"path": row["path"], "lineno": j, **r}
-                for j, r in enumerate(parse(raw))]
+                for j, r in enumerate(recs)]
 
     return rd.from_items([{"path": f} for f in files]).flat_map(split_file)
 

@@ -143,3 +143,23 @@ def test_language_mask_prefilter_equivalence():
             assert masked[i] == full[i]
         else:
             assert masked[i] is None
+
+
+def test_read_warc_text_payload_pruning(tmp_path):
+    """The payload= knob prunes at the read: each mode's schema carries
+    exactly the requested payload representation (the payload column
+    dominates record size at scale, so both-by-default in the hot CLI
+    paths would double every downstream block)."""
+    data = (warc.warcinfo_record_text("src.warc").encode()
+            + _resp_bytes("http://x/a", b"hello payload"))
+    p = tmp_path / "src.warc"
+    p.write_bytes(data)
+    both = warc.read_warc_text(str(p)).take_all()
+    assert {"payload", "payload_bytes"} <= set(both[0])
+    only_b = warc.read_warc_text(str(p), payload="bytes").take_all()
+    assert "payload" not in only_b[0] and only_b[1]["payload_bytes"] == b"hello payload"
+    only_t = warc.read_warc_text(str(p), payload="text").take_all()
+    assert "payload_bytes" not in only_t[0] and only_t[1]["payload"] == "hello payload"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        warc.read_warc_text(str(p), payload="raw")
