@@ -84,14 +84,6 @@ def _split_http_payload_bytes(payload: bytes) -> tuple[bytes, int]:
     return body, status
 
 
-def _split_http_payload(payload: str) -> tuple[str, int]:
-    """String-input convenience twin of :func:`_split_http_payload_bytes`
-    (the blank-line separators and status line are pure ASCII, so the byte
-    and str splits agree on any utf-8 text)."""
-    body, status = _split_http_payload_bytes(payload.encode("utf-8", "replace"))
-    return body.decode("utf-8", "replace"), status
-
-
 def records_to_images(records_ds: "rd.Dataset", *, source_is_warc: bool = True
                       ) -> "rd.Dataset":
     """WARC record rows → extraction input (the reference's record loop
@@ -201,8 +193,6 @@ def cmd_sidecar_all(archive_dir: str, operator: str | None = None,
     any read — the resumability unit is the source file."""
     import glob as _glob
 
-    import pandas as pd
-
     all_files = sorted(
         f for f in _glob.glob(os.path.join(archive_dir, "*"))
         if f.endswith((".warc", ".warc.gz", ".arc", ".arc.gz")))
@@ -309,7 +299,7 @@ def cmd_cdxj(sidecar_file: str, archive_dir: str) -> dict:
     n = 0
     # golden-file serialization: line order = sidecar record order, so pin
     # preserve_order for exactly this iteration (S6, sidecar2cdxj.py:56-61)
-    with open(out_path, "w", encoding="utf-8") as f, warc.ordered_execution():
+    with open(out_path, "w", encoding="utf-8", newline="") as f, warc.ordered_execution():
         for b in records.map_batches(to_lines, batch_format="pyarrow",
                                      zero_copy_batch=True).iter_batches(
                                          batch_format="pyarrow", batch_size=None):
@@ -359,7 +349,7 @@ def cmd_cdxj_all(archive_dir: str) -> dict:
         # existing output as done, so a crash mid-write must not leave a
         # truncated file behind
         tmp = out_path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
+        with open(tmp, "w", encoding="utf-8", newline="") as fh:
             fh.writelines(g["line"])
         os.replace(tmp, out_path)
         return pd.DataFrame({"path": [src], "lines": [len(g)]})
@@ -410,7 +400,7 @@ def cmd_merge(metadata_cdxj: str, warc_cdxj: str, cdxj_dir: str) -> dict:
     rows = sorted(merged.take_all(), key=lambda r: r["lineno"])
     out_path = os.path.join(cdxj_dir, warc.merged_cdxj_name(warc_cdxj))
     edited = 0
-    with open(out_path, "w", encoding="utf-8") as f:
+    with open(out_path, "w", encoding="utf-8", newline="") as f:
         for r in rows:
             f.write(cdxj_line(r["surt"], r["ts"], r["json"]))
             edited += int(r["matched"])
@@ -490,7 +480,7 @@ def cmd_merge_all(meta_dir: str, warc_cdxj_dir: str, cdxj_dir: str) -> dict:
         # atomic tmp+rename: resume treats an existing output as "pair
         # done", so a crash mid-write must not leave a truncated file
         tmp_path = out_path + ".tmp"
-        with open(tmp_path, "w", encoding="utf-8") as fh:
+        with open(tmp_path, "w", encoding="utf-8", newline="") as fh:
             for s, t, j in zip(origs["surt"], origs["ts"], origs["json"]):
                 mj = build.get(s + " " + t)
                 # truthiness: an empty meta object {} is no match

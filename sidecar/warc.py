@@ -36,7 +36,13 @@ def ordered_execution():
     """Pin ``preserve_order`` for a golden-file serialization: the streaming
     executor may otherwise yield completed blocks out of input order
     (SURVEY.md §4.2 — order is a data property everywhere EXCEPT the byte-
-    exact file writers, which use this for exactly the write loop)."""
+    exact file writers, which use this for exactly the write loop).
+
+    NOT thread-safe: this save/restores a field on the process-global
+    ``DataContext``, so it assumes the serial CLI shape (one golden-file
+    write executing at a time on the driver).  Two threads writing
+    concurrently could race the flag — a concurrent caller should pin
+    ``preserve_order`` on its own session-wide context instead."""
     ctx = rd.DataContext.get_current()
     prev = ctx.execution_options.preserve_order
     ctx.execution_options.preserve_order = True
@@ -209,17 +215,22 @@ def _lf_payload_end(data: bytes, body_start: int, ln: int) -> int:
     return body_start + min(stop + 1, len(region)) if len(region) else body_start
 
 
-def parse_warc_bytes(data: bytes) -> list[dict]:
+def parse_warc_bytes(data: bytes, *, payload: str = "both") -> list[dict]:
     """Split WARC bytes into records: {rec_type, url, ts14, headers, payload,
     payload_bytes}.  Boundary = 'WARC/1.0' at line start after a blank
     region; payload sliced by Content-Length in BYTES (the WARC contract — a
     character-count slice corrupts multibyte payloads and can swallow the
     next record).  ``payload_bytes`` carries the RAW slice for the detectors
     (charset/mime/image sniffing must see original bytes — a utf-8/replace
-    decode destroys ISO-8859-1 bytes and UTF-16 BOMs); ``payload`` is the
-    utf-8/replace decode for text consumers (CDXJ warc-fields parsing).
+    decode destroys ISO-8859-1 bytes and UTF-16 BOMs); ``payload`` (the key)
+    is the utf-8/replace decode for text consumers (CDXJ warc-fields
+    parsing).  ``payload`` (the kwarg) selects which representation(s) to
+    BUILD — ``"bytes"`` skips the replace-decode entirely, which on binary
+    payloads (images, gzip bodies) is pure wasted CPU plus a transient str
+    up to ~3x the payload size per record.
     LF-normalized input (a text-mode read translated CRLF) is handled
     best-effort by counting each payload newline as the 2 bytes it was."""
+    want_text, want_bytes = payload != "bytes", payload != "text"
     out = []
     i = 0
     while True:
@@ -251,14 +262,17 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
         raw_payload = data[body_start:body_end]
         date = headers.get("WARC-Date", "")
         ts14 = "".join(c for c in date if c.isdigit())[:14]
-        out.append({
+        rec = {
             "rec_type": headers.get("WARC-Type", ""),
             "url": headers.get("WARC-Target-URI", ""),
             "ts": ts14,
             "headers": headers,
-            "payload": raw_payload.decode("utf-8", "replace"),
-            "payload_bytes": raw_payload,
-        })
+        }
+        if want_text:
+            rec["payload"] = raw_payload.decode("utf-8", "replace")
+        if want_bytes:
+            rec["payload_bytes"] = raw_payload
+        out.append(rec)
         i = body_end
     return out
 
@@ -268,7 +282,7 @@ def parse_warc_text(text: str) -> list[dict]:
     return parse_warc_bytes(text.encode("utf-8"))
 
 
-def parse_arc_bytes(data: bytes) -> list[dict]:
+def parse_arc_bytes(data: bytes, *, payload: str = "both") -> list[dict]:
     """S1's ``arc2warc=True`` analog: split ARC v1 bytes into WARC-shaped
     record dicts.  ARC v1 layout: a ``filedesc://`` version block first,
     then per record one header line ``<url> <ip> <YYYYMMDDhhmmss> <mime>
@@ -286,6 +300,7 @@ def parse_arc_bytes(data: bytes) -> list[dict]:
     boundary instead of silently truncating the rest of the archive."""
     import logging
 
+    want_text, want_bytes = payload != "bytes", payload != "text"
     out = []
     malformed = 0
     i = 0
@@ -320,14 +335,17 @@ def parse_arc_bytes(data: bytes) -> list[dict]:
         ts, ln = parts[-3], int(parts[-1])
         body_start = line_end + 1
         raw_payload = data[body_start : body_start + ln]
-        out.append({
+        rec = {
             "rec_type": "warcinfo" if url.startswith("filedesc://") else "response",
             "url": url,
             "ts": "".join(c for c in ts if c.isdigit())[:14],
             "headers": {"ARC-Header": header},
-            "payload": raw_payload.decode("utf-8", "replace"),
-            "payload_bytes": raw_payload,
-        })
+        }
+        if want_text:
+            rec["payload"] = raw_payload.decode("utf-8", "replace")
+        if want_bytes:
+            rec["payload_bytes"] = raw_payload
+        out.append(rec)
         i = body_start + ln
     if malformed:
         logging.getLogger("sidecar.warc").warning(
@@ -355,7 +373,7 @@ def read_warc_text(paths: str | list[str], *,
     full record view."""
     if payload not in ("both", "bytes", "text"):
         raise ValueError(f"payload must be 'both'|'bytes'|'text', got {payload!r}")
-    drop = {"both": None, "bytes": "payload", "text": "payload_bytes"}[payload]
+    mode = payload
 
     import glob as _glob
 
@@ -390,12 +408,11 @@ def read_warc_text(paths: str | list[str], *,
         # per-file record index: batch mode's groupby(path) shuffle does not
         # preserve within-group order, so source order must be a DATA
         # property the writer can sort on (SURVEY.md §4.2)
-        recs = parse(raw)
-        if drop is not None:
-            for r in recs:
-                del r[drop]
+        # the mode reaches the parser so the unwanted representation is
+        # never BUILT (not built-then-dropped — the replace-decode of a
+        # binary payload is pure wasted CPU plus a transient ~3x str)
         return [{"path": row["path"], "lineno": j, **r}
-                for j, r in enumerate(recs)]
+                for j, r in enumerate(parse(raw, payload=mode))]
 
     return rd.from_items([{"path": f} for f in files]).flat_map(split_file)
 
