@@ -170,7 +170,7 @@ def cmd_sidecar(archive_dir: str, warc_file: str, operator: str | None = None,
     # S9 log-sink parity (sidecar.log in the archive dir,
     # warc_metadata_sidecar.py:173-179,295-302): run header, per-run counts,
     # elapsed — appended like the reference's logging.basicConfig file
-    with open(os.path.join(archive_dir, "sidecar.log"), "a") as lg:
+    with open(os.path.join(archive_dir, "sidecar.log"), "a", encoding="utf-8") as lg:
         lg.write(f"INFO Logging WARC metadata record information for {name}\n")
         lg.write(f"INFO {total_read} records read\n")
         lg.write(f"INFO Meta records written: {written}\n")
@@ -405,7 +405,7 @@ def cmd_merge(metadata_cdxj: str, warc_cdxj: str, cdxj_dir: str) -> dict:
             f.write(cdxj_line(r["surt"], r["ts"], r["json"]))
             edited += int(r["matched"])
     # S9 log-sink parity (cdxj_merge.log, merge_cdxj.py:116-122,134-138)
-    with open(os.path.join(cdxj_dir, "cdxj_merge.log"), "a") as lg:
+    with open(os.path.join(cdxj_dir, "cdxj_merge.log"), "a", encoding="utf-8") as lg:
         lg.write(f"INFO Merging {os.path.basename(metadata_cdxj)} into "
                  f"{os.path.basename(warc_cdxj)}\n")
         lg.write(f"INFO Edited: {edited} Non-edited: {len(rows) - edited}\n")
@@ -516,7 +516,7 @@ def cmd_merge_all(meta_dir: str, warc_cdxj_dir: str, cdxj_dir: str) -> dict:
                               ignore_index=True).sort_values("pair")
 
     # S9 log-sink parity, one block per pair (merge_cdxj.py:116-122,134-138)
-    with open(os.path.join(cdxj_dir, "cdxj_merge.log"), "a") as lg:
+    with open(os.path.join(cdxj_dir, "cdxj_merge.log"), "a", encoding="utf-8") as lg:
         for row in per_pair.itertuples(index=False):
             lg.write(f"INFO Merging {row.pair} into {row.pair}\n")
             lg.write(f"INFO Edited: {row.edited} "
