@@ -163,3 +163,29 @@ def test_read_warc_text_payload_pruning(tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         warc.read_warc_text(str(p), payload="raw")
+
+
+def test_mixed_framing_warc_file():
+    """One file holding a CRLF-framed record FOLLOWED by an LF-framed one
+    (e.g. a concatenation of a spec-conformant archive with a text-mode-
+    normalized one): the per-record delimiter sniff frames each record by
+    its own version-line ending, where any whole-file probe must get one of
+    the two wrong."""
+    crlf_body = b"spec-conformant payload"
+    crlf_rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Target-URI: http://x/crlf\r\n"
+                b"WARC-Date: 2021-03-01T10:00:00Z\r\n"
+                b"Content-Length: %d\r\n\r\n" % len(crlf_body)
+                ) + crlf_body + b"\r\n\r\n"
+    lf_body = b"normalized payload"
+    lf_rec = (b"WARC/1.0\nWARC-Type: response\n"
+              b"WARC-Target-URI: http://x/lf\n"
+              b"WARC-Date: 2021-03-01T11:00:00Z\n"
+              b"Content-Length: %d\n\n" % len(lf_body)) + lf_body + b"\n\n"
+    for data in (crlf_rec + lf_rec, lf_rec + crlf_rec):
+        recs = warc.parse_warc_bytes(data)
+        assert sorted(r["url"] for r in recs) == \
+            ["http://x/crlf", "http://x/lf"]
+        by_url = {r["url"]: r for r in recs}
+        assert by_url["http://x/crlf"]["payload_bytes"] == crlf_body
+        assert by_url["http://x/lf"]["payload_bytes"] == lf_body
